@@ -1,0 +1,395 @@
+"""Declared relational query surface (SURVEY §2.9, Q01–Q32).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame built
+with the declarative DataFrame API — Catalyst handles pushdown, join
+strategy (broadcast for the small dims here), partial aggregation, and
+codegen.  Aliases match the DuckDB oracle SQL exactly (driver compares
+by sorted column name).
+
+Reference capability citations are per-query comments; the reference
+itself only implements the scan/project/filter/sort/limit/count subset
+(S1-S6, P1-P4, O1-O2 — datacrawler.py:133-200,563-564), the rest is the
+north-star relational surface every real extraction pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cassandra_extractor_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _money(col):
+    """Exact-decimal money arithmetic for oracle-stable rounding.
+
+    Source money columns carry ≤4 true decimal digits, so casting the
+    double to DECIMAL(18,6) is lossless and never lands on a rounding
+    boundary; decimal sums are then order-independent (unlike double
+    sums, whose accumulation order differs between engines) and
+    ROUND(...,2) agrees bit-for-bit with DuckDB.
+    """
+    return col.cast("decimal(18,6)")
+
+
+# --- reference-surface queries (direct analogues of SURVEY §2.1-2.4) ---
+
+
+def q01_projection(spark, sf_dir):
+    # P1 column projection (datacrawler.py:135-137)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q02_filter(spark, sf_dir):
+    # P2 predicate pushdown (datacrawler.py:138-151)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q03_string_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q04_count(spark, sf_dir):
+    # S5 row count (datacrawler.py:186-200)
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+def q05_filtered_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q06_sort_limit(spark, sf_dir):
+    # O1 sort pushdown + S6 page cap (datacrawler.py:145-146,563-564)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q07_offset_page(spark, sf_dir):
+    # S4 cursor/offset paging (datacrawler.py:143,150-151)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .offset(2000)
+        .limit(1000)
+    )
+
+
+def q08_hwm_filter(spark, sf_dir):
+    # P3 incremental modified-timestamp high-water mark: ts >= HWM is
+    # EXCLUDED (worker.py:194-198)
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts") < F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def q09_rename_project(spark, sf_dir):
+    # T1 rename + T7 drop (worker.py:110-121,153-155)
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("full_name"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def q10_epoch_millis(spark, sf_dir):
+    # T5 timestamp → epoch millis (worker.py:146-148)
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.unix_millis("ts").alias("ts_ms"))
+        .orderBy("event_id")
+    )
+
+
+def q11_expression(spark, sf_dir):
+    # T6 expression column (worker.py:149-150)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q12_json_serialize(spark, sf_dir):
+    # T8/T10 templated JSON rendering (kafkaworker.py:62-65)
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.lit('{"id":'),
+                F.col("o_orderkey").cast("string"),
+                F.lit(',"status":"'),
+                F.col("o_orderstatus"),
+                F.lit('"}'),
+            ).alias("payload"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- extended surface (north-star relational capabilities, SURVEY §2.5) ---
+
+
+def q13_group_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(_money(F.col("l_extendedprice"))), 2).cast("double").alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q14_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 20)
+        .orderBy("o_custkey")
+    )
+
+
+def q15_inner_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+def q16_left_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+def q17_semi_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+def q18_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q19_multiway_join(spark, sf_dir):
+    # TPC-H Q5 shape; nation is tiny → Catalyst broadcasts it (AQE).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2)
+            .cast("double")
+            .alias("rev")
+        )
+        .orderBy("n_name")
+    )
+
+
+def q20_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+def q21_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("cd"))
+
+
+def q22_window_rank(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q23_window_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.round(F.sum(_money(F.col("o_totalprice"))).over(w), 2).cast("double").alias("run"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q24_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+def q25_except(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    # SQL EXCEPT has DISTINCT semantics → DataFrame.subtract
+    return n.subtract(c).orderBy("n_nationkey")
+
+
+def q26_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+def q27_dedup(spark, sf_dir):
+    # deterministic dropDuplicates analogue (north-star exact dedup)
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("first_order"))
+        .orderBy("o_custkey")
+    )
+
+
+def q28_date_funcs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q29_string_funcs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_mktsegment").cast("long").alias("seg_len"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q30_case(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_discount") > 0.05, "HI").otherwise("LO").alias("d"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q31_json_extract(spark, sf_dir):
+    # T2 JSON parsing analogue on events.props (worker.py:136-137)
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q32_event_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum(_money(F.col("value"))), 2).cast("double").alias("s"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,196 @@
+"""Query registry: name → (Spark builder, DuckDB oracle SQL).
+
+The driver contract (``__spark_entry__.py``) compares each Spark query
+against its oracle SQL at sf0.01 by row count + schema + order-
+insensitive value hash; every alias here is identical on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_extractor_spark.operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name → Spark DataFrame builder
+QUERIES: dict[str, QueryFn] = {
+    "q01_projection": R.q01_projection,
+    "q02_filter": R.q02_filter,
+    "q03_string_filter": R.q03_string_filter,
+    "q04_count": R.q04_count,
+    "q05_filtered_count": R.q05_filtered_count,
+    "q06_sort_limit": R.q06_sort_limit,
+    "q07_offset_page": R.q07_offset_page,
+    "q08_hwm_filter": R.q08_hwm_filter,
+    "q09_rename_project": R.q09_rename_project,
+    "q10_epoch_millis": R.q10_epoch_millis,
+    "q11_expression": R.q11_expression,
+    "q12_json_serialize": R.q12_json_serialize,
+    "q13_group_agg": R.q13_group_agg,
+    "q14_having": R.q14_having,
+    "q15_inner_join": R.q15_inner_join,
+    "q16_left_join": R.q16_left_join,
+    "q17_semi_join": R.q17_semi_join,
+    "q18_anti_join": R.q18_anti_join,
+    "q19_multiway_join": R.q19_multiway_join,
+    "q20_distinct": R.q20_distinct,
+    "q21_count_distinct": R.q21_count_distinct,
+    "q22_window_rank": R.q22_window_rank,
+    "q23_window_running_sum": R.q23_window_running_sum,
+    "q24_union": R.q24_union,
+    "q25_except": R.q25_except,
+    "q26_rollup": R.q26_rollup,
+    "q27_dedup": R.q27_dedup,
+    "q28_date_funcs": R.q28_date_funcs,
+    "q29_string_funcs": R.q29_string_funcs,
+    "q30_case": R.q30_case,
+    "q31_json_extract": R.q31_json_extract,
+    "q32_event_agg": R.q32_event_agg,
+}
+
+#: name → equivalent ANSI SQL for the DuckDB oracle
+ORACLES: dict[str, str] = {
+    "q01_projection": (
+        "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey"
+    ),
+    "q02_filter": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 45 "
+        "ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q03_string_filter": (
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"
+    ),
+    "q04_count": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q05_filtered_count": (
+        "SELECT COUNT(*) AS cnt FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    "q06_sort_limit": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    "q07_offset_page": (
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000 OFFSET 2000"
+    ),
+    "q08_hwm_filter": (
+        "SELECT event_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' "
+        "ORDER BY event_id"
+    ),
+    "q09_rename_project": (
+        "SELECT c_custkey AS customer_id, c_name AS full_name FROM customer "
+        "ORDER BY customer_id"
+    ),
+    "q10_epoch_millis": (
+        "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY event_id"
+    ),
+    # ROUND on raw doubles differs between engines at representation
+    # boundaries; money columns have <=4 true decimal digits, so an exact
+    # DECIMAL(18,6) cast before ROUND/SUM makes both engines agree
+    # bit-for-bit (same spelling in the Spark builders).
+    "q11_expression": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) "
+        "AS DOUBLE) AS net "
+        "FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q12_json_serialize": (
+        "SELECT o_orderkey, CONCAT('{\"id\":', o_orderkey, ',\"status\":\"', "
+        "o_orderstatus, '\"}') AS payload FROM orders WHERE o_orderkey <= 50 "
+        "ORDER BY o_orderkey"
+    ),
+    "q13_group_agg": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) "
+        "AS sum_price, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "q14_having": (
+        "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 20 ORDER BY o_custkey"
+    ),
+    "q15_inner_join": (
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey "
+        "ORDER BY c.c_custkey"
+    ),
+    "q16_left_join": (
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey "
+        "ORDER BY c.c_custkey"
+    ),
+    "q17_semi_join": (
+        "SELECT p_partkey FROM part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity > 49) ORDER BY p_partkey"
+    ),
+    "q18_anti_join": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders) ORDER BY c_custkey"
+    ),
+    "q19_multiway_join": (
+        "SELECT n.n_name, CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) "
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    ),
+    "q20_distinct": (
+        "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+    ),
+    "q21_count_distinct": "SELECT COUNT(DISTINCT o_custkey) AS cd FROM orders",
+    "q22_window_rank": (
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"
+    ),
+    "q23_window_running_sum": (
+        "SELECT o_orderkey, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run "
+        "FROM orders WHERE o_custkey <= 100 ORDER BY o_orderkey"
+    ),
+    "q24_union": (
+        "SELECT c_nationkey AS k FROM customer UNION "
+        "SELECT s_nationkey FROM supplier ORDER BY k"
+    ),
+    "q25_except": (
+        "SELECT n_nationkey FROM nation EXCEPT "
+        "SELECT DISTINCT c_nationkey FROM customer ORDER BY n_nationkey"
+    ),
+    "q26_rollup": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST"
+    ),
+    "q27_dedup": (
+        "SELECT o_custkey, MIN(o_orderkey) AS first_order FROM orders "
+        "GROUP BY o_custkey ORDER BY o_custkey"
+    ),
+    "q28_date_funcs": (
+        "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS y, "
+        "EXTRACT(MONTH FROM o_orderdate) AS m FROM orders "
+        "WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+    ),
+    "q29_string_funcs": (
+        "SELECT c_custkey, UPPER(c_name) AS name_upper, "
+        "SUBSTR(c_name, 1, 8) AS name_prefix, LENGTH(c_mktsegment) AS seg_len "
+        "FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"
+    ),
+    "q30_case": (
+        "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount > 0.05 THEN 'HI' "
+        "ELSE 'LO' END AS d FROM lineitem WHERE l_orderkey <= 100 "
+        "ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q31_json_extract": (
+        "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events "
+        "ORDER BY event_id"
+    ),
+    "q32_event_agg": (
+        "SELECT event_type, COUNT(*) AS c, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS s "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+}

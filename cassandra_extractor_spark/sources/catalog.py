@@ -1,0 +1,59 @@
+"""Source catalog: parquet test tables + Cassandra production source.
+
+The reference scans one Cassandra table per extraction
+(``datacrawler.py:133-184`` builds ``SELECT JSON <cols> FROM <table>``
+with paging).  Spark-first mapping: one table → one DataFrame, with
+projection/predicate pushdown delegated to the data source (parquet
+footer stats locally; the Spark Cassandra Connector's CQL pushdown in
+production).  No user-level paging code exists here at all — Spark
+partitions (token ranges / parquet row groups) replace the reference's
+page loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one test table as a DataFrame (parquet path).
+
+    Filters/projections applied by callers are pushed into the parquet
+    scan by Catalyst (check ``PushedFilters`` / ``ReadSchema`` in
+    ``df.explain("formatted")``).
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), unreadable by default;
+        # set here (runtime-settable) so any caller-provided session works
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as long ns (see session.py conf);
+        # Spark timestamps are µs precision → truncate ns → µs
+        # integer div: double division would lose precision on ~1.7e18 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every test table as a temp view for the SQL entry point."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
