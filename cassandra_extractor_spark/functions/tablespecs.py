@@ -159,6 +159,16 @@ def _schema_of_many(sdf: DataFrame) -> T.DataType:
     return parsed.schema
 
 
+def _parse_json_fn(schema):
+    """Single-param closure (extra lambda params would bind the array
+    index in ``transform``)."""
+    return lambda x: F.from_json(x, schema)
+
+
+def _parse_json_value_fn(schema):
+    return lambda k, v: F.from_json(v, schema)
+
+
 def compile_table_spec(
     df: DataFrame, spec: TableSpec
 ) -> tuple[list[Column], list[str]]:
@@ -188,10 +198,10 @@ def compile_table_spec(
             col = F.from_json(col, schema)
         elif conv == "list":
             schema = cs.schema or _infer_json_schema(df, fname, "list")
-            col = F.transform(col, lambda x, s=schema: F.from_json(x, s))
+            col = F.transform(col, _parse_json_fn(schema))
         elif conv == "map":
             schema = cs.schema or _infer_json_schema(df, fname, "map")
-            col = F.transform_values(col, lambda k, v, s=schema: F.from_json(v, s))
+            col = F.transform_values(col, _parse_json_value_fn(schema))
         elif conv == "timestamp":
             col = _timestamp_to_epoch_millis(col, cs.timestamp_format)
         elif conv.startswith("template:"):

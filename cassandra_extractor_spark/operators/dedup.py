@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash-LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB posture):
+
+- **Signatures are per-row projections** — MinHash/SimHash/fingerprint
+  are computed with built-in array/hash functions inside whole-stage
+  codegen; no explode, no shuffle, no Python.  A 100 TB corpus gets its
+  signatures in one map-only pass.
+- **Candidate generation is a band-signature self-join** — the classic
+  shuffle-on-bucket-key LSH join.  Shuffle volume is O(#bands × rows),
+  keys are md5-uniform so there is no inherent skew; degenerate buckets
+  (e.g. empty-text) are the one skew source and would be salted/capped
+  in production.
+- **Pairwise verification only runs on candidates**, never all-pairs.
+  The all-pairs Jaccard query restricts to a doc_id window purely so
+  the DuckDB oracle stays tractable; the LSH path is the scale path.
+- Hashes are md5-derived (portable, deterministic) rather than Spark's
+  xxhash64/murmur so the DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cassandra_extractor_spark.operators.text import distinct_tokens, doc_fingerprint_col, tokens
+from cassandra_extractor_spark.sources.catalog import load_table
+
+NUM_PERM = 8  #: minhash permutations
+BANDS = 4  #: LSH bands (NUM_PERM/BANDS rows per band)
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  #: banding chunks for hamming-join (ham<=3 ⇒ one chunk equal)
+HAMMING_MAX = 3
+
+
+def _md5_hash64(col: Column, salt: str) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5(salt|token)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, num_perm: int = NUM_PERM) -> list[Column]:
+    """MinHash signature over 3-word shingles: per permutation, min of
+    salted shingle hashes.
+
+    Shingles (not unigrams) keep the signature discriminative — unigram
+    signatures over a small vocabulary collide for nearly every pair.
+    Computed entirely per-row (array_min over transform) — map-only.
+    """
+    sh = _shingles(text)
+
+    def hasher(salt: str):
+        # single-param closure: a 2-param lambda would make Spark bind
+        # the second param to the array index
+        return lambda t: _md5_hash64(t, salt)
+
+    return [
+        F.array_min(F.transform(sh, hasher(str(s)))).alias(f"mh{s}")
+        for s in range(num_perm)
+    ]
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: sign of per-bit vote sums over 3-shingle hashes, per-row.
+
+    ``aggregate`` folds the shingle array once, accumulating all bit
+    votes in an int array — no explode, no shuffle.
+    """
+    # hash once per shingle, then fold the hash array accumulating all
+    # bit votes at once (bit positions unrolled in Python: shift amounts
+    # must be literals)
+    hashes = F.transform(_shingles(text), lambda t: _md5_hash64(t, "sh"))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+# --- queries() entries -------------------------------------------------
+
+
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash-groupBy: keeper id + duplicate count
+    per distinct text (deterministic dropDuplicates)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id")
+    )
+
+
+def ns_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: group on canonicalized-text md5 (robust to
+    case/punctuation/whitespace noise)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .orderBy("keep_id")
+    )
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as a distinct array (per-row)."""
+    toks = tokens(text)
+    # guard: Spark sequence(1, 0) counts DOWN, so short docs need an
+    # explicit empty-array branch
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ns_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard similarity pairs (doc_id < 200 window so
+    the all-pairs oracle stays tractable; LSH below is the scale path)."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= 0.5)
+        .orderBy("d1", "d2")
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures, one map-only pass."""
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
+    sig = d.select("doc_id", *minhash_signature(F.col("text")))
+    rows_per_band = NUM_PERM // BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band signature.
+
+    shingle→minhash (map-only) → band→bucket self-join (one shuffle on
+    uniformly-distributed md5 band signatures) → distinct pairs.
+    """
+    bands = minhash_bands(spark, sf_dir)
+    # (docs with <3 tokens are pre-filtered: their shingle set is empty)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signatures, banded hamming join.
+
+    ham(x,y) ≤ 3 with 4 byte-chunks ⇒ at least one chunk matches, so the
+    chunk-equality self-join finds all such pairs without all-pairs cost.
+    """
+    d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
+    sig = d.select("doc_id", simhash_col(F.col("text")).alias("sh"))
+    chunks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 8).bitwiseAND(255).alias("val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.expr("a.sh ^ b.sh")).cast("long").alias("ham"),
+        )
+        .where(F.col("ham") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold double cosine — bit-identical to the oracle's
+    list_reduce spelling (both engines fold left-to-right in double)."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id < 300 window for the
+    all-pairs oracle; the LSH-bucketed ANN in similarity.py scales)."""
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.8)
+        .orderBy("v1", "v2")
+    )

@@ -1,0 +1,51 @@
+"""End-to-end extraction pipeline queries — the reference's core flow
+(scan → table-spec transforms → serialized output) as one DataFrame
+lineage, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cassandra_extractor_spark.functions.tablespecs import TableSpec, apply_table_spec
+from cassandra_extractor_spark.sources.catalog import load_table
+
+#: the FIXTURES.md representative table spec (reference worker.py:110-162)
+EVENTS_TABLE_SPEC = {
+    "columns": [
+        {"name": "event_id", "renameTo": "id"},
+        {"name": "props", "convertTo": "object", "schema": "k bigint"},
+        {
+            "name": "ts",
+            "convertTo": "timestamp",
+            "timestamp_format": "%Y-%m-%d %H:%M:%S.%f%z",
+        },
+        {"name": "user_id", "remove": True},
+    ]
+}
+
+
+def ns_tablespec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full per-row transform pipeline on events:
+    rename event_id→id, parse props JSON, ts→epoch millis, drop
+    user_id — compiled to a single Catalyst projection.
+
+    The timestamp arrives as a native timestamp here (the reference gets
+    strings out of Cassandra's JSON; `convertTo:"timestamp"` parses then
+    emits epoch millis — same target semantics, worker.py:146-148), so
+    the spec's convert is expressed on a pre-rendered string column to
+    exercise the exact strptime path.
+    """
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        # render the reference's wire format: string with µs + offset
+        "ts",
+        F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("Z")),
+    )
+    out = apply_table_spec(ev, TableSpec.from_dict(EVENTS_TABLE_SPEC))
+    return out.select(
+        "id",
+        F.col("ts").alias("ts_ms"),
+        "event_type",
+        "value",
+        F.col("props.k").cast("long").alias("props_k"),
+    ).orderBy("id")

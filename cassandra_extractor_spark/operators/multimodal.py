@@ -1,0 +1,156 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct.
+The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas`` UDFs,
+partition-sized batches) is real and tested; the actual codec calls are
+STUBBED behind deterministic fakes because no image/audio libraries
+exist in this container — each stub is clearly marked and raises
+``NotImplementedError`` when ``real=True`` is requested.
+
+Scale notes: binary payloads never pass through Python row-at-a-time —
+``mapInPandas`` receives Arrow record batches; batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.  Decode/resize is
+embarrassingly parallel; keep partitions at ~128 MB of payload via
+``spark.sql.files.maxPartitionBytes`` so one task's batch fits executor
+memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cassandra_extractor_spark.sources.catalog import load_table
+
+#: metadata struct attached to every binary payload column
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+    (b"\x00\x00\x00", "video/mp4"),
+]
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str, out: str = "meta") -> DataFrame:
+    """Attach the typed metadata struct to a binary column — pure
+    built-in functions (JVM-side), no UDF."""
+    col = F.col(binary_col)
+    mime = F.lit("application/octet-stream")
+    for magic, m in reversed(_MAGIC):
+        mime = F.when(
+            F.substring(col, 1, len(magic)) == F.lit(magic), F.lit(m)
+        ).otherwise(mime)
+    return df.withColumn(
+        out,
+        F.struct(
+            F.octet_length(col).cast("long").alias("n_bytes"),
+            F.md5(col).alias("content_md5"),
+            mime.alias("mime"),
+        ),
+    )
+
+
+def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
+    """Decode image payloads → (id, width, height, channels).
+
+    ``real=True`` would call an image codec — NOT IMPLEMENTED in this
+    container.  The default is a clearly-marked deterministic fake
+    (dimensions derived from payload length) so the Arrow/mapInPandas
+    plumbing — schema, batching, column wiring — is exercised for real.
+    """
+    if real:
+        raise NotImplementedError("image codecs are not available in this environment")
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[binary_col].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    # FAKE decode: deterministic dims from byte length
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        fake_decode, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_n: int = 30, real: bool = False
+) -> DataFrame:
+    """Sample every-nth video frame → (id, frame_idx, frame binary).
+
+    Same contract as ``decode_images``: real codec path is stubbed, the
+    deterministic fake emits hash-slices so partitioning/fan-out shape
+    (one input row → many frame rows) is exercised.
+    """
+    if real:
+        raise NotImplementedError("video codecs are not available in this environment")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col] or b""
+                n_frames = max(1, len(payload) // max(every_n, 1) // 16)
+                for i in range(min(n_frames, 8)):
+                    ids.append(row[id_col])
+                    idxs.append(i * every_n)
+                    # FAKE frame: deterministic slice of the payload
+                    frames.append(bytes(payload[i * 16 : i * 16 + 16]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(fake_frames, schema=schema)
+
+
+def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata over documents.text treated as an opaque
+    utf-8 payload — the oracle-checkable slice of the multimodal path
+    (byte length + content hash; pure built-ins, no UDF)."""
+    d = load_table(spark, "documents", sf_dir)
+    payload = F.col("text").cast("binary")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (broadcast the small query set,
+scan the corpus once — the right plan when queries ≪ corpus, which is
+the 100 TB shape: the corpus side never shuffles, only the tiny query
+side broadcasts).
+
+Scale path: sign-random-projection LSH bucketing — per-row bucket
+signature (map-only), then the join only meets rows sharing a bucket.
+Projection vectors are md5-derived so the whole pipeline stays
+deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from cassandra_extractor_spark.operators.dedup import cosine
+from cassandra_extractor_spark.sources.catalog import load_table
+
+N_QUERIES = 10  #: vec_id < N_QUERIES are the query set in the demo queries
+TOP_K = 5
+LSH_PLANES = 8
+DIM = 64
+
+
+def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for each query vector.
+
+    Corpus scans once; the query set is broadcast (no corpus shuffle
+    until the final per-query top-k, which AQE handles as a tiny
+    window over q_id).
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def _projection_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1),
+    derived from md5 so any engine can reproduce the planes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"proj|{plane}|{dim}".encode()).hexdigest()[:15], 16)
+    return (h / float(16**15)) * 2.0 - 1.0
+
+
+def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = DIM) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane = sign of <emb, plane>.
+
+    Pure per-row arithmetic over literal plane arrays — map-only.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(_projection_component(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: candidates share a sign-LSH bucket.
+
+    Returns per-query bucket-local top-k.  Recall < 1 by construction
+    (that is the approximation); the bucket join replaces the cross
+    join, which is what survives a 100 TB corpus.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    with_bucket = e.withColumn("bucket", lsh_bucket(F.col("emb")))
+    queries = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    corpus = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), "bucket"
+    )
+    scored = corpus.join(F.broadcast(queries), "bucket").select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )

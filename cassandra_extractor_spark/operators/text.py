@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language ID (stopword-marker heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+all expressed with built-in ``pyspark.sql.functions`` so they run
+JVM-side inside whole-stage codegen with zero shuffles (pure per-row
+projections; embarrassingly parallel at any scale).
+
+Every operator is deterministic and mirrored by an ANSI-SQL oracle in
+``registry.py`` (hash determinism comes from md5; no engine-specific
+hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cassandra_extractor_spark.sources.catalog import load_table
+
+#: per-language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "los", "las", "y", "que", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lowercased, trimmed)."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def doc_fingerprint_col(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the canonicalized
+    text (lowercase, alnum+space only, collapsed whitespace).  A
+    rolling-hash analogue that is portable across engines."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", ""), r"\s+", " "
+    )
+    return F.substring(F.md5(F.trim(norm)), 1, 16)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toksd = distinct_tokens(col)
+    return {
+        lang: F.size(F.array_intersect(toksd, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(col: Column) -> Column:
+    """Predicted language: argmax of marker hits, ties broken by the
+    fixed order en>fr>de>es>zh, no hits → 'und'."""
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build reversed so the first language in order wins ties
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when(scores[lang] == mx, F.lit(lang)).otherwise(result)
+    return F.when(mx > 0, result).otherwise(F.lit("und"))
+
+
+# --- queries() entries -------------------------------------------------
+
+
+def ns_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, length saturation, punctuation
+    penalty → weighted score.  Pure double arithmetic in a fixed
+    expression order so the oracle reproduces it bit-for-bit."""
+    d = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    toksd = distinct_tokens(text)
+    n_tok = F.size(tokens(text)).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(toksd, F.array(*[F.lit(w) for w in EN_STOPWORDS]))
+    ).cast("double")
+    n_distinct = F.size(toksd).cast("double")
+    stop_ratio = stop_hits / n_distinct
+    len_sat = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    n_ch = F.length(text).cast("double")
+    punct_ratio = F.length(F.regexp_replace(text, r"[A-Za-z0-9 ]", "")).cast("double") / n_ch
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * len_sat
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens(text)).cast("long").alias("n_tokens"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(score, 6).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,218 @@
+"""DuckDB oracle SQL for the north-star operators (dedup, similarity,
+text analysis, multimodal, extraction pipeline).
+
+Every expression mirrors the Spark builders' arithmetic *operation by
+operation* (same fold order, same md5-derived hashes, same rounding
+points) so results are bit-identical.  MinHash/SimHash SQL is generated
+programmatically from the same constants the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from cassandra_extractor_spark.operators.dedup import (
+    BANDS,
+    HAMMING_MAX,
+    NUM_PERM,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+)
+from cassandra_extractor_spark.operators.similarity import N_QUERIES, TOP_K
+from cassandra_extractor_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
+
+#: DuckDB spelling of the shared tokenizer
+TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+TOKSD = f"list_distinct({TOKS})"
+
+#: DuckDB spelling of the portable 60-bit md5 hash with salt prefix
+def _hash_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}|', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+#: sequential-fold double cosine (bit-identical to Spark's aggregate/zip_with)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+    r"'\s+', ' ', 'g'))"
+)
+FP = f"substr(md5({_NORM}), 1, 16)"
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: f"len(list_intersect({TOKSD}, {_sql_list(words)}))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = mx THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {mx} AS mx, "
+        + ", ".join(f"{v} AS s_{k}" for k, v in scores.items())
+        + " FROM documents) "
+        "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = mx THEN '{lang}'" for lang in LANG_MARKERS)
+        + " ELSE 'und' END AS pred_lang FROM s ORDER BY doc_id"
+    )
+
+
+#: DuckDB spelling of distinct 3-word shingles over a `toks` column
+SHINGLES = (
+    "list_distinct(list_transform(range(len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))"
+)
+#: docs CTE with shingles, short docs (<3 tokens, empty shingle set) excluded
+_DOCS_SH = (
+    f"docs AS (SELECT doc_id, {SHINGLES} AS sh FROM "
+    f"(SELECT doc_id, {TOKS} AS toks FROM documents) WHERE len(toks) >= 3)"
+)
+
+
+def _minhash_sql() -> str:
+    rows_per_band = NUM_PERM // BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, t -> {_hash_sql('t', str(s))})) AS mh{s}"
+        for s in range(NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({parts}) AS sig FROM sig".format(
+            b=b,
+            parts=", ',', ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return (
+        f"WITH {_DOCS_SH}, "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM docs), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id "
+        "ORDER BY d1, d2"
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {c} AS chunk, (sh >> {c * 8}) & 255 AS val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return (
+        f"WITH {_DOCS_SH}, "
+        "tok AS (SELECT doc_id, unnest(sh) AS t FROM docs), "
+        f"h AS (SELECT doc_id, {_hash_sql('t', 'sh')} AS hv FROM tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig} AS sh FROM votes), "
+        f"chunks AS ({chunk_selects}) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham "
+        "FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val "
+        f"AND a.doc_id < b.doc_id WHERE ham <= {HAMMING_MAX} ORDER BY d1, d2"
+    )
+
+
+NS_ORACLES: dict[str, str] = {
+    "ns_token_count": (
+        "SELECT doc_id, "
+        f"CAST(len({TOKS}) AS BIGINT) AS ws_tokens, "
+        r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) "
+        "AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id"
+    ),
+    "ns_doc_fingerprint": (
+        f"SELECT doc_id, {FP} AS fp FROM documents ORDER BY doc_id"
+    ),
+    "ns_lang_id": _lang_id_sql(),
+    "ns_text_quality": (
+        "WITH q AS (SELECT doc_id, "
+        f"CAST(len({TOKS}) AS DOUBLE) AS n_tok, "
+        f"CAST(len(list_intersect({TOKSD}, {_sql_list(EN_STOPWORDS)})) AS DOUBLE) "
+        "AS stop_hits, "
+        f"CAST(len({TOKSD}) AS DOUBLE) AS n_distinct, "
+        "CAST(length(text) AS DOUBLE) AS n_ch, "
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct "
+        "FROM documents) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "round(stop_hits / n_distinct, 6) AS stop_ratio, "
+        "round(0.4 * (stop_hits / n_distinct) + 0.3 * least(1.0, n_tok / 100.0) "
+        "+ 0.3 * (1.0 - n_punct / n_ch), 6) AS quality "
+        "FROM q ORDER BY doc_id"
+    ),
+    "ns_dedup_exact": (
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents "
+        "GROUP BY text ORDER BY keep_id"
+    ),
+    "ns_dedup_fingerprint": (
+        f"WITH f AS (SELECT doc_id, {FP} AS fp FROM documents) "
+        "SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM f "
+        "GROUP BY fp ORDER BY keep_id"
+    ),
+    "ns_dedup_jaccard": (
+        f"WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 200), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) "
+        "ELSE [] END)) AS sh FROM docs), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i FROM sh a "
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) "
+        "AS jac FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+        "JOIN sizes sb ON sb.doc_id = d2 "
+        "WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5 "
+        "ORDER BY d1, d2"
+    ),
+    "ns_dedup_minhash_lsh": _minhash_sql(),
+    "ns_dedup_simhash": _simhash_sql(),
+    "ns_neardup_embedding": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings WHERE vec_id < 300), "
+        "p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, "
+        f"round({_cos_sql('a.emb', 'b.emb')}, 6) AS cos "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        "SELECT v1, v2, cos FROM p WHERE cos >= 0.8 ORDER BY v1, v2"
+    ),
+    "ns_ann_cosine_topk": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}), "
+        f"c AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES}), "
+        "scored AS (SELECT q_id, n_id, "
+        f"round({_cos_sql('q_emb', 'n_emb')}, 6) AS cos FROM c, q), "
+        "ranked AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored) "
+        f"SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= {TOP_K} "
+        "ORDER BY q_id, rank"
+    ),
+    "ns_multimodal_meta": (
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "md5(text) AS content_md5 FROM documents ORDER BY doc_id"
+    ),
+    "ns_tablespec_pipeline": (
+        "SELECT event_id AS id, epoch_ms(ts) AS ts_ms, event_type, value, "
+        "CAST(props->>'$.k' AS BIGINT) AS props_k FROM events ORDER BY id"
+    ),
+}

@@ -11,7 +11,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_extractor_spark.operators import relational as R
+from cassandra_extractor_spark.operators import (
+    dedup as D,
+    extraction as X,
+    multimodal as M,
+    relational as R,
+    similarity as S,
+    text as TX,
+)
+from cassandra_extractor_spark.oracles_ns import NS_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -49,6 +57,21 @@ QUERIES: dict[str, QueryFn] = {
     "q30_case": R.q30_case,
     "q31_json_extract": R.q31_json_extract,
     "q32_event_agg": R.q32_event_agg,
+    # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
+    "ns_token_count": TX.ns_token_count,
+    "ns_doc_fingerprint": TX.ns_doc_fingerprint,
+    "ns_lang_id": TX.ns_lang_id,
+    "ns_text_quality": TX.ns_text_quality,
+    "ns_dedup_exact": D.ns_dedup_exact,
+    "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
+    "ns_dedup_jaccard": D.ns_dedup_jaccard,
+    "ns_dedup_minhash_lsh": D.ns_dedup_minhash_lsh,
+    "ns_dedup_simhash": D.ns_dedup_simhash,
+    "ns_neardup_embedding": D.ns_neardup_embedding,
+    "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
+    "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
+    "ns_multimodal_meta": M.ns_multimodal_meta,
+    "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
 }
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
@@ -193,4 +216,7 @@ ORACLES: dict[str, str] = {
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS s "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
+    # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
+    # approximate operator → rows-only check)
+    **NS_ORACLES,
 }
