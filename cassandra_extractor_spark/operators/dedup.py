@@ -21,7 +21,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from cassandra_extractor_spark.operators.text import distinct_tokens, doc_fingerprint_col, tokens
 from cassandra_extractor_spark.sources.catalog import load_table
@@ -138,7 +138,7 @@ def ns_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard similarity pairs (doc_id < 200 window so
     the all-pairs oracle stays tractable; LSH below is the scale path)."""
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    sh = exploded_shingles(d).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -165,10 +165,44 @@ def ns_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): LSH band signatures, one map-only pass."""
+def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh): 3-word shingles via posexplode + window lead.
+
+    Every step is whole-stage-codegen'd (generator → window → project);
+    the array-lambda `_shingles` spelling runs interpreted and is an
+    order of magnitude slower.  Output is NOT distinct — callers that
+    need set semantics (simhash votes) dedupe; MIN-based consumers
+    (minhash) don't have to, since MIN is duplicate-insensitive.
+    """
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    return leads.where(F.col("t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh")
+    )
+
+
+def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{NUM_PERM-1}): codegen'd md5 over exploded
+    shingles → min-agg (map-side combined)."""
     d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
-    sig = d.select("doc_id", *minhash_signature(F.col("text")))
+    exploded = exploded_shingles(d)
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_hash64(F.col("sh"), str(s))).alias(f"mh{s}")
+            for s in range(NUM_PERM)
+        ]
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures."""
+    sig = minhash_signatures_df(spark, sf_dir)
     rows_per_band = NUM_PERM // BANDS
     band_structs = [
         F.struct(
@@ -213,7 +247,26 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-equality self-join finds all such pairs without all-pairs cost.
     """
     d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
-    sig = d.select("doc_id", simhash_col(F.col("text")).alias("sh"))
+    # codegen'd shingles → DISTINCT (votes must count each shingle once,
+    # matching the oracle's list_distinct) → md5 → 32 vote-sum aggs
+    # (simhash_col is the map-only per-row variant for pipelines that
+    # cannot afford the shuffles)
+    exploded = exploded_shingles(d).distinct()
+    h = exploded.select("doc_id", _md5_hash64(F.col("sh"), "sh").alias("hv"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig_expr = sig_expr + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select("doc_id", sig_expr.alias("sh"))
     chunks = sig.select(
         "doc_id",
         "sh",
@@ -248,14 +301,25 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dot(x: Column, y: Column) -> Column:
+    """Sequential-fold double dot product — bit-identical to the
+    oracle's list_reduce spelling (both fold left-to-right in double)."""
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Sequential-fold double cosine — bit-identical to the oracle's
-    list_reduce spelling (both engines fold left-to-right in double)."""
+    return dot(a, b) / (norm(a) * norm(b))
 
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with norms precomputed per-vector BEFORE the pairwise
+    join — same double ops in the same order (bit-identical result),
+    but the O(n²) stage folds one array instead of three."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,13 +330,19 @@ def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < 300)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
+    e = e.withColumn("nrm", norm(F.col("emb")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+            F.round(
+                cosine_prenormed(
+                    F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= 0.8)
         .orderBy("v1", "v2")

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from cassandra_extractor_spark.operators.dedup import cosine
+from cassandra_extractor_spark.operators.dedup import cosine, cosine_prenormed, norm
 from cassandra_extractor_spark.sources.catalog import load_table
 
 N_QUERIES = 10  #: vec_id < N_QUERIES are the query set in the demo queries
@@ -34,16 +34,20 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    e = e.withColumn("nrm", norm(F.col("emb")))
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb")
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "q_id",
         "n_id",
-        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos"),
+        F.round(
+            cosine_prenormed(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -87,17 +91,22 @@ def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    with_bucket = e.withColumn("bucket", lsh_bucket(F.col("emb")))
+    with_bucket = e.withColumn("bucket", lsh_bucket(F.col("emb"))).withColumn(
+        "nrm", norm(F.col("emb"))
+    )
     queries = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "bucket"
     )
     corpus = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), "bucket"
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm"), "bucket"
     )
     scored = corpus.join(F.broadcast(queries), "bucket").select(
         "q_id",
         "n_id",
-        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos"),
+        F.round(
+            cosine_prenormed(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

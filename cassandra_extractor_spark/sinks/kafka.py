@@ -1,0 +1,108 @@
+"""Kafka sink (reference K1: ``kafkaworker.py``).
+
+The reference produces one message per record with a templated value,
+optional templated key and headers, a topic list with prefix, and a
+weighted round-robin partition choice (smooth WRR over ``id:weight``
+pairs, roundrobin.py:5-29).  Spark-first: build a frame with
+``key``/``value``/``headers``/``partition`` columns and hand it to the
+built-in Kafka sink; batching/linger/acks are producer configs, not
+code (kafkaworker.py:24-50 → ``kafka.*`` options).
+
+The weighted partitioner is re-expressed **deterministically and
+distributed**: each row hashes to a point in the cumulative-weight
+space (``pmod(xxhash64(key), total_weight)``), giving the same
+long-run weighting as smooth WRR without any driver-side counter —
+the sequential-counter version cannot scale past one producer thread.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cassandra_extractor_spark.functions.tablespecs import render_template
+
+
+@dataclass
+class KafkaSinkConfig:
+    """Mirror of the reference's Kafka config surface (app.py:332-347)."""
+
+    bootstrap_servers: str
+    topic: str
+    topic_prefix: str = ""
+    key_template: str | None = None  # %(col)s templates (kafkaworker.py:180-182)
+    value_template: str | None = None  # default: whole row as JSON
+    header_columns: list[str] = field(default_factory=list)
+    #: ``{partition_id: weight}`` — the reference's id:weight pairs
+    partition_weights: dict[int, int] | None = None
+    producer_options: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def full_topic(self) -> str:
+        return f"{self.topic_prefix}{self.topic}"
+
+
+def weighted_partition_col(weights: dict[int, int], on: Column) -> Column:
+    """Deterministic weighted partition choice (reference smooth WRR,
+    roundrobin.py:5-29): hash the row into cumulative-weight buckets.
+
+    Distributed-safe: no shared counter; the hash is uniform so each
+    partition receives traffic proportional to its weight.
+    """
+    total = sum(weights.values())
+    point = F.pmod(F.xxhash64(on), F.lit(total))
+    result = F.lit(list(weights)[0])
+    cum = 0
+    for pid, w in weights.items():
+        result = F.when((point >= cum) & (point < cum + w), F.lit(pid)).otherwise(result)
+        cum += w
+    return result.cast("int")
+
+
+def prepare_kafka_frame(df: DataFrame, cfg: KafkaSinkConfig) -> DataFrame:
+    """Compile the record→message mapping into a Kafka-sink frame
+    (columns: key, value, optional headers/partition)."""
+    if cfg.value_template:
+        df = render_template(df, cfg.value_template, out="__value")
+        value = F.col("__value")
+    else:
+        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    cols = [value.cast("string").alias("value")]
+    if cfg.key_template:
+        df = render_template(df, cfg.key_template, out="__key")
+        cols.insert(0, F.col("__key").cast("string").alias("key"))
+    if cfg.header_columns:
+        cols.append(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("key"), F.col(c).cast("string").cast("binary").alias("value"))
+                    for c in cfg.header_columns
+                ]
+            ).alias("headers")
+        )
+    if cfg.partition_weights:
+        key_col = F.col("__key") if cfg.key_template else value
+        cols.append(weighted_partition_col(cfg.partition_weights, key_col).alias("partition"))
+    return df.select(*cols)
+
+
+def write_kafka(df: DataFrame, cfg: KafkaSinkConfig) -> None:
+    """Write to Kafka via the built-in sink (requires the
+    spark-sql-kafka package on the classpath)."""
+    frame = prepare_kafka_frame(df, cfg)
+    writer = (
+        frame.write.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("topic", cfg.full_topic)
+        .option("includeHeaders", "true")
+    )
+    for k, v in cfg.producer_options.items():
+        writer = writer.option(f"kafka.{k}" if not k.startswith("kafka.") else k, v)
+    try:
+        writer.save()
+    except Exception as exc:  # pragma: no cover - kafka jar absent in tests
+        raise RuntimeError(
+            "Kafka sink unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+            "to spark.jars.packages and point bootstrap_servers at a broker."
+        ) from exc

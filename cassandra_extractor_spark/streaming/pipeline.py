@@ -1,0 +1,72 @@
+"""Structured Streaming extraction pipeline.
+
+Replaces the reference's crawler-loop + Redis-offset machinery (D6,
+worker.py:164-201) with the built-in streaming contract:
+
+- ``readStream`` over the source (file source here; Kafka/Cassandra CDC
+  in production) — the crawler's page loop;
+- ``withWatermark`` on the event-time column — the modified-timestamp
+  high-water mark;
+- ``foreachBatch`` fan-out to N sinks — the per-page dispatch (D1),
+  with ``batchId`` available for idempotent writes;
+- ``checkpointLocation`` — Redis page/record offsets (exactly-once
+  source tracking, at-least-once sinks: honest parity with the
+  reference, SURVEY §7.3.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_extract(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    sinks: dict[str, Callable[[DataFrame, int], None]],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    ts_col: str | None = None,
+    watermark_delay: str = "1 minute",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Run a checkpointed streaming extraction.
+
+    ``available_now=True`` drains everything currently available then
+    stops (batch-incremental mode — how tests drive it);
+    ``max_files_per_trigger`` is the rate limit replacing the
+    reference's memory-based crawl pausing (D3: Spark backpressure is
+    declarative, datacrawler.py:211-242 becomes one option).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path)
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
+    if transform is not None:
+        stream = transform(stream)
+
+    def dispatch(batch_df: DataFrame, batch_id: int) -> None:
+        # multi-sink fan-out per micro-batch; persist so N sinks scan once
+        if len(sinks) > 1:
+            batch_df.persist()
+        try:
+            for write in sinks.values():
+                write(batch_df, batch_id)
+        finally:
+            if len(sinks) > 1:
+                batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(dispatch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""North-star operator behavior tests (beyond the oracle hash gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from cassandra_extractor_spark.operators.dedup import (
+    cosine,
+    minhash_signature,
+    simhash_col,
+)
+from cassandra_extractor_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_images,
+    sample_frames,
+)
+from cassandra_extractor_spark.operators.text import doc_fingerprint_col, lang_id_col
+
+
+def test_minhash_identical_texts_identical_sig(spark):
+    df = spark.createDataFrame(
+        [Row(t="a b c d e f g"), Row(t="a b c d e f g"), Row(t="x y z w v u t")]
+    )
+    sigs = df.select(*minhash_signature(F.col("t"))).collect()
+    assert tuple(sigs[0]) == tuple(sigs[1])
+    assert tuple(sigs[0]) != tuple(sigs[2])
+
+
+def test_simhash_near_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="the quick brown fox jumps over the lazy dog again today"),
+            Row(i=1, t="the quick brown fox jumps over the lazy dog again tonight"),
+            Row(i=2, t="completely different words appear in this sentence here now"),
+        ]
+    )
+    out = {r["i"]: r["sh"] for r in df.select("i", simhash_col(F.col("t")).alias("sh")).collect()}
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([Row(v=[1.0, 2.0, 3.0])])
+    r = df.select(cosine(F.col("v"), F.col("v")).alias("c")).first()
+    assert abs(r["c"] - 1.0) < 1e-12
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(i=0, t="Hello,  World!"), Row(i=1, t="hello world"), Row(i=2, t="other")]
+    )
+    fps = {r["i"]: r["fp"] for r in df.select("i", doc_fingerprint_col(F.col("t")).alias("fp")).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="the cat and the dog of to in"),
+            Row(i=1, t="le chat et la maison les des"),
+            Row(i=2, t="zzz qqq www"),
+        ]
+    )
+    out = {r["i"]: r["l"] for r in df.select("i", lang_id_col(F.col("t")).alias("l")).collect()}
+    assert out[0] == "en" and out[1] == "fr" and out[2] == "und"
+
+
+def test_media_metadata_mime(spark):
+    df = spark.createDataFrame(
+        [Row(i=0, b=b"\x89PNG1234"), Row(i=1, b=b"\xff\xd8\xffrest"), Row(i=2, b=b"plain")]
+    )
+    out = {r["i"]: r["meta"] for r in attach_media_metadata(df, "b").collect()}
+    assert out[0]["mime"] == "image/png"
+    assert out[1]["mime"] == "image/jpeg"
+    assert out[2]["mime"] == "application/octet-stream"
+    assert out[0]["n_bytes"] == 8 and len(out[0]["content_md5"]) == 32
+
+
+def test_decode_images_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"x" * 100), Row(doc_id=2, payload=b"y" * 50)])
+    out = decode_images(df, "doc_id", "payload")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert out.schema.simpleString() == "struct<doc_id:bigint,width:int,height:int,channels:int>"
+    assert rows[1]["width"] == 101 and rows[2]["width"] == 51  # deterministic fake
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_images(df, "doc_id", "payload", real=True)
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytes(range(256)) * 8)])
+    out = sample_frames(df, "doc_id", "payload", every_n=30)
+    rows = out.collect()
+    assert len(rows) > 1  # one input row fans out to many frames
+    assert rows[0]["frame_idx"] == 0 and rows[1]["frame_idx"] == 30
+    assert all(len(r["frame"]) == 16 for r in rows)

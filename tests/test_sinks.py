@@ -1,0 +1,103 @@
+"""Sink round-trips and templating (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from cassandra_extractor_spark.sinks.fanout import fan_out
+from cassandra_extractor_spark.sinks.jdbc import JdbcSinkConfig, ensure_partitions, partition_ddl
+from cassandra_extractor_spark.sinks.jsonl import write_json_array_file, write_jsonl
+from cassandra_extractor_spark.sinks.kafka import (
+    KafkaSinkConfig,
+    prepare_kafka_frame,
+    weighted_partition_col,
+)
+from cassandra_extractor_spark.sinks.s3 import S3SinkConfig, prepare_s3_frame
+
+from pyspark.sql import functions as F
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", part="a" if i % 2 else "b") for i in range(10)]
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = _df(spark)
+    path = str(tmp_path / "out")
+    write_jsonl(df, path)
+    back = spark.read.json(path)
+    assert back.count() == 10
+    assert sorted(back.columns) == ["id", "name", "part"]
+
+
+def test_json_array_file(spark, tmp_path):
+    path = str(tmp_path / "arr.json")
+    n = write_json_array_file(_df(spark).orderBy("id"), path)
+    assert n == 10
+    data = json.load(open(path))
+    assert isinstance(data, list) and len(data) == 10
+    assert data[0]["id"] == 0
+
+
+def test_kafka_frame(spark):
+    cfg = KafkaSinkConfig(
+        bootstrap_servers="b:9092",
+        topic="t",
+        topic_prefix="pre-",
+        key_template="%(id)d",
+        header_columns=["part"],
+        partition_weights={0: 3, 1: 1},
+    )
+    assert cfg.full_topic == "pre-t"
+    frame = prepare_kafka_frame(_df(spark), cfg)
+    assert set(frame.columns) == {"key", "value", "headers", "partition"}
+    rows = frame.collect()
+    assert all(r["partition"] in (0, 1) for r in rows)
+    assert json.loads(rows[0]["value"])["name"].startswith("n")
+
+
+def test_weighted_partition_distribution(spark):
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    out = df.select(weighted_partition_col({0: 3, 1: 1}, F.col("k")).alias("p"))
+    counts = {r["p"]: r["cnt"] for r in out.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
+    ratio = counts[0] / counts[1]
+    assert 2.5 < ratio < 3.6  # ~3:1 weighting
+
+
+def test_jdbc_partition_ddl(spark):
+    df = _df(spark)
+    cfg = JdbcSinkConfig(url="jdbc:x", table="tgt", partition_column="part")
+    issued: list[str] = []
+    stmts = ensure_partitions(df, cfg, issued.append)
+    assert sorted(stmts) == sorted(issued)
+    assert any("FOR VALUES IN ('a')" in s for s in issued)
+    assert any("PARTITION OF tgt" in s for s in issued)
+    assert partition_ddl("t", "c", ["x'y"])[0].count("''") == 1  # escaping
+
+
+def test_s3_frame_keying(spark):
+    cfg = S3SinkConfig(bucket="b", key_template="exports/%(id)d.json")
+    frame = prepare_s3_frame(_df(spark), cfg)
+    rows = {r["key"]: r["body"] for r in frame.collect()}
+    assert "exports/3.json" in rows
+    assert json.loads(rows["exports/3.json"])["name"] == "n3"
+
+
+def test_fanout_isolated_failures(spark, tmp_path):
+    df = _df(spark)
+    seen = {}
+
+    def good(d):
+        seen["good"] = d.count()
+
+    def bad(d):
+        raise ValueError("boom")
+
+    res = fan_out(df, {"good": good, "bad": bad})
+    assert res["good"] is None
+    assert isinstance(res["bad"], ValueError)
+    assert seen["good"] == 10
