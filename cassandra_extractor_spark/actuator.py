@@ -1,0 +1,202 @@
+"""Control plane (reference §2.8: ``management.py``).
+
+The reference runs a Flask "actuator" exposing lifecycle + observability
+endpoints per extractor.  Spark-first equivalent: a registry of
+extraction jobs keyed by table, where
+
+- start     → submit the job (thread running the batch/streaming write)
+- pause     → ``sparkContext.cancelJobGroup`` (batch) /
+              ``StreamingQuery.stop`` (streaming) — resumable from
+              checkpoint/HWM, which is what the reference's page-state
+              pause amounts to (D5, worker.py:46-78)
+- abort     → cancel + drop state
+- scaleup / scaledown → adjust the job's shuffle-partition hint (the
+  reference's worker-thread ±1, D8 — Spark's task parallelism is the
+  worker pool)
+- stats / config / metrics → JSON + Prometheus text
+
+HTTP layer: stdlib ``http.server`` (no Flask in this environment); the
+handler only dispatches to ``Actuator`` methods, so everything is
+testable without sockets too.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass, field
+from enum import Enum
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
+
+from cassandra_extractor_spark.metrics import MetricsRegistry
+
+
+class JobState(str, Enum):
+    CREATED = "created"
+    RUNNING = "running"
+    PAUSED = "paused"
+    DONE = "done"
+    ABORTED = "aborted"
+    FAILED = "failed"
+
+
+@dataclass
+class ExtractionJob:
+    """One table's extraction (reference ``Extractor``, extractor.py:11-60)."""
+
+    table: str
+    run: Callable[["ExtractionJob"], Any]  # executes the extraction
+    state: JobState = JobState.CREATED
+    group_id: str = ""
+    error: str | None = None
+    processed: int = 0
+    total: int = 0
+    parallelism: int = 0  # 0 = session default
+    _thread: threading.Thread | None = None
+
+    def progress(self) -> dict[str, Any]:
+        pct = round(100.0 * self.processed / self.total, 2) if self.total else None
+        return {
+            "table": self.table,
+            "state": self.state.value,
+            "processed": self.processed,
+            "total": self.total,
+            "progress_pct": pct,
+            "error": self.error,
+        }
+
+
+class Actuator:
+    """Job registry + lifecycle operations (management.py:164-419)."""
+
+    def __init__(self, spark, metrics: MetricsRegistry | None = None):
+        self.spark = spark
+        self.metrics = metrics or MetricsRegistry()
+        self.jobs: dict[str, ExtractionJob] = {}
+        self.masked_config: dict[str, Any] = {}
+
+    def create(self, job: ExtractionJob) -> ExtractionJob:
+        job.group_id = f"extract-{job.table}"
+        self.jobs[job.table] = job
+        return job
+
+    def start(self, table: str) -> dict[str, Any]:
+        job = self.jobs[table]
+        if job.state == JobState.RUNNING:
+            return {"status": "already running"}
+
+        def runner():
+            self.spark.sparkContext.setJobGroup(job.group_id, f"extraction {job.table}", True)
+            job.state = JobState.RUNNING
+            try:
+                with self.metrics.time("extract_seconds", table=job.table):
+                    job.run(job)
+                if job.state == JobState.RUNNING:
+                    job.state = JobState.DONE
+            except Exception as exc:  # noqa: BLE001
+                # cancellation arrives as a Py4J job-cancelled error
+                if job.state not in (JobState.PAUSED, JobState.ABORTED):
+                    job.state = JobState.FAILED
+                    job.error = str(exc)[:500]
+            self.metrics.inc("extractions_total", table=job.table)
+
+        job._thread = threading.Thread(target=runner, daemon=True)
+        job._thread.start()
+        return {"status": "started"}
+
+    def _cancel(self, job: ExtractionJob, new_state: JobState) -> None:
+        job.state = new_state
+        self.spark.sparkContext.cancelJobGroup(job.group_id)
+
+    def pause(self, table: str) -> dict[str, Any]:
+        self._cancel(self.jobs[table], JobState.PAUSED)
+        return {"status": "paused"}
+
+    def resume(self, table: str) -> dict[str, Any]:
+        return self.start(table)  # checkpoint/HWM state makes this a resume
+
+    def abort(self, table: str) -> dict[str, Any]:
+        self._cancel(self.jobs[table], JobState.ABORTED)
+        return {"status": "aborted"}
+
+    def shutdown(self, table: str) -> dict[str, Any]:
+        self.abort(table)
+        self.jobs.pop(table, None)
+        return {"status": "shutdown"}
+
+    def scale(self, table: str, delta: int) -> dict[str, Any]:
+        job = self.jobs[table]
+        base = job.parallelism or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        job.parallelism = max(1, base + delta)
+        return {"parallelism": job.parallelism}
+
+    def stats(self) -> dict[str, Any]:
+        return {t: j.progress() for t, j in self.jobs.items()}
+
+    def config(self) -> dict[str, Any]:
+        # passwords masked as in config.py:143-153 of the reference
+        return {
+            k: ("***" if any(s in k.lower() for s in ("password", "secret", "token")) else v)
+            for k, v in self.masked_config.items()
+        }
+
+    # --- HTTP ----------------------------------------------------------
+
+    def serve(self, port: int = 0) -> ThreadingHTTPServer:
+        """Start the REST layer; returns the server (``server_port`` has
+        the bound port; call ``shutdown()`` to stop)."""
+        actuator = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, body: str, ctype: str = "application/json"):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/metrics":
+                    self._send(200, actuator.metrics.exposition(), "text/plain")
+                elif self.path == "/stats":
+                    self._send(200, json.dumps(actuator.stats()))
+                elif self.path == "/config":
+                    self._send(200, json.dumps(actuator.config()))
+                else:
+                    self._send(404, '{"error": "not found"}')
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                table = payload.get("table") or payload.get("instance")
+                if isinstance(table, list):
+                    table = table[0]
+                actions = {
+                    "/start": actuator.start,
+                    "/pause": actuator.pause,
+                    "/resume": actuator.resume,
+                    "/abort": actuator.abort,
+                    "/shutdown": actuator.shutdown,
+                    "/scaleup": lambda t: actuator.scale(t, +1),
+                    "/scaledown": lambda t: actuator.scale(t, -1),
+                }
+                fn = actions.get(self.path)
+                if fn is None:
+                    self._send(404, '{"error": "not found"}')
+                    return
+                if table not in actuator.jobs:
+                    self._send(404, json.dumps({"error": f"unknown table {table!r}"}))
+                    return
+                try:
+                    self._send(200, json.dumps(fn(table)))
+                except Exception as exc:  # noqa: BLE001
+                    self._send(500, json.dumps({"error": str(exc)[:200]}))
+
+        server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

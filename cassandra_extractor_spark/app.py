@@ -1,0 +1,117 @@
+"""CLI application — the reference's ``app.py`` entry point, Spark-first.
+
+    python -m cassandra_extractor_spark.app -T events,orders \
+        --sf-dir /root/testdata/sf0.001 --output /tmp/out \
+        --filter "o_orderstatus = 'F'" --properties job.properties
+
+Mirrors the reference CLI surface (app.py:545-633): table list,
+projection, filter, sort, limit, table-specs JSON, incremental HWM
+column, sink selection, actuator port — with the same CLI > env >
+properties precedence (app.py:151-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from cassandra_extractor_spark.actuator import Actuator, ExtractionJob
+from cassandra_extractor_spark.config import load_properties, resolve
+from cassandra_extractor_spark.metrics import MetricsRegistry
+from cassandra_extractor_spark.plans.spec import ExtractionSpec
+from cassandra_extractor_spark.session import get_spark
+from cassandra_extractor_spark.sinks.fanout import fan_out
+from cassandra_extractor_spark.sinks.jsonl import write_jsonl
+from cassandra_extractor_spark.streaming.hwm import HighWaterMarkStore
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PySpark-native extraction engine")
+    p.add_argument("-T", "--tables", help="comma-separated table list")
+    p.add_argument("--sf-dir", help="parquet source dir (test mode)")
+    p.add_argument("--columns", help="comma-separated projection")
+    p.add_argument("--filter", help="SQL predicate (P2)")
+    p.add_argument("--sort", help="comma-separated sort expressions (O1)")
+    p.add_argument("--limit", type=int, help="row cap (S6)")
+    p.add_argument("--table-specs", help="table-specs JSON file (T1-T10)")
+    p.add_argument("--hwm-column", help="incremental timestamp column (P3)")
+    p.add_argument("--hwm-state", help="HWM state file path")
+    p.add_argument("--output", help="JSONL output directory root")
+    p.add_argument("--properties", help="properties file (lowest precedence)")
+    p.add_argument("--actuator-port", type=int, help="serve REST control plane")
+    p.add_argument("--no-auto-start", action="store_true", help="create jobs but wait for POST /start")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = vars(build_parser().parse_args(argv))
+    props = load_properties(args["properties"]) if args.get("properties") else {}
+    cli = {k.replace("_", "."): v for k, v in args.items() if v is not None}
+
+    def cfg(key: str, default=None, cast=None):
+        return resolve(key, cli, props, default=default, cast=cast)
+
+    tables = (cfg("tables") or "").split(",")
+    if not tables or not tables[0]:
+        print("no tables given (-T)", file=sys.stderr)
+        return 2
+    sf_dir = cfg("sf.dir")
+    output = cfg("output", default="./out")
+    table_spec = None
+    if cfg("table.specs"):
+        with open(cfg("table.specs"), encoding="utf-8") as f:
+            table_spec = json.load(f)
+    hwm_store = HighWaterMarkStore(cfg("hwm.state", default=f"{output}/_hwm.json"))
+
+    spark = get_spark("extractor-app")
+    metrics = MetricsRegistry()
+    actuator = Actuator(spark, metrics)
+    actuator.masked_config = {k: v for k, v in {**props, **cli}.items()}
+
+    for table in tables:
+        spec = ExtractionSpec(
+            table=table,
+            columns=cfg("columns").split(",") if cfg("columns") else None,
+            filter=cfg("filter"),
+            sort=cfg("sort").split(",") if cfg("sort") else [],
+            limit=cfg("limit", cast=int),
+            table_spec=table_spec,
+            hwm_column=cfg("hwm.column"),
+        )
+
+        def run(job: ExtractionJob, spec=spec, table=table):
+            df = spec.build(
+                spark, sf_dir, hwm_store if spec.hwm_column else None
+            )
+            results = fan_out(df, {"jsonl": lambda d: write_jsonl(d, f"{output}/{table}")})
+            failed = {k: str(v) for k, v in results.items() if v is not None}
+            if failed:
+                raise RuntimeError(f"sink failures: {failed}")
+            job.processed = spark.read.json(f"{output}/{table}").count()
+            metrics.inc("rows_processed_total", job.processed, table=table)
+
+        actuator.create(ExtractionJob(table=table, run=run))
+        if not cfg("no.auto.start"):
+            actuator.start(table)
+
+    server = actuator.serve(cfg("actuator.port", cast=int)) if cfg("actuator.port") is not None else None
+    for job in list(actuator.jobs.values()):
+        if job._thread is not None:
+            job._thread.join()
+    if server is not None:
+        print(f"actuator on port {server.server_port}; Ctrl-C to exit", file=sys.stderr)
+        try:
+            import time
+
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            server.shutdown()
+    states = {t: j.state.value for t, j in actuator.jobs.items()}
+    print(json.dumps({"jobs": states}))
+    return 0 if all(s == "done" for s in states.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -371,6 +371,99 @@ def q30_case(spark, sf_dir):
     )
 
 
+def q33_range_join(spark, sf_dir):
+    """Range (non-equi) join: same-user event pairs within a 1-minute
+    window.  Equi key (user_id) + range predicate → Catalyst plans a
+    hash join on user_id with the range as a post-filter, not a
+    cartesian product."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e1"), F.col("ts").alias("ts1")
+    )
+    b = e.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e2"), F.col("ts").alias("ts2")
+    )
+    return (
+        a.join(b, "u")
+        .where(
+            (F.col("e1") != F.col("e2"))
+            & (F.col("ts2") >= F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 MINUTE"))
+        )
+        .select("e1", "e2")
+        .orderBy("e1", "e2")
+    )
+
+
+def q34_asof_join(spark, sf_dir):
+    """As-of join: each event gets the most recent prior 'purchase'
+    timestamp of the same user.
+
+    Implemented as a single-pass running max over a window — one
+    shuffle+sort by (user_id, ts), no self-join; the formulation that
+    survives 100 TB (the naive as-of self-join is O(n²) per key)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis(prior_purchase).alias("asof_purchase_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q35_time_bucket(spark, sf_dir):
+    """Daily rollup of the event stream (hypertable-style time bucket)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms"))
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum(_money(F.col("value"))), 2).cast("double").alias("s"),
+        )
+        .orderBy("day_ms")
+    )
+
+
+def q36_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+def q37_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+        """
+    )
+
+
+def q38_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct — engine-specific sketch, so the oracle
+    compares the EXACT distinct alongside a sanity band, not the sketch
+    value itself (approx value checked rows-only)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_cd"))
+    )
+
+
 def q31_json_extract(spark, sf_dir):
     # T2 JSON parsing analogue on events.props (worker.py:136-137)
     return (

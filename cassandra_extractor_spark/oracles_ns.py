@@ -215,4 +215,17 @@ NS_ORACLES: dict[str, str] = {
         "SELECT event_id AS id, epoch_ms(ts) AS ts_ms, event_type, value, "
         "CAST(props->>'$.k' AS BIGINT) AS props_k FROM events ORDER BY id"
     ),
+    # same lag/cumsum window formulation as streaming/stateful.sessionize
+    "ns_sessionize": (
+        "WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events), "
+        "flagged AS (SELECT user_id, event_id, ts_ms, CASE WHEN lag(ts_ms) OVER w "
+        "IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new "
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)), "
+        "s AS (SELECT user_id, ts_ms, SUM(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS session_id FROM flagged) "
+        "SELECT user_id, MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms, "
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id "
+        "ORDER BY user_id, session_start_ms"
+    ),
 }

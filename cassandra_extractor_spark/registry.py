@@ -20,6 +20,7 @@ from cassandra_extractor_spark.operators import (
     text as TX,
 )
 from cassandra_extractor_spark.oracles_ns import NS_ORACLES
+from cassandra_extractor_spark.streaming.stateful import ns_sessionize as _ns_sessionize
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +58,12 @@ QUERIES: dict[str, QueryFn] = {
     "q30_case": R.q30_case,
     "q31_json_extract": R.q31_json_extract,
     "q32_event_agg": R.q32_event_agg,
+    "q33_range_join": R.q33_range_join,
+    "q34_asof_join": R.q34_asof_join,
+    "q35_time_bucket": R.q35_time_bucket,
+    "q36_cube": R.q36_cube,
+    "q37_grouping_sets": R.q37_grouping_sets,
+    "q38_approx_distinct": R.q38_approx_distinct,  # sketch: rows-only check
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_doc_fingerprint": TX.ns_doc_fingerprint,
@@ -72,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
+    "ns_sessionize": _ns_sessionize,
 }
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
@@ -215,6 +223,35 @@ ORACLES: dict[str, str] = {
         "SELECT event_type, COUNT(*) AS c, "
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS s "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "q33_range_join": (
+        "SELECT a.event_id AS e1, b.event_id AS e2 FROM events a JOIN events b "
+        "ON a.user_id = b.user_id AND a.event_id <> b.event_id "
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE "
+        "ORDER BY e1, e2"
+    ),
+    # same running-max-window spelling as the Spark builder (DuckDB ASOF
+    # JOIN exists but differs on ties; the window form is exact parity)
+    "q34_asof_join": (
+        "SELECT event_id, epoch_ms(MAX(CASE WHEN event_type = 'purchase' THEN ts "
+        "END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS asof_purchase_ms "
+        "FROM events ORDER BY event_id"
+    ),
+    "q35_time_bucket": (
+        "SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, COUNT(*) AS c, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS s "
+        "FROM events GROUP BY day_ms ORDER BY day_ms"
+    ),
+    "q36_cube": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s FROM lineitem "
+        "GROUP BY CUBE(l_returnflag, l_linestatus) "
+        "ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST"
+    ),
+    "q37_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)

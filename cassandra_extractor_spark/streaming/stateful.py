@@ -1,0 +1,119 @@
+"""Custom stateful operators.
+
+Sessionization — the canonical custom stateful op the reference has no
+analogue for, included because real event-extraction pipelines need it:
+
+- ``sessionize`` (batch): lag/cumsum window formulation — one
+  shuffle+sort per key, linear, oracle-checkable, the 100 TB path for
+  backfills.
+- ``sessionize_stream`` (streaming): ``applyInPandasWithState`` with
+  event-time timeout — the same semantics over an unbounded stream,
+  state = open session per user, flushed on gap timeout or stream end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+SESSION_GAP_MIN = 30
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize(df: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Batch sessionization: session breaks where the gap to the
+    previous event exceeds ``gap_min`` minutes."""
+    gap_ms = gap_min * 60 * 1000
+    ts_ms = F.unix_millis(F.col("ts"))
+    # order by the truncated ms value (not raw ts) so tie-breaks match
+    # the oracle, which only sees epoch millis
+    w = W.partitionBy("user_id").orderBy(ts_ms, "event_id")
+    prev_ms = F.lag(ts_ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = df.select(
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.sum(is_new).over(w).alias("session_id"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    )
+
+
+def ns_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    return sessionize(load_table(spark, "events", sf_dir)).orderBy(
+        "user_id", "session_start_ms"
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Streaming sessionization with per-user state + processing-time
+    timeout.  Input must be a streaming frame with (user_id, ts)."""
+    gap_ms = gap_min * 60 * 1000
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "session_start_ms": start_ms, "session_end_ms": end_ms, "n_events": n}]
+            )
+            return
+        out = []
+        start_ms = end_ms = None
+        n = 0
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        for pdf in pdf_iter:
+            for ts_ms in (pdf["ts"].astype("int64") // 10**6).sort_values():
+                ts_ms = int(ts_ms)
+                if start_ms is None:
+                    start_ms, end_ms, n = ts_ms, ts_ms, 1
+                elif ts_ms - end_ms > gap_ms:
+                    out.append(
+                        {"user_id": user_id, "session_start_ms": start_ms, "session_end_ms": end_ms, "n_events": n}
+                    )
+                    start_ms, end_ms, n = ts_ms, ts_ms, 1
+                else:
+                    end_ms, n = ts_ms, n + 1
+        state.update((start_ms, end_ms, n))
+        state.setTimeoutDuration(60_000)
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )

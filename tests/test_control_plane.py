@@ -1,0 +1,151 @@
+"""Actuator lifecycle + metrics + CLI app (reference §2.8 surface)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from cassandra_extractor_spark.actuator import Actuator, ExtractionJob, JobState
+from cassandra_extractor_spark.metrics import MetricsRegistry
+
+
+def _wait(cond, timeout=30):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_metrics_exposition():
+    m = MetricsRegistry()
+    m.inc("rows_processed_total", 5, table="t1")
+    m.set_gauge("progress", 0.5, table="t1")
+    with m.time("extract_seconds", table="t1"):
+        pass
+    text = m.exposition()
+    assert 'rows_processed_total{table="t1"} 5.0' in text
+    assert "extract_seconds_count" in text
+    assert "# TYPE cassandra_extractor_spark_progress gauge" in text
+
+
+def test_job_lifecycle(spark):
+    actuator = Actuator(spark)
+    done = []
+
+    def run(job):
+        done.append(spark.range(1000).count())
+        job.processed = 1000
+        job.total = 1000
+
+    job = actuator.create(ExtractionJob(table="t", run=run))
+    assert job.state == JobState.CREATED
+    actuator.start("t")
+    assert _wait(lambda: job.state == JobState.DONE)
+    assert done == [1000]
+    stats = actuator.stats()["t"]
+    assert stats["progress_pct"] == 100.0
+
+
+def test_job_failure_reported(spark):
+    actuator = Actuator(spark)
+
+    def run(job):
+        raise RuntimeError("sink exploded")
+
+    job = actuator.create(ExtractionJob(table="bad", run=run))
+    actuator.start("bad")
+    assert _wait(lambda: job.state == JobState.FAILED)
+    assert "sink exploded" in job.error
+
+
+def test_pause_cancels_jobs(spark):
+    actuator = Actuator(spark)
+    started = []
+
+    def run(job):
+        started.append(True)
+        # long job: pause should cancel the job group mid-flight
+        spark.range(2_000_000_000).selectExpr("sum(id * id)").collect()
+
+    job = actuator.create(ExtractionJob(table="slow", run=run))
+    actuator.start("slow")
+    assert _wait(lambda: bool(started))
+    time.sleep(0.3)
+    actuator.pause("slow")
+    assert _wait(lambda: not job._thread.is_alive(), timeout=60)
+    assert job.state == JobState.PAUSED
+
+
+def test_scale_up_down(spark):
+    actuator = Actuator(spark)
+    actuator.create(ExtractionJob(table="t", run=lambda j: None))
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert actuator.scale("t", +1)["parallelism"] == base + 1
+    assert actuator.scale("t", -1)["parallelism"] == base
+
+
+def test_rest_endpoints(spark):
+    actuator = Actuator(spark)
+    actuator.metrics.inc("extractions_total", table="t")
+    actuator.masked_config = {"db.password": "hunter2", "db.host": "h"}
+
+    def run(job):
+        job.processed = job.total = 10
+
+    actuator.create(ExtractionJob(table="t", run=run))
+    server = actuator.serve()
+    port = server.server_port
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.read().decode()
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        assert "extractions_total" in get("/metrics")
+        cfg = json.loads(get("/config"))
+        assert cfg["db.password"] == "***" and cfg["db.host"] == "h"
+        assert post("/start", {"table": "t"})["status"] == "started"
+        assert _wait(lambda: actuator.jobs["t"].state == JobState.DONE)
+        assert json.loads(get("/stats"))["t"]["state"] == "done"
+        assert post("/scaleup", {"instance": ["t"]})["parallelism"] > 0
+        # unknown table -> 404
+        try:
+            post("/start", {"table": "nope"})
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_cli_app(spark, sf_dir, tmp_path, monkeypatch):
+    from cassandra_extractor_spark import app as app_mod
+
+    out = str(tmp_path / "out")
+    rc = app_mod.main(
+        [
+            "-T",
+            "events",
+            "--sf-dir",
+            sf_dir,
+            "--output",
+            out,
+            "--filter",
+            "event_type = 'click'",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.json(f"{out}/events")
+    assert back.count() > 0
+    assert set(r["event_type"] for r in back.select("event_type").distinct().collect()) == {"click"}
