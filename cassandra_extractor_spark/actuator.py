@@ -53,6 +53,7 @@ class ExtractionJob:
     processed: int = 0
     total: int = 0
     parallelism: int = 0  # 0 = session default
+    config: dict[str, Any] = field(default_factory=dict)  # hot-reloadable (D9)
     _thread: threading.Thread | None = None
 
     def progress(self) -> dict[str, Any]:
@@ -131,6 +132,19 @@ class Actuator:
         job.parallelism = max(1, base + delta)
         return {"parallelism": job.parallelism}
 
+    def set_config(self, table: str, raw_properties: str) -> dict[str, Any]:
+        """Hot reconfiguration (D9, management.py:370-393 →
+        extractor.py:54-57): parse raw properties and stage them on the
+        job; the next start/resume builds with the new config (the
+        reference's workers likewise swap config between tasks)."""
+        from cassandra_extractor_spark.config import load_properties
+
+        job = self.jobs[table]
+        new_props = load_properties(raw_properties, is_text=True)
+        job.config = {**getattr(job, "config", {}), **new_props}
+        self.metrics.inc("config_reloads_total", table=table)
+        return {"status": "config staged", "keys": sorted(new_props)}
+
     def stats(self) -> dict[str, Any]:
         return {t: j.progress() for t, j in self.jobs.items()}
 
@@ -184,6 +198,9 @@ class Actuator:
                     "/shutdown": actuator.shutdown,
                     "/scaleup": lambda t: actuator.scale(t, +1),
                     "/scaledown": lambda t: actuator.scale(t, -1),
+                    "/set-config": lambda t: actuator.set_config(
+                        t, payload.get("properties", "")
+                    ),
                 }
                 fn = actions.get(self.path)
                 if fn is None:

@@ -224,8 +224,12 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→minhash (map-only) → band→bucket self-join (one shuffle on
     uniformly-distributed md5 band signatures) → distinct pairs.
     """
+    # NOTE: the self-join recomputes the signature pipeline per side
+    # (no exchange reuse across the aliased subplans — verified on the
+    # executed plan). Recompute benches faster than persist() here
+    # (signatures are CPU-light vs cache serialization); on a busy
+    # shared cluster persist(StorageLevel.MEMORY_AND_DISK) the bands.
     bands = minhash_bands(spark, sf_dir)
-    # (docs with <3 tokens are pre-filtered: their shingle set is empty)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -282,7 +286,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = chunks.alias("a"), chunks.alias("b")  # same recompute trade-off as minhash
     return (
         a.join(
             b,

@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     ``df.explain("formatted")``).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # timestamp semantics (literals, date_trunc, year/month) must be UTC
+    # regardless of the caller-provided session's timezone — the oracle
+    # treats the naive parquet timestamps as UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), unreadable by default;
         # set here (runtime-settable) so any caller-provided session works

@@ -129,6 +129,23 @@ def test_rest_endpoints(spark):
         server.shutdown()
 
 
+def test_hot_config_reload(spark):
+    actuator = Actuator(spark)
+    seen = []
+
+    def run(job):
+        seen.append(dict(job.config))
+
+    job = actuator.create(ExtractionJob(table="t", run=run))
+    actuator.start("t")
+    assert _wait(lambda: len(seen) == 1)
+    res = actuator.set_config("t", "cassandra.fetch_size=500\nsink=jsonl")
+    assert res["keys"] == ["cassandra.fetch_size", "sink"]
+    actuator.resume("t")
+    assert _wait(lambda: len(seen) == 2)
+    assert seen[0] == {} and seen[1]["cassandra.fetch_size"] == "500"
+
+
 def test_cli_app(spark, sf_dir, tmp_path, monkeypatch):
     from cassandra_extractor_spark import app as app_mod
 
