@@ -464,6 +464,53 @@ def q38_approx_distinct(spark, sf_dir):
     )
 
 
+def q39_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS — Catalyst decorrelates to a semi join (no
+    per-row subquery execution)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q40_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: orders above the global average price (the
+    subquery runs once; its result is broadcast into the filter)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q41_cte(spark, sf_dir):
+    """CTE + join + top-k: revenue per supplier (TPC-H Q15 shape)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev
+          FROM lineitem_v GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM revenue r JOIN supplier_v s ON s.s_suppkey = r.l_suppkey
+        ORDER BY r.total_rev DESC, s.s_suppkey LIMIT 20
+        """
+    )
+
+
 def q31_json_extract(spark, sf_dir):
     # T2 JSON parsing analogue on events.props (worker.py:136-137)
     return (

@@ -81,6 +81,74 @@ def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = DIM) -> Column:
     return bucket
 
 
+N_IVF_CENTROIDS = 16
+IVF_PROBES = 2
+
+
+def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest of
+    K fixed centroids (inverted file); each query probes only its
+    nearest ``IVF_PROBES`` centroid cells.
+
+    Centroids are deterministic corpus members (vec_id < K taken from
+    the corpus side), so the whole pipeline — assignment, probing,
+    ranking — is reproducible in the oracle.  At scale: the centroid
+    set broadcasts, corpus assignment is map-only, and the probe join
+    touches ~probes/K of the corpus instead of all of it.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    # deterministic "centroids": first K corpus vectors
+    cent = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+
+    def cell_rank(side: DataFrame, id_col: str, emb: str, nrm: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            "c_id",
+            cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= keep)
+            .select(id_col, "c_id")
+        )
+
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    corpus_cells = cell_rank(corpus, "n_id", "n_emb", "n_nrm", 1)
+    query_cells = cell_rank(queries, "q_id", "q_emb", "q_nrm", IVF_PROBES)
+    candidates = (
+        corpus.join(corpus_cells, "n_id")
+        .join(query_cells, "c_id")
+        .join(F.broadcast(queries), "q_id")
+    )
+    scored = candidates.select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine_prenormed(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN: candidates share a sign-LSH bucket.
 

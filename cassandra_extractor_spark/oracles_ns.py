@@ -16,7 +16,12 @@ from cassandra_extractor_spark.operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
 )
-from cassandra_extractor_spark.operators.similarity import N_QUERIES, TOP_K
+from cassandra_extractor_spark.operators.similarity import (
+    IVF_PROBES,
+    N_IVF_CENTROIDS,
+    N_QUERIES,
+    TOP_K,
+)
 from cassandra_extractor_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
 
 #: DuckDB spelling of the shared tokenizer
@@ -206,6 +211,28 @@ NS_ORACLES: dict[str, str] = {
         "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored) "
         f"SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= {TOP_K} "
         "ORDER BY q_id, rank"
+    ),
+    "ns_ann_ivf": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= {N_QUERIES} "
+        f"AND vec_id < {N_QUERIES + N_IVF_CENTROIDS}), "
+        f"corpus AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES}), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}), "
+        "ccell AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, ROW_NUMBER() OVER "
+        "(PARTITION BY n_id ORDER BY csim DESC, c_id) AS crank FROM "
+        f"(SELECT n_id, c_id, {_cos_sql('n_emb', 'c_emb')} AS csim FROM corpus, cent)) "
+        "WHERE crank <= 1), "
+        "qcell AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY csim DESC, c_id) AS crank FROM "
+        f"(SELECT q_id, c_id, {_cos_sql('q_emb', 'c_emb')} AS csim FROM q, cent)) "
+        f"WHERE crank <= {IVF_PROBES}), "
+        "scored AS (SELECT q_id, n_id, "
+        f"round({_cos_sql('q_emb', 'n_emb')}, 6) AS cos "
+        "FROM corpus JOIN ccell USING (n_id) JOIN qcell USING (c_id) "
+        "JOIN q USING (q_id)) "
+        "SELECT q_id, n_id, cos, rank FROM (SELECT q_id, n_id, cos, ROW_NUMBER() "
+        "OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored) "
+        f"WHERE rank <= {TOP_K} ORDER BY q_id, rank"
     ),
     "ns_multimodal_meta": (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "

@@ -64,6 +64,9 @@ QUERIES: dict[str, QueryFn] = {
     "q36_cube": R.q36_cube,
     "q37_grouping_sets": R.q37_grouping_sets,
     "q38_approx_distinct": R.q38_approx_distinct,  # sketch: rows-only check
+    "q39_exists_subquery": R.q39_exists_subquery,
+    "q40_scalar_subquery": R.q40_scalar_subquery,
+    "q41_cte": R.q41_cte,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_doc_fingerprint": TX.ns_doc_fingerprint,
@@ -76,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_simhash": D.ns_dedup_simhash,
     "ns_neardup_embedding": D.ns_neardup_embedding,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
+    "ns_ann_ivf": S.ns_ann_ivf,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
@@ -252,6 +256,25 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
         "ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
+    ),
+    "q39_exists_subquery": (
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) ORDER BY c_custkey"
+    ),
+    "q40_scalar_subquery": (
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey"
+    ),
+    "q41_cte": (
+        "WITH revenue AS (SELECT l_suppkey, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev "
+        "FROM lineitem GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey, s.s_name, r.total_rev FROM revenue r "
+        "JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+        "ORDER BY r.total_rev DESC, s.s_suppkey LIMIT 20"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)

@@ -34,6 +34,48 @@ def test_batch_sessionize(spark):
     assert first["session_end_ms"] - first["session_start_ms"] == 10 * 60 * 1000
 
 
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path, sf_dir):
+    """Watermarked tumbling-window aggregation — the streaming analogue
+    of q35_time_bucket, late data dropped past the watermark."""
+    from pyspark.sql import functions as F
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "wsrc")
+    load_table(spark, "events", sf_dir).limit(500).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("windowed_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows finalized by the watermark
+    got = spark.sql("SELECT SUM(c) AS s FROM windowed_out").first()["s"]
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    # finalized streaming counts must agree with the batch rollup for
+    # all closed windows (last day stays open, hence <=)
+    assert got is not None and 0 < got <= 500
+    closed = spark.sql("SELECT w.start AS s, event_type, c FROM windowed_out")
+    joined = closed.join(
+        batch.select(F.col("window.start").alias("s"), "event_type", F.col("c").alias("bc")),
+        ["s", "event_type"],
+    )
+    assert joined.where(F.col("c") != F.col("bc")).count() == 0
+
+
 def test_streaming_sessionize(spark, tmp_path):
     src = str(tmp_path / "src")
     _events(spark).write.parquet(src)
