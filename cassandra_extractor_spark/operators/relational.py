@@ -467,12 +467,12 @@ def q38_approx_distinct(spark, sf_dir):
 def q39_exists_subquery(spark, sf_dir):
     """Correlated EXISTS — Catalyst decorrelates to a semi join (no
     per-row subquery execution)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v39")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v39")
     return spark.sql(
         """
-        SELECT c_custkey FROM customer_v c
-        WHERE EXISTS (SELECT 1 FROM orders_v o
+        SELECT c_custkey FROM customer_v39 c
+        WHERE EXISTS (SELECT 1 FROM orders_v39 o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         ORDER BY c_custkey
         """
@@ -482,11 +482,11 @@ def q39_exists_subquery(spark, sf_dir):
 def q40_scalar_subquery(spark, sf_dir):
     """Scalar subquery: orders above the global average price (the
     subquery runs once; its result is broadcast into the filter)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v40")
     return spark.sql(
         """
-        SELECT o_orderkey FROM orders_v
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        SELECT o_orderkey FROM orders_v40
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v40)
         ORDER BY o_orderkey
         """
     )
@@ -494,20 +494,66 @@ def q40_scalar_subquery(spark, sf_dir):
 
 def q41_cte(spark, sf_dir):
     """CTE + join + top-k: revenue per supplier (TPC-H Q15 shape)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v41")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v41")
     return spark.sql(
         """
         WITH revenue AS (
           SELECT l_suppkey,
                  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev
-          FROM lineitem_v GROUP BY l_suppkey
+          FROM lineitem_v41 GROUP BY l_suppkey
         )
         SELECT s.s_suppkey, s.s_name, r.total_rev
-        FROM revenue r JOIN supplier_v s ON s.s_suppkey = r.l_suppkey
+        FROM revenue r JOIN supplier_v41 s ON s.s_suppkey = r.l_suppkey
         ORDER BY r.total_rev DESC, s.s_suppkey LIMIT 20
         """
+    )
+
+
+def q42_pivot(spark, sf_dir):
+    """Pivot: order counts per status column, one row per priority.
+    The oracle spells it as FILTERed aggregates — same result."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q43_unpivot(spark, sf_dir):
+    """Unpivot via stack(): wide customer/supplier balances → long."""
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum(_money(F.col("c_acctbal"))), 2).cast("double").alias("cust_bal"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum(_money(F.col("s_acctbal"))), 2).cast("double").alias("supp_bal"))
+    )
+    wide = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .select("n_nationkey", "cust_bal", "supp_bal")
+    )
+    return (
+        wide.select(
+            "n_nationkey",
+            F.expr("stack(2, 'customer', cust_bal, 'supplier', supp_bal) AS (side, bal)"),
+        )
+        .where(F.col("bal").isNotNull())
+        .orderBy("n_nationkey", "side")
     )
 
 

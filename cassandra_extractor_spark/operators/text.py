@@ -97,6 +97,45 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang")).orderBy("doc_id")
 
 
+def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document (doc_id < 100
+    window to keep the oracle output bounded; the pipeline itself scans
+    everything and is linear + two shuffles at any scale).
+
+    tf = term count in doc; idf = ln(N / df) over the FULL corpus;
+    deterministic tie-break by term.  All-double arithmetic in fixed
+    order for oracle parity.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.count()  # driver-side scalar: one number, plan-time
+    terms = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, length saturation, punctuation
     penalty → weighted score.  Pure double arithmetic in a fixed

@@ -151,6 +151,19 @@ NS_ORACLES: dict[str, str] = {
     "ns_doc_fingerprint": (
         f"SELECT doc_id, {FP} AS fp FROM documents ORDER BY doc_id"
     ),
+    "ns_tfidf": (
+        f"WITH terms AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), "
+        "scored AS (SELECT doc_id, term, "
+        "round(CAST(tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) "
+        "/ CAST(df AS DOUBLE)), 6) AS tfidf "
+        "FROM tf JOIN dfreq USING (term) WHERE doc_id < 100) "
+        "SELECT doc_id, term, tfidf, rnk FROM (SELECT doc_id, term, tfidf, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk "
+        "FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk"
+    ),
     "ns_lang_id": _lang_id_sql(),
     "ns_text_quality": (
         "WITH q AS (SELECT doc_id, "

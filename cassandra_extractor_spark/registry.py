@@ -67,8 +67,11 @@ QUERIES: dict[str, QueryFn] = {
     "q39_exists_subquery": R.q39_exists_subquery,
     "q40_scalar_subquery": R.q40_scalar_subquery,
     "q41_cte": R.q41_cte,
+    "q42_pivot": R.q42_pivot,
+    "q43_unpivot": R.q43_unpivot,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
+    "ns_tfidf": TX.ns_tfidf,
     "ns_doc_fingerprint": TX.ns_doc_fingerprint,
     "ns_lang_id": TX.ns_lang_id,
     "ns_text_quality": TX.ns_text_quality,
@@ -275,6 +278,26 @@ ORACLES: dict[str, str] = {
         "SELECT s.s_suppkey, s.s_name, r.total_rev FROM revenue r "
         "JOIN supplier s ON s.s_suppkey = r.l_suppkey "
         "ORDER BY r.total_rev DESC, s.s_suppkey LIMIT 20"
+    ),
+    "q42_pivot": (
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "q43_unpivot": (
+        "WITH c AS (SELECT c_nationkey, CAST(ROUND(SUM(CAST(c_acctbal AS "
+        "DECIMAL(18,6))), 2) AS DOUBLE) AS cust_bal FROM customer GROUP BY c_nationkey), "
+        "s AS (SELECT s_nationkey, CAST(ROUND(SUM(CAST(s_acctbal AS "
+        "DECIMAL(18,6))), 2) AS DOUBLE) AS supp_bal FROM supplier GROUP BY s_nationkey), "
+        "wide AS (SELECT n_nationkey, cust_bal, supp_bal FROM nation n "
+        "LEFT JOIN c ON n.n_nationkey = c.c_nationkey "
+        "LEFT JOIN s ON n.n_nationkey = s.s_nationkey) "
+        "SELECT n_nationkey, side, bal FROM ("
+        "SELECT n_nationkey, 'customer' AS side, cust_bal AS bal FROM wide "
+        "UNION ALL SELECT n_nationkey, 'supplier', supp_bal FROM wide) "
+        "WHERE bal IS NOT NULL ORDER BY n_nationkey, side"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)
