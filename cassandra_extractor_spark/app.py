@@ -81,14 +81,20 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         def run(job: ExtractionJob, spec=spec, table=table):
+            from pyspark.sql import Observation, functions as F
+
             df = spec.build(
                 spark, sf_dir, hwm_store if spec.hwm_column else None
             )
+            # piggyback the row count on the write itself (reference's
+            # processed counter, metrics.py:5-35) — no second scan
+            obs = Observation(f"extract_{table}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             results = fan_out(df, {"jsonl": lambda d: write_jsonl(d, f"{output}/{table}")})
             failed = {k: str(v) for k, v in results.items() if v is not None}
             if failed:
                 raise RuntimeError(f"sink failures: {failed}")
-            job.processed = spark.read.json(f"{output}/{table}").count()
+            job.processed = int(obs.get["rows"])
             metrics.inc("rows_processed_total", job.processed, table=table)
 
         actuator.create(ExtractionJob(table=table, run=run))

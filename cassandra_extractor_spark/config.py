@@ -23,7 +23,9 @@ def load_properties(path_or_text: str, is_text: bool = False) -> dict[str, str]:
     else:
         with open(path_or_text, encoding="utf-8") as f:
             text = f.read()
-    parser = configparser.ConfigParser()
+    # RawConfigParser: Java-style properties have no %-interpolation
+    # (a literal '%' in a value must survive — found by hypothesis)
+    parser = configparser.RawConfigParser()
     parser.optionxform = str  # preserve key case
     parser.read_file(io.StringIO("[top]\n" + text))
     return dict(parser.items("top"))

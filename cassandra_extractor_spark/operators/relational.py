@@ -557,6 +557,27 @@ def q43_unpivot(spark, sf_dir):
     )
 
 
+def q44_percentile(spark, sf_dir):
+    """Exact interpolating percentiles (sort-based, deterministic under
+    any partitioning)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+def q45_stats(spark, sf_dir):
+    """Statistical aggregates. Moment merges accumulate in partition
+    order, so results are rounded to partition-robust precision."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 0).cast("double").alias("vr"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("cr"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean"),
+    )
+
+
 def q31_json_extract(spark, sf_dir):
     # T2 JSON parsing analogue on events.props (worker.py:136-137)
     return (

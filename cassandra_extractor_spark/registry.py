@@ -69,6 +69,8 @@ QUERIES: dict[str, QueryFn] = {
     "q41_cte": R.q41_cte,
     "q42_pivot": R.q42_pivot,
     "q43_unpivot": R.q43_unpivot,
+    "q44_percentile": R.q44_percentile,
+    "q45_stats": R.q45_stats,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -298,6 +300,17 @@ ORACLES: dict[str, str] = {
         "SELECT n_nationkey, 'customer' AS side, cust_bal AS bal FROM wide "
         "UNION ALL SELECT n_nationkey, 'supplier', supp_bal FROM wide) "
         "WHERE bal IS NOT NULL ORDER BY n_nationkey, side"
+    ),
+    "q44_percentile": (
+        "SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
+        "ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95, "
+        "ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM orders"
+    ),
+    "q45_stats": (
+        "SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd, "
+        "ROUND(var_samp(o_totalprice), 0) AS vr, "
+        "ROUND(corr(o_totalprice, o_custkey), 6) AS cr, "
+        "ROUND(AVG(o_totalprice), 2) AS mean FROM orders"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)
