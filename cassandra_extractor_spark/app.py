@@ -13,7 +13,9 @@ properties precedence (app.py:151-198).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
+import os
 import sys
 
 from cassandra_extractor_spark.actuator import Actuator, ExtractionJob
@@ -37,7 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table-specs", help="table-specs JSON file (T1-T10)")
     p.add_argument("--hwm-column", help="incremental timestamp column (P3)")
     p.add_argument("--hwm-state", help="HWM state file path")
-    p.add_argument("--output", help="JSONL output directory root")
+    p.add_argument("--output", help="output directory root")
+    p.add_argument(
+        "--sinks",
+        help="comma-separated sink list: jsonl,parquet,csv (default jsonl); "
+        "fan-out writes each (D1)",
+    )
+    p.add_argument("--streaming", action="store_true", help="incremental streaming mode (checkpointed)")
+    p.add_argument("--checkpoint", help="streaming checkpoint root")
     p.add_argument("--properties", help="properties file (lowest precedence)")
     p.add_argument("--actuator-port", type=int, help="serve REST control plane")
     p.add_argument("--no-auto-start", action="store_true", help="create jobs but wait for POST /start")
@@ -80,8 +89,54 @@ def main(argv: list[str] | None = None) -> int:
             hwm_column=cfg("hwm.column"),
         )
 
+        sink_names = (cfg("sinks", default="jsonl") or "jsonl").split(",")
+
+        def make_sinks(table: str):
+            writers = {
+                "jsonl": lambda d, t=table: write_jsonl(d, f"{output}/{t}"),
+                "parquet": lambda d, t=table: d.write.mode("overwrite").parquet(
+                    f"{output}/{t}_parquet"
+                ),
+                "csv": lambda d, t=table: d.write.mode("overwrite")
+                .option("header", "true")
+                .csv(f"{output}/{t}_csv"),
+            }
+            unknown = set(sink_names) - set(writers)
+            if unknown:
+                raise ValueError(f"unknown sinks: {sorted(unknown)}")
+            return {n: writers[n] for n in sink_names}
+
         def run(job: ExtractionJob, spec=spec, table=table):
             from pyspark.sql import Observation, functions as F
+
+            if cfg("streaming"):
+                from cassandra_extractor_spark.streaming.pipeline import stream_extract
+
+                schema = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+                # sort/limit are batch-only; streaming applies the
+                # projection/filter/transform subset of the spec
+                stream_spec = dataclasses.replace(spec, sort=[], limit=None, hwm_column=None)
+
+                def dispatch(d, batch_id, t=table):
+                    # micro-batches append (checkpoint dedupes on resume)
+                    d.write.mode("append").json(f"{output}/{t}")
+
+                q = stream_extract(
+                    spark,
+                    sf_dir,
+                    schema,
+                    {"jsonl": dispatch},
+                    cfg("checkpoint", default=f"{output}/_ckpt/{table}"),
+                    transform=(lambda d: stream_spec.build(spark, source_df=d))
+                    if (spec.columns or spec.filter or spec.table_spec)
+                    else None,
+                    ts_col=spec.hwm_column,
+                    path_glob=f"{table}.parquet",
+                )
+                q.awaitTermination()
+                job.processed = spark.read.json(f"{output}/{table}").count()
+                metrics.inc("rows_processed_total", job.processed, table=table)
+                return
 
             df = spec.build(
                 spark, sf_dir, hwm_store if spec.hwm_column else None
@@ -90,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
             # processed counter, metrics.py:5-35) — no second scan
             obs = Observation(f"extract_{table}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            results = fan_out(df, {"jsonl": lambda d: write_jsonl(d, f"{output}/{table}")})
+            results = fan_out(df, make_sinks(table))
             failed = {k: str(v) for k, v in results.items() if v is not None}
             if failed:
                 raise RuntimeError(f"sink failures: {failed}")

@@ -319,6 +319,68 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    ``edges`` has columns (d1, d2).  Returns (doc_id, cluster_id) where
+    cluster_id is the smallest doc_id in the component — a deterministic
+    fixed point, independent of execution order or engine.
+
+    Iterative joins with ``localCheckpoint`` per round to cut lineage
+    (the standard Spark shape for label propagation; GraphFrames does
+    the same under the hood).  Rounds needed = graph diameter ≤
+    ``max_iter``; each round is one shuffle join of the current labels
+    against the edge list.
+    """
+    sym = edges.selectExpr("d1 AS src", "d2 AS dst").union(
+        edges.selectExpr("d2 AS src", "d1 AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components → (doc_id, cluster_id).  The full production dedup
+    pipeline shape: signatures (map-only) → LSH join → clustering →
+    keep min doc per cluster."""
+    # materialize the candidate pairs once: every propagation round
+    # joins against the edge list, which would otherwise re-run the
+    # whole signature+LSH pipeline per iteration
+    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with norms precomputed per-vector BEFORE the pairwise
     join — same double ops in the same order (bit-identical result),

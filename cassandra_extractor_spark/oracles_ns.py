@@ -205,6 +205,19 @@ NS_ORACLES: dict[str, str] = {
         "ORDER BY d1, d2"
     ),
     "ns_dedup_minhash_lsh": _minhash_sql(),
+    # connected components over the MinHash candidate graph via
+    # transitive closure; MIN(reachable) == the Spark side's min-label
+    # propagation fixed point
+    "ns_dedup_clusters": (
+        f"WITH RECURSIVE mh AS ({_minhash_sql()}), "
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM mh "
+        "UNION ALL SELECT d2, d1 FROM mh), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach(node, r) AS (SELECT node, node FROM nodes "
+        "UNION SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node) "
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node "
+        "ORDER BY doc_id"
+    ),
     "ns_dedup_simhash": _simhash_sql(),
     "ns_neardup_embedding": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "

@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
     "ns_dedup_jaccard": D.ns_dedup_jaccard,
     "ns_dedup_minhash_lsh": D.ns_dedup_minhash_lsh,
+    "ns_dedup_clusters": D.ns_dedup_clusters,
     "ns_dedup_simhash": D.ns_dedup_simhash,
     "ns_neardup_embedding": D.ns_neardup_embedding,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,

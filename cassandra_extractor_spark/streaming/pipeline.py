@@ -33,6 +33,7 @@ def stream_extract(
     watermark_delay: str = "1 minute",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
 ) -> StreamingQuery:
     """Run a checkpointed streaming extraction.
 
@@ -45,6 +46,10 @@ def stream_extract(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path_glob is not None:
+        # the file source requires a directory; a glob filter selects
+        # specific files inside it
+        reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.parquet(source_path)
     if ts_col is not None:
         stream = stream.withWatermark(ts_col, watermark_delay)
