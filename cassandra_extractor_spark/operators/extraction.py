@@ -10,6 +10,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from cassandra_extractor_spark.functions.tablespecs import TableSpec, apply_table_spec
 from cassandra_extractor_spark.sources.catalog import load_table
 
+def ns_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection — the flagship LLM-data
+    pipeline: keep documents that (a) pass the quality score, (b) have
+    enough tokens, and (c) survive near-dup removal (MinHash-LSH
+    clusters keep only the lowest doc_id per cluster).
+
+    Composes ns_text_quality + ns_dedup_clusters; each stage is the
+    scale-shaped implementation documented on its operator.
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.text import ns_text_quality
+
+    quality = ns_text_quality(spark, sf_dir)
+    clusters = ns_dedup_clusters(spark, sf_dir)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        quality.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50))
+        .join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
 #: the FIXTURES.md representative table spec (reference worker.py:110-162)
 EVENTS_TABLE_SPEC = {
     "columns": [

@@ -268,6 +268,9 @@ NS_ORACLES: dict[str, str] = {
         "SELECT event_id AS id, epoch_ms(ts) AS ts_ms, event_type, value, "
         "CAST(props->>'$.k' AS BIGINT) AS props_k FROM events ORDER BY id"
     ),
+    # flagship corpus selection: quality gate + near-dup keep-list,
+    # composed from the ns_text_quality and ns_dedup_clusters oracles
+    "ns_corpus_select": "",  # filled in below (needs other entries)
     # same lag/cumsum window formulation as streaming/stateful.sessionize
     "ns_sessionize": (
         "WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events), "
@@ -282,3 +285,25 @@ NS_ORACLES: dict[str, str] = {
         "ORDER BY user_id, session_start_ms"
     ),
 }
+
+
+def _corpus_select_sql() -> str:
+    cluster_core = (
+        f"edges AS (SELECT d1 AS src, d2 AS dst FROM mh "
+        "UNION ALL SELECT d2, d1 FROM mh), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach(node, r) AS (SELECT node, node FROM nodes "
+        "UNION SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node), "
+        "clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node), "
+        "dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"
+    )
+    return (
+        f"WITH RECURSIVE mh AS ({_minhash_sql()}), {cluster_core}, "
+        f"qual AS ({NS_ORACLES['ns_text_quality']}) "
+        "SELECT doc_id, n_tokens, quality FROM qual "
+        "WHERE quality >= 0.5 AND n_tokens >= 50 "
+        "AND doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_corpus_select"] = _corpus_select_sql()

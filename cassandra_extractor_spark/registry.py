@@ -89,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
+    "ns_corpus_select": X.ns_corpus_select,
     "ns_sessionize": _ns_sessionize,
 }
 
