@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", help="parquet source dir (test mode)")
     p.add_argument("--columns", help="comma-separated projection")
     p.add_argument("--filter", help="SQL predicate (P2)")
+    p.add_argument("--solr-filter", help="Solr-subset query, translated to SQL (P2)")
     p.add_argument("--sort", help="comma-separated sort expressions (O1)")
     p.add_argument("--limit", type=int, help="row cap (S6)")
     p.add_argument("--table-specs", help="table-specs JSON file (T1-T10)")
@@ -83,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             table=table,
             columns=cfg("columns").split(",") if cfg("columns") else None,
             filter=cfg("filter"),
+            solr_filter=cfg("solr.filter"),
             sort=cfg("sort").split(",") if cfg("sort") else [],
             limit=cfg("limit", cast=int),
             table_spec=table_spec,

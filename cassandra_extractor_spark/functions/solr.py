@@ -1,0 +1,131 @@
+"""Solr/Lucene query-syntax translation (reference P2).
+
+The reference pushes a Solr query JSON into DSE Search
+(``datacrawler.py:138-151``; examples in ``README.md:280-283``).  We
+have no Solr, so SURVEY §7.3.5 calls for translating the *documented
+subset* to SQL predicates (Catalyst then pushes them to the source)
+and rejecting anything outside it loudly — no half-translation.
+
+Supported subset:
+
+- ``field:value`` (bare term, quoted phrase)
+- ``field:[a TO b]`` / ``{a TO b}`` inclusive/exclusive ranges, ``*``
+  as an open end
+- ``field:pre*`` / ``field:*suf`` / ``field:*mid*`` wildcards → LIKE
+- ``AND`` / ``OR`` / ``NOT`` with parentheses
+- ``*:*`` (match all)
+
+Everything else (fuzzy ``~``, boosts ``^``, proximity, ranges over
+text analyzers, bare full-text terms without a field) raises
+``SolrTranslationError``.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class SolrTranslationError(ValueError):
+    pass
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<op>AND\b|OR\b|NOT\b) |
+        (?P<range>[A-Za-z_][\w.]*:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
+        (?P<phrase>[A-Za-z_][\w.]*:"[^"]*") |
+        (?P<term>[A-Za-z_][\w.]*:[^\s()]+) |
+        (?P<star>\*:\*) |
+        (?P<other>\S+)
+    )""",
+    re.VERBOSE,
+)
+
+_RANGE = re.compile(
+    r"(?P<field>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\]}]*?)\s+TO\s+(?P<hi>[^\]}]*?)(?P<rb>[\]}])"
+)
+
+
+def _sql_literal(value: str) -> str:
+    if re.fullmatch(r"-?\d+(\.\d+)?", value):
+        return value
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _translate_range(m: re.Match) -> str:
+    field, lo, hi = m.group("field"), m.group("lo").strip(), m.group("hi").strip()
+    lo_op = ">=" if m.group("lb") == "[" else ">"
+    hi_op = "<=" if m.group("rb") == "]" else "<"
+    parts = []
+    if lo != "*":
+        parts.append(f"{field} {lo_op} {_sql_literal(lo)}")
+    if hi != "*":
+        parts.append(f"{field} {hi_op} {_sql_literal(hi)}")
+    return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+
+
+def _translate_term(field: str, value: str) -> str:
+    for bad, what in (("~", "fuzzy"), ("^", "boost")):
+        if bad in value:
+            raise SolrTranslationError(f"{what} syntax not supported: {field}:{value}")
+    if "*" in value or "?" in value:
+        like = value.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+        return f"{field} LIKE {_sql_literal(like)}"
+    return f"{field} = {_sql_literal(value)}"
+
+
+def solr_to_sql(query: str) -> str:
+    """Translate a Solr query string to an equivalent SQL predicate.
+
+    Raises ``SolrTranslationError`` for syntax outside the documented
+    subset (SURVEY §7.3.5: reject, never half-translate).
+    """
+    out: list[str] = []
+    pos = 0
+    depth = 0
+    for m in _TOKEN.finditer(query):
+        if m.start() != pos and query[pos : m.start()].strip():
+            raise SolrTranslationError(f"unparsable at {query[pos:m.start()]!r}")
+        pos = m.end()
+        if m.group("lparen"):
+            out.append("(")
+            depth += 1
+        elif m.group("rparen"):
+            depth -= 1
+            if depth < 0:
+                raise SolrTranslationError("unbalanced parentheses")
+            out.append(")")
+        elif m.group("op"):
+            out.append(m.group("op"))
+        elif m.group("range"):
+            out.append(_translate_range(_RANGE.fullmatch(m.group("range"))))
+        elif m.group("phrase"):
+            field, value = m.group("phrase").split(":", 1)
+            out.append(f"{field} = {_sql_literal(value[1:-1])}")
+        elif m.group("term"):
+            field, value = m.group("term").split(":", 1)
+            out.append(_translate_term(field, value))
+        elif m.group("star"):
+            out.append("TRUE")
+        else:
+            raise SolrTranslationError(
+                f"unsupported Solr syntax: {m.group('other')!r} "
+                "(bare terms, fuzzy, boosts, proximity are not translatable)"
+            )
+    if depth != 0:
+        raise SolrTranslationError("unbalanced parentheses")
+    if not out:
+        raise SolrTranslationError("empty query")
+    # Solr's implicit operator between adjacent clauses is dialect-
+    # dependent; require explicit AND/OR (reject ambiguity)
+    prev_operand = False
+    for tok in out:
+        is_operand = tok not in ("AND", "OR", "NOT", "(", ")")
+        if is_operand and prev_operand:
+            raise SolrTranslationError("adjacent clauses need an explicit AND/OR")
+        prev_operand = is_operand or tok == ")"
+        if tok == "(":
+            prev_operand = False
+    return " ".join(out)

@@ -27,6 +27,7 @@ class ExtractionSpec:
     table: str
     columns: list[str] | None = None  # None = '*' (app.py:448)
     filter: str | None = None  # SQL predicate (Solr-filter analogue)
+    solr_filter: str | None = None  # Solr-subset syntax (translated, §7.3.5)
     sort: list[str] = field(default_factory=list)  # O1
     limit: int | None = None  # pages × fetch_size cap (S6)
     table_spec: dict[str, Any] | None = None  # T1-T10 transforms
@@ -45,6 +46,10 @@ class ExtractionSpec:
             df = df.select(*self.columns)
         if self.filter:
             df = df.where(self.filter)
+        if self.solr_filter:
+            from cassandra_extractor_spark.functions.solr import solr_to_sql
+
+            df = df.where(solr_to_sql(self.solr_filter))
         if self.hwm_column and hwm_store is not None:
             df = incremental_extract(df, self.hwm_column, self.table, hwm_store)
         if self.table_spec:

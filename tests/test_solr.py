@@ -1,0 +1,58 @@
+"""Solr-subset → SQL predicate translation (SURVEY §7.3.5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_extractor_spark.functions.solr import SolrTranslationError, solr_to_sql
+from cassandra_extractor_spark.plans.spec import ExtractionSpec
+
+
+def test_term_and_phrase():
+    assert solr_to_sql("event_type:click") == "event_type = 'click'"
+    assert solr_to_sql('event_type:"page view"') == "event_type = 'page view'"
+
+
+def test_numeric_and_range():
+    assert solr_to_sql("user_id:42") == "user_id = 42"
+    assert (
+        solr_to_sql("value:[10 TO 20]") == "(value >= 10 AND value <= 20)"
+    )
+    assert solr_to_sql("value:{10 TO *}") == "(value > 10)"
+
+
+def test_wildcards():
+    assert solr_to_sql("event_type:cli*") == "event_type LIKE 'cli%'"
+    assert solr_to_sql("event_type:?lick") == "event_type LIKE '_lick'"
+
+
+def test_boolean_composition():
+    sql = solr_to_sql("event_type:click AND (value:[100 TO *] OR NOT user_id:7)")
+    assert sql == "event_type = 'click' AND ( (value >= 100) OR NOT user_id = 7 )"
+
+
+def test_match_all():
+    assert solr_to_sql("*:*") == "TRUE"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["name:rob~2", "title:spark^4", "bare_fulltext", "a:1 b:2", "(a:1", "value:[1 TO 2"],
+)
+def test_rejects_unsupported(bad):
+    with pytest.raises(SolrTranslationError):
+        solr_to_sql(bad)
+
+
+def test_escaping():
+    assert solr_to_sql("name:o'brien") == "name = 'o''brien'"
+
+
+def test_translated_filter_runs_in_spark(spark, sf_dir):
+    spec = ExtractionSpec(
+        table="events",
+        filter=solr_to_sql("event_type:click AND value:[100 TO *]"),
+    )
+    df = spec.build(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r["event_type"] == "click" and r["value"] >= 100 for r in rows)
