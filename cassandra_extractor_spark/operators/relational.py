@@ -578,6 +578,29 @@ def q45_stats(spark, sf_dir):
     )
 
 
+def q46_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4): monthly calendar spine left-joined to
+    order counts — empty months appear with 0."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v46")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        ),
+        oc AS (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders_v46 GROUP BY date_trunc('month', o_orderdate)
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month, COALESCE(n, 0) AS n
+        FROM months LEFT JOIN oc ON oc.mo = months.m
+        ORDER BY month
+        """
+    )
+
+
 def q31_json_extract(spark, sf_dir):
     # T2 JSON parsing analogue on events.props (worker.py:136-137)
     return (

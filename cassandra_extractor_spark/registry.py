@@ -71,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "q43_unpivot": R.q43_unpivot,
     "q44_percentile": R.q44_percentile,
     "q45_stats": R.q45_stats,
+    "q46_recursive_cte": R.q46_recursive_cte,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -313,6 +314,16 @@ ORACLES: dict[str, str] = {
         "ROUND(var_samp(o_totalprice), 0) AS vr, "
         "ROUND(corr(o_totalprice, o_custkey), 6) AS cr, "
         "ROUND(AVG(o_totalprice), 2) AS mean FROM orders"
+    ),
+    "q46_recursive_cte": (
+        "WITH RECURSIVE months(m) AS ("
+        "SELECT TIMESTAMP '1995-01-01 00:00:00' "
+        "UNION ALL SELECT m + INTERVAL 1 MONTH FROM months "
+        "WHERE m < TIMESTAMP '2001-08-01 00:00:00'), "
+        "oc AS (SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n "
+        "FROM orders GROUP BY date_trunc('month', o_orderdate)) "
+        "SELECT strftime(m, '%Y-%m') AS month, COALESCE(n, 0) AS n "
+        "FROM months LEFT JOIN oc ON oc.mo = months.m ORDER BY month"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)

@@ -57,6 +57,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic file source (parquet/json/csv/orc) — the test-path
+    analogue of swapping Cassandra for another origin; projection and
+    eligible predicates still push into the scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if fmt == "csv" and "header" not in (options or {}):
+        reader = reader.option("header", "true").option("inferSchema", schema is None)
+    return reader.format(fmt).load(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every test table as a temp view for the SQL entry point."""
     for name in TABLES:

@@ -84,6 +84,20 @@ def test_streaming_extract_and_resume(spark, sf_dir, tmp_path):
     assert sum(out_counts) == 600  # checkpoint prevented reprocessing
 
 
+def test_read_source_roundtrip(spark, sf_dir, tmp_path):
+    from cassandra_extractor_spark.sources.catalog import load_table, read_source
+
+    df = load_table(spark, "nation", sf_dir)
+    df.write.option("header", "true").csv(str(tmp_path / "n_csv"))
+    df.write.json(str(tmp_path / "n_json"))
+    back_csv = read_source(spark, str(tmp_path / "n_csv"), "csv")
+    back_json = read_source(spark, str(tmp_path / "n_json"), "json", schema=df.schema)
+    assert back_csv.count() == df.count()
+    assert sorted(r["n_name"] for r in back_json.collect()) == sorted(
+        r["n_name"] for r in df.collect()
+    )
+
+
 def test_config_precedence(tmp_path, monkeypatch):
     props = load_properties("a.b=fromfile\nother=x", is_text=True)
     assert props["a.b"] == "fromfile"
