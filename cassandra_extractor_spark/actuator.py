@@ -76,6 +76,7 @@ class Actuator:
         self.metrics = metrics or MetricsRegistry()
         self.jobs: dict[str, ExtractionJob] = {}
         self.masked_config: dict[str, Any] = {}
+        self._start_lock = threading.Lock()
 
     def create(self, job: ExtractionJob) -> ExtractionJob:
         job.group_id = f"extract-{job.table}"
@@ -84,12 +85,17 @@ class Actuator:
 
     def start(self, table: str) -> dict[str, Any]:
         job = self.jobs[table]
-        if job.state == JobState.RUNNING:
-            return {"status": "already running"}
+        with self._start_lock:
+            # check-and-set under a lock, and flip to RUNNING *before*
+            # spawning: two rapid start/resume calls must not both pass
+            if job.state == JobState.RUNNING or (
+                job._thread is not None and job._thread.is_alive()
+            ):
+                return {"status": "already running"}
+            job.state = JobState.RUNNING
 
         def runner():
             self.spark.sparkContext.setJobGroup(job.group_id, f"extraction {job.table}", True)
-            job.state = JobState.RUNNING
             try:
                 with self.metrics.time("extract_seconds", table=job.table):
                     job.run(job)

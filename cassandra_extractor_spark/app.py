@@ -46,11 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated sink list: jsonl,parquet,csv (default jsonl); "
         "fan-out writes each (D1)",
     )
-    p.add_argument("--streaming", action="store_true", help="incremental streaming mode (checkpointed)")
+    # default=None (not False) so env/properties can still enable these
+    # under the CLI > env > properties precedence
+    p.add_argument(
+        "--streaming", action="store_true", default=None,
+        help="incremental streaming mode (checkpointed)",
+    )
     p.add_argument("--checkpoint", help="streaming checkpoint root")
     p.add_argument("--properties", help="properties file (lowest precedence)")
     p.add_argument("--actuator-port", type=int, help="serve REST control plane")
-    p.add_argument("--no-auto-start", action="store_true", help="create jobs but wait for POST /start")
+    p.add_argument(
+        "--no-auto-start", action="store_true", default=None,
+        help="create jobs but wait for POST /start",
+    )
     return p
 
 
@@ -61,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
 
     def cfg(key: str, default=None, cast=None):
         return resolve(key, cli, props, default=default, cast=cast)
+
+    def cfg_flag(key: str) -> bool:
+        v = cfg(key)
+        return v in (True, "true", "True", "1", "yes")
 
     tables = (cfg("tables") or "").split(",")
     if not tables or not tables[0]:
@@ -111,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         def run(job: ExtractionJob, spec=spec, table=table):
             from pyspark.sql import Observation, functions as F
 
-            if cfg("streaming"):
+            if cfg_flag("streaming"):
                 from cassandra_extractor_spark.streaming.pipeline import stream_extract
 
                 schema = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
@@ -120,8 +132,11 @@ def main(argv: list[str] | None = None) -> int:
                 stream_spec = dataclasses.replace(spec, sort=[], limit=None, hwm_column=None)
 
                 def dispatch(d, batch_id, t=table):
-                    # micro-batches append (checkpoint dedupes on resume)
-                    d.write.mode("append").json(f"{output}/{t}")
+                    # foreachBatch is at-least-once: a crash between the
+                    # write and the checkpoint commit re-runs the batch,
+                    # so each batch overwrites its OWN batch_id path —
+                    # the replay is idempotent
+                    d.write.mode("overwrite").json(f"{output}/{t}/batch={batch_id}")
 
                 q = stream_extract(
                     spark,
@@ -151,11 +166,13 @@ def main(argv: list[str] | None = None) -> int:
             failed = {k: str(v) for k, v in results.items() if v is not None}
             if failed:
                 raise RuntimeError(f"sink failures: {failed}")
+            if spec._hwm_commit is not None:
+                spec._hwm_commit()  # crash-safe: mark advances post-write
             job.processed = int(obs.get["rows"])
             metrics.inc("rows_processed_total", job.processed, table=table)
 
         actuator.create(ExtractionJob(table=table, run=run))
-        if not cfg("no.auto.start"):
+        if not cfg_flag("no.auto.start"):
             actuator.start(table)
 
     server = actuator.serve(cfg("actuator.port", cast=int)) if cfg("actuator.port") is not None else None

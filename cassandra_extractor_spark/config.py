@@ -52,7 +52,10 @@ def resolve(
         value = properties[key]
     else:
         value = default
-    if value is not None and cast is not None and not isinstance(value, cast if isinstance(cast, type) else object):
+    # env/properties deliver strings; CLI values arrive already typed.
+    # Apply any cast callable to strings (a plain `cast(value)` on an
+    # already-typed CLI value would double-convert or throw).
+    if value is not None and cast is not None and isinstance(value, str):
         value = cast(value)
     return value
 

@@ -118,14 +118,25 @@ def solr_to_sql(query: str) -> str:
         raise SolrTranslationError("unbalanced parentheses")
     if not out:
         raise SolrTranslationError("empty query")
-    # Solr's implicit operator between adjacent clauses is dialect-
-    # dependent; require explicit AND/OR (reject ambiguity)
-    prev_operand = False
+    # grammar check (Solr's implicit operator is dialect-dependent —
+    # require explicit AND/OR): expect-operand → operand/NOT/'(',
+    # after-operand → AND/OR/')'; must end after an operand
+    expect_operand = True
     for tok in out:
-        is_operand = tok not in ("AND", "OR", "NOT", "(", ")")
-        if is_operand and prev_operand:
-            raise SolrTranslationError("adjacent clauses need an explicit AND/OR")
-        prev_operand = is_operand or tok == ")"
-        if tok == "(":
-            prev_operand = False
+        if tok == "(" or tok == "NOT":
+            if not expect_operand:
+                raise SolrTranslationError(f"{tok!r} must follow AND/OR/( or start")
+        elif tok in ("AND", "OR"):
+            if expect_operand:
+                raise SolrTranslationError(f"{tok} needs a left-hand clause")
+            expect_operand = True
+        elif tok == ")":
+            if expect_operand:
+                raise SolrTranslationError("')' after operator or empty group")
+        else:  # operand
+            if not expect_operand:
+                raise SolrTranslationError("adjacent clauses need an explicit AND/OR")
+            expect_operand = False
+    if expect_operand:
+        raise SolrTranslationError("query ends with an operator")
     return " ".join(out)

@@ -187,10 +187,10 @@ def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{NUM_PERM-1}): codegen'd md5 over exploded
-    shingles → min-agg (map-side combined)."""
-    d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
+def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{NUM_PERM-1}) for any (doc_id, text) frame:
+    codegen'd md5 over exploded shingles → min-agg (map-side combined)."""
+    d = docs.where(F.size(tokens(F.col("text"))) >= 3)
     exploded = exploded_shingles(d)
     return exploded.groupBy("doc_id").agg(
         *[
@@ -200,9 +200,12 @@ def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): LSH band signatures."""
-    sig = minhash_signatures_df(spark, sf_dir)
+def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_for(load_table(spark, "documents", sf_dir))
+
+
+def bands_for(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) from a signature frame."""
     rows_per_band = NUM_PERM // BANDS
     band_structs = [
         F.struct(
@@ -216,6 +219,49 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures for the test table."""
+    return bands_for(minhash_signatures_df(spark, sf_dir))
+
+
+def incremental_dedup(
+    base_bands: DataFrame, new_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: a new batch against an existing
+    corpus whose band signatures are already materialized.
+
+    Returns ``(dup_pairs, new_bands)`` where ``dup_pairs`` has
+    (new_id, dup_of) — ``dup_of`` from the base corpus OR an earlier
+    new doc — and ``new_bands`` is what the caller appends to the
+    signature store.
+
+    This is the production shape at 100 TB: the corpus is never
+    re-signed; each arriving batch costs one signature pass over the
+    batch plus a bucket join against the (bucketed, pre-partitioned)
+    signature store.
+    """
+    new_bands = bands_for(minhash_signatures_for(new_docs))
+    nb, bb = new_bands.alias("n"), base_bands.alias("b")
+    vs_base = (
+        nb.join(
+            bb,
+            (F.col("n.band") == F.col("b.band")) & (F.col("n.sig") == F.col("b.sig")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("dup_of"))
+    )
+    n2, n1 = new_bands.alias("x"), new_bands.alias("y")
+    vs_new = (
+        n2.join(
+            n1,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") > F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("new_id"), F.col("y.doc_id").alias("dup_of"))
+    )
+    return vs_base.union(vs_new).distinct(), new_bands
 
 
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +386,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -365,7 +412,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent partial labels would split components — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large) — raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

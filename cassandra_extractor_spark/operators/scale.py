@@ -45,14 +45,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi join: the (smaller) right side is replicated
-    ``salt_n`` times, the left side picks a random-but-deterministic
-    salt per row, and the join key becomes (key, salt) — a hot key's
-    rows land on ``salt_n`` tasks instead of one.
+    ``salt_n`` times, the left side spreads uniformly over the salts,
+    and the join key becomes (key, salt) — a hot key's rows land on
+    ``salt_n`` tasks instead of one.
 
-    Result is row-identical to ``left.join(right, key, how)``.
+    Result is row-identical to ``left.join(right, key, how)`` for
+    inner/left joins.  Right/full-outer would multiply unmatched right
+    rows by ``salt_n`` (each replica is unmatched independently), so
+    those modes are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    # salt from a per-row counter, NOT a row hash: byte-identical rows
+    # (the common real-world hot-key shape) must still spread
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt_n)).cast("int")
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_n)).cast("int")
     )
     salted_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
@@ -72,7 +79,7 @@ def salted_aggregate(
     (key, salt), then final on key.  ``aggs`` maps column → one of
     sum/count/min/max (re-aggregable functions only)."""
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)).cast("int")
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_n)).cast("int")
     )
     partial_exprs, final_exprs = [], []
     for col, fn in aggs.items():

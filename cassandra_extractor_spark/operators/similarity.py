@@ -57,6 +57,36 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — the
+    storage/bandwidth step of a large-scale vector pipeline.  Per
+    vector: scale = max(|v|)/127; reports the scale and the mean
+    absolute dequantization error (both oracle-reproducible doubles).
+    Map-only: no shuffle at any corpus size.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scale = F.array_max(F.transform(F.col("emb"), lambda v: F.abs(v))) / F.lit(127.0)
+
+    def quantize(v):  # single-param closure (2-param lambda binds index)
+        return F.round(v / scale, 0)
+
+    q = F.transform(F.col("emb"), quantize)
+    deq = F.zip_with(q, F.col("emb"), lambda qi, vi: F.abs(qi * scale - vi))
+    err = (
+        F.aggregate(deq, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(F.col("emb")).cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale"),
+        # all-zero vector: scale=0 would divide by zero (NULL in Spark,
+        # inf/NaN in the oracle) — quantization error is exactly 0
+        F.when(scale == 0, F.lit(0.0)).otherwise(F.round(err, 8)).alias("mae"),
+    ).orderBy("vec_id")
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     query_vectors: list[tuple[int, list[float]]],

@@ -260,6 +260,18 @@ NS_ORACLES: dict[str, str] = {
         "OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored) "
         f"WHERE rank <= {TOP_K} ORDER BY q_id, rank"
     ),
+    # same per-element op order: scale = max(|v|)/127, q = round(v/scale),
+    # mae = fold(|q*scale - v|)/n
+    "ns_embedding_quantize": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "s AS (SELECT vec_id, emb, "
+        "list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale FROM e) "
+        "SELECT vec_id, round(scale, 8) AS scale, "
+        "CASE WHEN scale = 0 THEN 0.0 ELSE "
+        "round(list_reduce(list_transform(emb, v -> abs(round(v / scale, 0) * scale - v)), "
+        "(x, y) -> x + y) / CAST(len(emb) AS DOUBLE), 8) END AS mae "
+        "FROM s ORDER BY vec_id"
+    ),
     "ns_multimodal_meta": (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
         "md5(text) AS content_md5 FROM documents ORDER BY doc_id"

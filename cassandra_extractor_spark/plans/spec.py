@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cassandra_extractor_spark.functions.tablespecs import TableSpec, apply_table_spec
 from cassandra_extractor_spark.sources.catalog import load_table
-from cassandra_extractor_spark.streaming.hwm import HighWaterMarkStore, incremental_extract
+from cassandra_extractor_spark.streaming.hwm import HighWaterMarkStore, plan_incremental
 
 
 @dataclass
@@ -33,6 +33,8 @@ class ExtractionSpec:
     table_spec: dict[str, Any] | None = None  # T1-T10 transforms
     hwm_column: str | None = None  # P3 incremental column
     fetch_size: int = 10_000  # partition-sizing hint
+    #: set by build() when an HWM store is used; run AFTER sinks succeed
+    _hwm_commit: Any = None
 
     def build(
         self,
@@ -51,7 +53,11 @@ class ExtractionSpec:
 
             df = df.where(solr_to_sql(self.solr_filter))
         if self.hwm_column and hwm_store is not None:
-            df = incremental_extract(df, self.hwm_column, self.table, hwm_store)
+            # mark commit is deferred: run_extraction calls it only
+            # after every sink write succeeded (crash-safe window)
+            df, self._hwm_commit = plan_incremental(
+                df, self.hwm_column, self.table, hwm_store
+            )
         if self.table_spec:
             df = apply_table_spec(df, self.table_spec)
         if self.sort:
@@ -72,4 +78,7 @@ def run_extraction(
     from cassandra_extractor_spark.sinks.fanout import fan_out
 
     df = spec.build(spark, sf_dir, hwm_store)
-    return fan_out(df, sinks)
+    results = fan_out(df, sinks)
+    if spec._hwm_commit is not None and all(v is None for v in results.values()):
+        spec._hwm_commit()  # advance the mark only after a clean write
+    return results

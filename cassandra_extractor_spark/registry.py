@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_neardup_embedding": D.ns_neardup_embedding,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
+    "ns_embedding_quantize": S.ns_embedding_quantize,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,

@@ -67,18 +67,19 @@ def hwm_filter(df: DataFrame, ts_col: str, hwm: str | None) -> DataFrame:
     return df.where(F.col(ts_col) < F.to_timestamp(F.lit(hwm)))
 
 
-def incremental_extract(
+def plan_incremental(
     df: DataFrame,
     ts_col: str,
     table: str,
     store: HighWaterMarkStore,
-) -> DataFrame:
-    """One incremental run: rows in ``[previous_hwm, new_hwm)``.
+):
+    """Plan one incremental run: rows in ``[previous_hwm, new_hwm)``.
 
-    First run (no stored mark) extracts everything below the captured
-    mark.  The new mark is persisted immediately, mirroring the
-    reference's capture-on-first-page (datacrawler.py:485-491) so a
-    crashed run re-extracts the same closed window idempotently.
+    Returns ``(filtered_df, commit)`` — the caller runs its sink writes
+    and calls ``commit()`` ONLY on success.  Committing the mark before
+    the write would lose the window on a crash (the next run would skip
+    it); deferring makes a crashed run re-extract the same closed
+    window idempotently.
     """
     prev = store.get(table)
     new = capture_hwm(df, ts_col)
@@ -88,12 +89,29 @@ def incremental_extract(
         # captured *after* rows are fetched — max row passes)
         import datetime as _dt
 
-        bumped = (
+        new = (
             _dt.datetime.fromisoformat(new) + _dt.timedelta(microseconds=1)
         ).isoformat(sep=" ")
-        store.set(table, bumped)
-        new = bumped
     out = hwm_filter(df, ts_col, new)
     if prev is not None:
         out = out.where(F.col(ts_col) >= F.to_timestamp(F.lit(prev)))
+
+    def commit() -> None:
+        if new is not None:
+            store.set(table, new)
+
+    return out, commit
+
+
+def incremental_extract(
+    df: DataFrame,
+    ts_col: str,
+    table: str,
+    store: HighWaterMarkStore,
+) -> DataFrame:
+    """One incremental run with IMMEDIATE mark commit — only safe when
+    the caller's write cannot fail or duplicates are acceptable; sink
+    paths should use ``plan_incremental`` and commit after the write."""
+    out, commit = plan_incremental(df, ts_col, table, store)
+    commit()
     return out

@@ -36,6 +36,24 @@ def test_capture(spark):
     assert capture_hwm(_df(spark, 1, 20, 5), "ts") == "2024-01-20 00:00:00"
 
 
+def test_plan_incremental_defers_commit(spark, tmp_path):
+    """Crash safety: the mark must not advance until commit() is called
+    after a successful write (a crashed run re-extracts its window)."""
+    from cassandra_extractor_spark.streaming.hwm import plan_incremental
+
+    store = HighWaterMarkStore(str(tmp_path / "hwm.json"))
+    df = _df(spark, 1, 5, 10)
+    out, commit = plan_incremental(df, "ts", "t", store)
+    assert out.count() == 3
+    assert store.get("t") is None  # crash before commit -> no loss
+    out2, commit2 = plan_incremental(df, "ts", "t", store)
+    assert out2.count() == 3  # full window re-extracted
+    commit2()
+    assert store.get("t") is not None
+    out3, _ = plan_incremental(df, "ts", "t", store)
+    assert out3.count() == 0  # committed -> nothing new
+
+
 def test_incremental_two_runs(spark, tmp_path):
     store = HighWaterMarkStore(str(tmp_path / "hwm.json"))
     first = _df(spark, 1, 5, 10)

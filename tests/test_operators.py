@@ -66,6 +66,34 @@ def test_lang_id_markers(spark):
     assert out[0] == "en" and out[1] == "fr" and out[2] == "und"
 
 
+def test_incremental_dedup_matches_full(spark, sf_dir):
+    """Batch-vs-corpus incremental LSH finds exactly the full-corpus
+    candidate pairs that involve a new doc."""
+    from cassandra_extractor_spark.operators.dedup import (
+        bands_for,
+        incremental_dedup,
+        minhash_signatures_for,
+        ns_dedup_minhash_lsh,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    base_bands = bands_for(minhash_signatures_for(base))
+    pairs, new_bands = incremental_dedup(base_bands, new)
+    got = {(r["new_id"], r["dup_of"]) for r in pairs.collect()}
+    full = ns_dedup_minhash_lsh(spark, sf_dir)
+    expected = {
+        (r["d2"], r["d1"]) for r in full.collect() if r["d2"] >= 400
+    }
+    assert got == expected and expected  # non-trivial and exact
+    # store update shape: appending covers the batch
+    assert new_bands.select("doc_id").distinct().count() == new.where(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    ).count()
+
+
 def test_media_metadata_mime(spark):
     df = spark.createDataFrame(
         [Row(i=0, b=b"\x89PNG1234"), Row(i=1, b=b"\xff\xd8\xffrest"), Row(i=2, b=b"plain")]

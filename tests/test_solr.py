@@ -37,7 +37,18 @@ def test_match_all():
 
 @pytest.mark.parametrize(
     "bad",
-    ["name:rob~2", "title:spark^4", "bare_fulltext", "a:1 b:2", "(a:1", "value:[1 TO 2"],
+    [
+        "name:rob~2",
+        "title:spark^4",
+        "bare_fulltext",
+        "a:1 b:2",
+        "(a:1",
+        "value:[1 TO 2",
+        "a:1 NOT b:2",  # implicit operator before NOT is ambiguous
+        "a:1 (b:2 OR c:3)",  # operand adjacent to a group
+        "a:1 AND",  # trailing operator
+        "()",
+    ],
 )
 def test_rejects_unsupported(bad):
     with pytest.raises(SolrTranslationError):
