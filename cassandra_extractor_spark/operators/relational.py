@@ -601,6 +601,40 @@ def q46_recursive_cte(spark, sf_dir):
     )
 
 
+def q47_regex_funcs(spark, sf_dir):
+    """Regex function breadth (extract/replace/count) — dialect kept to
+    the RE2/Java-compatible subset so both engines agree."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"(\d+)", 1).alias("name_num"),
+            F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+            F.regexp_count("c_name", F.lit(r"[0-9]")).cast("long").alias("digits"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q48_null_funcs(spark, sf_dir):
+    """NULL-handling breadth: nullif/coalesce/greatest/least/is-checks."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.nullif(F.col("s_nationkey").cast("int"), F.lit(0)).alias("nk_nullable"),
+            F.coalesce(
+                F.nullif(F.col("s_nationkey").cast("int"), F.lit(0)), F.lit(-1)
+            ).alias("nk_filled"),
+            F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor"),
+            F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+            F.col("s_acctbal").isNull().cast("boolean").alias("bal_is_null"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q31_json_extract(spark, sf_dir):
     # T2 JSON parsing analogue on events.props (worker.py:136-137)
     return (

@@ -37,6 +37,35 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def write_layout_optimized(
+    df: DataFrame,
+    path: str,
+    key: str,
+    num_files: int = 32,
+    extra_sort: list[str] | None = None,
+) -> None:
+    """Write parquet range-partitioned + sorted by ``key`` so filters on
+    the key prune whole files (min/max footer stats) and row groups.
+
+    The 100 TB layout move: a fact table queried by key range should be
+    written this way once, making every later scan skip all but the
+    matching key range — verified in tests by counting the distinct
+    input files a filtered scan actually touches.
+    """
+    (
+        df.repartitionByRange(num_files, key)
+        .sortWithinPartitions(key, *(extra_sort or []))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(df: DataFrame) -> int:
+    """Distinct input files a (filtered) scan reads — the observable
+    effect of file pruning."""
+    return df.select(F.input_file_name().alias("f")).distinct().count()
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

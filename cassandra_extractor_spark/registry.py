@@ -72,6 +72,8 @@ QUERIES: dict[str, QueryFn] = {
     "q44_percentile": R.q44_percentile,
     "q45_stats": R.q45_stats,
     "q46_recursive_cte": R.q46_recursive_cte,
+    "q47_regex_funcs": R.q47_regex_funcs,
+    "q48_null_funcs": R.q48_null_funcs,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -315,6 +317,22 @@ ORACLES: dict[str, str] = {
         "ROUND(var_samp(o_totalprice), 0) AS vr, "
         "ROUND(corr(o_totalprice, o_custkey), 6) AS cr, "
         "ROUND(AVG(o_totalprice), 2) AS mean FROM orders"
+    ),
+    "q47_regex_funcs": (
+        "SELECT c_custkey, "
+        "COALESCE(regexp_extract(c_name, '(\\d+)', 1), '') AS name_num, "
+        "regexp_replace(c_name, '[0-9]', '#', 'g') AS masked, "
+        "CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS digits "
+        "FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"
+    ),
+    "q48_null_funcs": (
+        "SELECT s_suppkey, "
+        "NULLIF(CAST(s_nationkey AS INTEGER), 0) AS nk_nullable, "
+        "COALESCE(NULLIF(CAST(s_nationkey AS INTEGER), 0), -1) AS nk_filled, "
+        "GREATEST(s_acctbal, 0.0) AS bal_floor, "
+        "LEAST(s_acctbal, 5000.0) AS bal_cap, "
+        "s_acctbal IS NULL AS bal_is_null "
+        "FROM supplier ORDER BY s_suppkey"
     ),
     "q46_recursive_cte": (
         "WITH RECURSIVE months(m) AS ("

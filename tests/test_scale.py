@@ -35,6 +35,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_layout_optimized_write_prunes_files(spark, sf_dir, tmp_path):
+    from cassandra_extractor_spark.operators.scale import files_touched, write_layout_optimized
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_ranged")
+    write_layout_optimized(orders, path, "o_orderkey", num_files=16)
+    back = spark.read.parquet(path)
+    total = files_touched(back)
+    narrow = files_touched(back.where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)))
+    assert total >= 8  # layout actually split into many files
+    assert narrow <= 2  # narrow key range touches ~1 file, not all
+    # correctness preserved
+    assert back.count() == orders.count()
+
+
 def _skewed(spark):
     # 10k rows of one hot key + 100 spread keys
     hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
