@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def cfg_flag(key: str) -> bool:
         v = cfg(key)
-        return v in (True, "true", "True", "1", "yes")
+        return v is True or str(v).strip().lower() in ("true", "1", "yes")
 
     tables = (cfg("tables") or "").split(",")
     if not tables or not tables[0]:
@@ -124,34 +124,46 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import Observation, functions as F
 
             if cfg_flag("streaming"):
+                from cassandra_extractor_spark.sources.catalog import DEFAULT_SF_DIR
                 from cassandra_extractor_spark.streaming.pipeline import stream_extract
 
-                schema = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+                if sink_names != ["jsonl"]:
+                    raise ValueError(
+                        "streaming mode currently writes the jsonl sink only; "
+                        f"got --sinks {','.join(sink_names)}"
+                    )
+                src_dir = sf_dir or DEFAULT_SF_DIR
+                schema = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet")).schema
                 # sort/limit are batch-only; streaming applies the
                 # projection/filter/transform subset of the spec
                 stream_spec = dataclasses.replace(spec, sort=[], limit=None, hwm_column=None)
+                batch_counts: list[int] = []
 
                 def dispatch(d, batch_id, t=table):
                     # foreachBatch is at-least-once: a crash between the
                     # write and the checkpoint commit re-runs the batch,
                     # so each batch overwrites its OWN batch_id path —
                     # the replay is idempotent
+                    d = d.persist()
+                    batch_counts.append(d.count())
                     d.write.mode("overwrite").json(f"{output}/{t}/batch={batch_id}")
+                    d.unpersist()
 
                 q = stream_extract(
                     spark,
-                    sf_dir,
+                    src_dir,
                     schema,
                     {"jsonl": dispatch},
                     cfg("checkpoint", default=f"{output}/_ckpt/{table}"),
                     transform=(lambda d: stream_spec.build(spark, source_df=d))
-                    if (spec.columns or spec.filter or spec.table_spec)
+                    if (spec.columns or spec.filter or spec.solr_filter or spec.table_spec)
                     else None,
                     ts_col=spec.hwm_column,
                     path_glob=f"{table}.parquet",
                 )
                 q.awaitTermination()
-                job.processed = spark.read.json(f"{output}/{table}").count()
+                # rows processed THIS run (not the cumulative output dir)
+                job.processed = sum(batch_counts)
                 metrics.inc("rows_processed_total", job.processed, table=table)
                 return
 

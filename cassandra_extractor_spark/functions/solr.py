@@ -51,7 +51,9 @@ _RANGE = re.compile(
 def _sql_literal(value: str) -> str:
     if re.fullmatch(r"-?\d+(\.\d+)?", value):
         return value
-    return "'" + value.replace("'", "''") + "'"
+    # the predicate is consumed by Spark SQL, whose string literals
+    # treat backslash as an escape — double it, then double quotes
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _translate_range(m: re.Match) -> str:

@@ -43,6 +43,7 @@ class ExtractionSpec:
         hwm_store: HighWaterMarkStore | None = None,
         source_df: DataFrame | None = None,
     ) -> DataFrame:
+        self._hwm_commit = None  # never carry a stale commit across builds
         df = source_df if source_df is not None else load_table(spark, self.table, sf_dir)
         if self.columns:
             df = df.select(*self.columns)

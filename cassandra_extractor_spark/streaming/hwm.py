@@ -72,6 +72,7 @@ def plan_incremental(
     ts_col: str,
     table: str,
     store: HighWaterMarkStore,
+    lateness_us: int = 0,
 ):
     """Plan one incremental run: rows in ``[previous_hwm, new_hwm)``.
 
@@ -80,13 +81,19 @@ def plan_incremental(
     the write would lose the window on a crash (the next run would skip
     it); deferring makes a crashed run re-extract the same closed
     window idempotently.
+
+    The mark is the captured max + 1µs so the max row itself is
+    extracted THIS run (otherwise a quiescent table never emits its
+    last row).  Trade-off: a writer that inserts ``ts == max`` AFTER
+    capture falls below the committed mark and would be skipped; if the
+    source can produce such ties (coarse timestamps, clock skew), set
+    ``lateness_us`` — the committed mark is backed off by that margin
+    and the overlap is re-extracted next run (pair with idempotent
+    sinks).
     """
     prev = store.get(table)
     new = capture_hwm(df, ts_col)
     if new is not None:
-        # +1µs: the captured max itself must be included in this run's
-        # window (reference excludes ts >= filter, where filter is
-        # captured *after* rows are fetched — max row passes)
         import datetime as _dt
 
         new = (
@@ -98,7 +105,15 @@ def plan_incremental(
 
     def commit() -> None:
         if new is not None:
-            store.set(table, new)
+            mark = new
+            if lateness_us:
+                import datetime as _dt
+
+                mark = (
+                    _dt.datetime.fromisoformat(new)
+                    - _dt.timedelta(microseconds=lateness_us)
+                ).isoformat(sep=" ")
+            store.set(table, mark)
 
     return out, commit
 

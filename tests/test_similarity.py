@@ -30,11 +30,14 @@ def test_vectorized_matches_exact_topk(spark, sf_dir):
         for r in cosine_topk_vectorized(corpus, queries).collect()
     }
     assert set(exact) == set(fast)
+    # per-rank score agreement; neighbor identity must match except
+    # where several exact neighbors tie at 6 decimals (rank order
+    # between the fold and numpy paths is then legitimately arbitrary)
+    by_q: dict[int, list] = {}
+    for (q_id, rank), (n_id, cos) in exact.items():
+        by_q.setdefault(q_id, []).append((cos, n_id))
     for key, (n_id, cos) in exact.items():
         f_nid, f_cos = fast[key]
-        # the declared query rounds cos to 6; numpy accumulates
-        # differently — agree to 1e-9 pre-rounding
         assert abs(f_cos - cos) < 1e-6
-        if abs(round(f_cos, 6) - cos) > 0:
-            continue  # rounding tie: rank order may legitimately differ
-        assert f_nid == n_id
+        tied_ids = {n for c, n in by_q[key[0]] if c == cos}
+        assert f_nid in tied_ids if len(tied_ids) > 1 else f_nid == n_id
