@@ -19,7 +19,7 @@ import os
 import sys
 
 from cassandra_extractor_spark.actuator import Actuator, ExtractionJob
-from cassandra_extractor_spark.config import load_properties, resolve
+from cassandra_extractor_spark.config import load_properties, load_table_properties, resolve
 from cassandra_extractor_spark.metrics import MetricsRegistry
 from cassandra_extractor_spark.plans.spec import ExtractionSpec
 from cassandra_extractor_spark.session import get_spark
@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checkpoint", help="streaming checkpoint root")
     p.add_argument("--properties", help="properties file (lowest precedence)")
+    p.add_argument(
+        "--table-properties-dir",
+        help="dir of per-table {table}.properties overlays (app.py:365-540)",
+    )
     p.add_argument("--actuator-port", type=int, help="serve REST control plane")
     p.add_argument(
         "--no-auto-start", action="store_true", default=None,
@@ -92,15 +96,22 @@ def main(argv: list[str] | None = None) -> int:
     actuator.masked_config = {k: v for k, v in {**props, **cli}.items()}
 
     for table in tables:
+        # per-table overlay: {dir}/{table}.properties and
+        # "{table}."-prefixed global keys override the global config
+        tprops = load_table_properties(props, table, cfg("table.properties.dir"))
+
+        def tcfg(key: str, default=None, cast=None, _p=tprops):
+            return resolve(key, cli, _p, default=default, cast=cast)
+
         spec = ExtractionSpec(
             table=table,
-            columns=cfg("columns").split(",") if cfg("columns") else None,
-            filter=cfg("filter"),
-            solr_filter=cfg("solr.filter"),
-            sort=cfg("sort").split(",") if cfg("sort") else [],
-            limit=cfg("limit", cast=int),
+            columns=tcfg("columns").split(",") if tcfg("columns") else None,
+            filter=tcfg("filter"),
+            solr_filter=tcfg("solr.filter"),
+            sort=tcfg("sort").split(",") if tcfg("sort") else [],
+            limit=tcfg("limit", cast=int),
             table_spec=table_spec,
-            hwm_column=cfg("hwm.column"),
+            hwm_column=tcfg("hwm.column"),
         )
 
         sink_names = (cfg("sinks", default="jsonl") or "jsonl").split(",")

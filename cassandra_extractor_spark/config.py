@@ -60,6 +60,28 @@ def resolve(
     return value
 
 
+def load_table_properties(
+    global_props: dict[str, str],
+    table: str,
+    properties_dir: str | None = None,
+) -> dict[str, str]:
+    """Per-table overlay (reference app.py:365-540): a
+    ``{dir}/{table}.properties`` file, when present, overrides the
+    global properties for that table's extraction; plain keys and
+    ``{table}.`` -prefixed keys in the global file also overlay."""
+    merged = dict(global_props)
+    # global keys namespaced to this table: "events.filter=..." beats "filter=..."
+    prefix = f"{table}."
+    for k, v in global_props.items():
+        if k.startswith(prefix):
+            merged[k[len(prefix):]] = v
+    if properties_dir:
+        path = os.path.join(properties_dir, f"{table}.properties")
+        if os.path.exists(path):
+            merged.update(load_properties(path))
+    return merged
+
+
 def resolve_all(
     keys: dict[str, tuple[Any, Any]],
     cli_args: dict[str, Any] | None = None,

@@ -140,6 +140,88 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(fake_frames, schema=schema)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int = 224,
+    height: int = 224,
+    real: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height) → (id, resized binary).
+
+    Same stub contract as ``decode_images``: the real codec path raises
+    NotImplementedError; the deterministic fake emits a payload of
+    exactly width*height bytes derived from the input (so downstream
+    batch-shape/size logic is exercised for real).
+    """
+    if real:
+        raise NotImplementedError("image codecs are not available in this environment")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
+    )
+    n_out = width * height
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                # FAKE resize: tile the payload to the target byte size
+                bytes((b or b"\x00") * (n_out // max(len(b or b"\x00"), 1) + 1))[:n_out]
+                for b in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "resized": resized}
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(fake_resize, schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, binary_col: str, sample_rate: int = 16_000, real: bool = False
+) -> DataFrame:
+    """Audio feature extraction stub → (id, duration, rms, n_frames).
+
+    Real decode is NotImplemented (no audio libs here); the fake derives
+    deterministic features from the byte content so schema/batching is
+    tested for real.
+    """
+    if real:
+        raise NotImplementedError("audio codecs are not available in this environment")
+
+    def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = b or b""
+                n = len(payload)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        # FAKE: 2 bytes/sample mono PCM
+                        "duration_s": n / 2 / sample_rate,
+                        "rms": (sum(x * x for x in payload[:256]) / max(min(n, 256), 1)) ** 0.5,
+                        "n_frames": n // 512,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "rms", "n_frames"]).astype(
+                {"doc_id": "int64", "duration_s": "float64", "rms": "float64", "n_frames": "int32"}
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        fake_features, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata over documents.text treated as an opaque
     utf-8 payload — the oracle-checkable slice of the multimodal path

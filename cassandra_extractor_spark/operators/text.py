@@ -136,6 +136,48 @@ def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """PII scrubbing: mask emails, URLs, and long digit runs — the
+    standard redaction pass of a training-data pipeline.  Pure regexp
+    chain (JVM-side, map-only)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, LONG_DIGITS_RE, "<NUM>")
+
+
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents; the fixture text has no PII, so a
+    deterministic synthetic email/URL/number is appended per doc first
+    — the query then proves complete removal (counts + hash)."""
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com see http://t.co/x"),
+        F.col("doc_id").cast("string"),
+        F.lit(" id 1234567890"),
+    )
+    clean = scrub_pii(dirty)
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(dirty, F.lit(EMAIL_RE)).cast("long").alias("emails_before"),
+            F.regexp_count(clean, F.lit(EMAIL_RE)).cast("long").alias("emails_after"),
+            F.regexp_count(clean, F.lit(URL_RE)).cast("long").alias("urls_after"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, length saturation, punctuation
     penalty → weighted score.  Pure double arithmetic in a fixed

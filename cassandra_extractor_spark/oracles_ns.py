@@ -165,6 +165,19 @@ NS_ORACLES: dict[str, str] = {
         "FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk"
     ),
     "ns_lang_id": _lang_id_sql(),
+    "ns_pii_scrub": (
+        "WITH d AS (SELECT doc_id, "
+        "concat(text, ' user', doc_id, '@example.com see http://t.co/x', doc_id, "
+        "' id 1234567890') AS dirty FROM documents), "
+        "c AS (SELECT doc_id, dirty, regexp_replace(regexp_replace(regexp_replace("
+        "dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'https?://[^\\s]+', '<URL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean FROM d) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS emails_before, "
+        "CAST(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS emails_after, "
+        "CAST(len(regexp_extract_all(clean, 'https?://[^\\s]+')) AS BIGINT) AS urls_after, "
+        "md5(clean) AS clean_md5 FROM c ORDER BY doc_id"
+    ),
     "ns_text_quality": (
         "WITH q AS (SELECT doc_id, "
         f"CAST(len({TOKS}) AS DOUBLE) AS n_tok, "

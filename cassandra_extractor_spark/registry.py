@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_tfidf": TX.ns_tfidf,
     "ns_doc_fingerprint": TX.ns_doc_fingerprint,
     "ns_lang_id": TX.ns_lang_id,
+    "ns_pii_scrub": TX.ns_pii_scrub,
     "ns_text_quality": TX.ns_text_quality,
     "ns_dedup_exact": D.ns_dedup_exact,
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,

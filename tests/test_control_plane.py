@@ -146,6 +146,38 @@ def test_hot_config_reload(spark):
     assert seen[0] == {} and seen[1]["cassandra.fetch_size"] == "500"
 
 
+def test_per_table_config_overlay(tmp_path):
+    from cassandra_extractor_spark.config import load_table_properties
+
+    global_props = {"filter": "1=1", "events.filter": "event_type = 'click'", "limit": "5"}
+    tdir = tmp_path / "tconf"
+    tdir.mkdir()
+    (tdir / "orders.properties").write_text("limit=9\nsort=o_orderkey")
+    ev = load_table_properties(global_props, "events", str(tdir))
+    assert ev["filter"] == "event_type = 'click'"  # prefixed key wins
+    assert ev["limit"] == "5"
+    od = load_table_properties(global_props, "orders", str(tdir))
+    assert od["limit"] == "9" and od["sort"] == "o_orderkey"  # file overlay
+    assert od["filter"] == "1=1"
+
+
+def test_cli_app_table_overlay(spark, sf_dir, tmp_path):
+    from cassandra_extractor_spark import app as app_mod
+
+    out = str(tmp_path / "out_ov")
+    props = tmp_path / "job.properties"
+    props.write_text("events.filter=event_type = 'signup'\n")
+    rc = app_mod.main(
+        ["-T", "events", "--sf-dir", sf_dir, "--output", out, "--properties", str(props)]
+    )
+    assert rc == 0
+    types = {
+        r["event_type"]
+        for r in spark.read.json(f"{out}/events").select("event_type").distinct().collect()
+    }
+    assert types == {"signup"}
+
+
 def test_cli_app(spark, sf_dir, tmp_path, monkeypatch):
     from cassandra_extractor_spark import app as app_mod
 

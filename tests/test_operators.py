@@ -117,6 +117,26 @@ def test_decode_images_plumbing(spark):
         decode_images(df, "doc_id", "payload", real=True)
 
 
+def test_resize_and_audio_stubs(spark):
+    import pytest
+
+    from cassandra_extractor_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"abc" * 100), Row(doc_id=2, payload=b"")])
+    resized = {r["doc_id"]: r["resized"] for r in resize_images(df, "doc_id", "payload", 8, 4).collect()}
+    assert len(resized[1]) == 32 and len(resized[2]) == 32  # exact target bytes
+    feats = {r["doc_id"]: r for r in extract_audio_features(df, "doc_id", "payload").collect()}
+    assert feats[1]["duration_s"] > 0 and feats[2]["duration_s"] == 0.0
+    assert feats[1]["n_frames"] == 0  # 300 bytes < one 512-byte frame
+    with pytest.raises(NotImplementedError):
+        resize_images(df, "doc_id", "payload", real=True)
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(df, "doc_id", "payload", real=True)
+
+
 def test_sample_frames_fanout(spark):
     df = spark.createDataFrame([Row(doc_id=1, payload=bytes(range(256)) * 8)])
     out = sample_frames(df, "doc_id", "payload", every_n=30)
