@@ -136,6 +136,55 @@ def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining via pointwise mutual information:
+    PMI = ln(p(xy) / (p(x)p(y))) over the corpus, top pairs by PMI.
+
+    Classic n-gram analysis for corpus exploration; two shuffles
+    (bigram counts, unigram counts) + one broadcast-sized join at any
+    corpus scale.  Restricted to bigrams seen >= 5 times so the output
+    is stable and the oracle cheap.
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w"))
+    w_next = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", "w", F.lead("w", 1).over(w_next).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    n_bi = bi.count()
+    n_uni = toks.count()
+    bigrams = bi.groupBy("w", "w2").agg(F.count("*").alias("c_xy")).where(F.col("c_xy") >= 5)
+    uni = toks.groupBy("w").agg(F.count("*").alias("c_x"))
+    u1 = uni.select(F.col("w").alias("w"), F.col("c_x").alias("cx"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_x").alias("cy"))
+    return (
+        bigrams.join(u1, "w")
+        .join(u2, "w2")
+        .select(
+            "w",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.lit(float(n_bi)))
+                    / (
+                        (F.col("cx").cast("double") / F.lit(float(n_uni)))
+                        * (F.col("cy").cast("double") / F.lit(float(n_uni)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w", "w2")
+        .limit(100)
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 LONG_DIGITS_RE = r"[0-9]{7,}"

@@ -165,6 +165,23 @@ NS_ORACLES: dict[str, str] = {
         "FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk"
     ),
     "ns_lang_id": _lang_id_sql(),
+    "ns_ngram_pmi": (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "uni AS (SELECT unnest(toks) AS w FROM t), "
+        "bi AS (SELECT unnest(list_transform(range(len(toks) - 1), "
+        "i -> concat(toks[i+1], ' ', toks[i+2]))) AS bg FROM t WHERE len(toks) >= 2), "
+        "bg_counts AS (SELECT bg, COUNT(*) AS c_xy FROM bi GROUP BY bg HAVING COUNT(*) >= 5), "
+        "uni_counts AS (SELECT w, COUNT(*) AS c_x FROM uni GROUP BY w), "
+        "nums AS (SELECT (SELECT COUNT(*) FROM bi) AS n_bi, (SELECT COUNT(*) FROM uni) AS n_uni) "
+        "SELECT split_part(bg, ' ', 1) AS w, split_part(bg, ' ', 2) AS w2, c_xy, "
+        "round(ln((CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE)) / "
+        "((CAST(u1.c_x AS DOUBLE) / CAST(n_uni AS DOUBLE)) * "
+        "(CAST(u2.c_x AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6) AS pmi "
+        "FROM bg_counts, nums "
+        "JOIN uni_counts u1 ON u1.w = split_part(bg, ' ', 1) "
+        "JOIN uni_counts u2 ON u2.w = split_part(bg, ' ', 2) "
+        "ORDER BY pmi DESC, w, w2 LIMIT 100"
+    ),
     "ns_pii_scrub": (
         "WITH d AS (SELECT doc_id, "
         "concat(text, ' user', doc_id, '@example.com see http://t.co/x', doc_id, "

@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_doc_fingerprint": TX.ns_doc_fingerprint,
     "ns_lang_id": TX.ns_lang_id,
     "ns_pii_scrub": TX.ns_pii_scrub,
+    "ns_ngram_pmi": TX.ns_ngram_pmi,
     "ns_text_quality": TX.ns_text_quality,
     "ns_dedup_exact": D.ns_dedup_exact,
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,

@@ -76,6 +76,39 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path, sf_dir):
     assert joined.where(F.col("c") != F.col("bc")).count() == 0
 
 
+def test_streaming_dedup_with_watermark(spark, tmp_path, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the key within the
+    watermark horizon — duplicate events across micro-batches are
+    emitted once."""
+    from pyspark.sql import functions as F
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "dsrc")
+    ev = load_table(spark, "events", sf_dir).limit(200)
+    # duplicate every row (two files, same content)
+    ev.write.parquet(src)
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(f"{src}/part-*.parquet")):
+        shutil.copy(f, f"{src}/dup_{i}.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(*) c FROM dedup_out").first()["c"]
+    distinct = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_out").first()["c"]
+    assert n == distinct == 200  # 400 input rows -> 200 unique events
+
+
 def test_streaming_sessionize(spark, tmp_path):
     src = str(tmp_path / "src")
     _events(spark).write.parquet(src)
