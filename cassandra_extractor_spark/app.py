@@ -84,10 +84,6 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     sf_dir = cfg("sf.dir")
     output = cfg("output", default="./out")
-    table_spec = None
-    if cfg("table.specs"):
-        with open(cfg("table.specs"), encoding="utf-8") as f:
-            table_spec = json.load(f)
     hwm_store = HighWaterMarkStore(cfg("hwm.state", default=f"{output}/_hwm.json"))
 
     spark = get_spark("extractor-app")
@@ -103,6 +99,15 @@ def main(argv: list[str] | None = None) -> int:
         def tcfg(key: str, default=None, cast=None, _p=tprops):
             return resolve(key, cli, _p, default=default, cast=cast)
 
+        def tcfg_flag(key: str, _p=tprops) -> bool:
+            v = resolve(key, cli, _p)
+            return v is True or str(v).strip().lower() in ("true", "1", "yes")
+
+        table_spec = None
+        if tcfg("table.specs"):
+            with open(tcfg("table.specs"), encoding="utf-8") as f:
+                table_spec = json.load(f)
+
         spec = ExtractionSpec(
             table=table,
             columns=tcfg("columns").split(",") if tcfg("columns") else None,
@@ -114,9 +119,9 @@ def main(argv: list[str] | None = None) -> int:
             hwm_column=tcfg("hwm.column"),
         )
 
-        sink_names = (cfg("sinks", default="jsonl") or "jsonl").split(",")
+        sink_names = (tcfg("sinks", default="jsonl") or "jsonl").split(",")
 
-        def make_sinks(table: str):
+        def make_sinks(table: str, sink_names=sink_names):  # bind now (loop rebinds)
             writers = {
                 "jsonl": lambda d, t=table: write_jsonl(d, f"{output}/{t}"),
                 "parquet": lambda d, t=table: d.write.mode("overwrite").parquet(
@@ -131,10 +136,20 @@ def main(argv: list[str] | None = None) -> int:
                 raise ValueError(f"unknown sinks: {sorted(unknown)}")
             return {n: writers[n] for n in sink_names}
 
-        def run(job: ExtractionJob, spec=spec, table=table):
+        def run(
+            job: ExtractionJob,
+            spec=spec,
+            table=table,
+            # bind per-table closures NOW: the loop rebinds these names
+            # on the next iteration while this job may still be running
+            tcfg=tcfg,
+            tcfg_flag=tcfg_flag,
+            sink_names=sink_names,
+            make_sinks=make_sinks,
+        ):
             from pyspark.sql import Observation, functions as F
 
-            if cfg_flag("streaming"):
+            if tcfg_flag("streaming"):
                 from cassandra_extractor_spark.sources.catalog import DEFAULT_SF_DIR
                 from cassandra_extractor_spark.streaming.pipeline import stream_extract
 
@@ -165,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
                     src_dir,
                     schema,
                     {"jsonl": dispatch},
-                    cfg("checkpoint", default=f"{output}/_ckpt/{table}"),
+                    tcfg("checkpoint", default=f"{output}/_ckpt/{table}"),
                     transform=(lambda d: stream_spec.build(spark, source_df=d))
                     if (spec.columns or spec.filter or spec.solr_filter or spec.table_spec)
                     else None,

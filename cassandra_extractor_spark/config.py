@@ -67,11 +67,12 @@ def load_table_properties(
 ) -> dict[str, str]:
     """Per-table overlay (reference app.py:365-540): a
     ``{dir}/{table}.properties`` file, when present, overrides the
-    global properties for that table's extraction; plain keys and
-    ``{table}.`` -prefixed keys in the global file also overlay."""
+    global properties for that table's extraction; global keys under
+    the dedicated ``tables.{table}.`` namespace also overlay (the
+    namespace avoids colliding with dotted config keys — a table named
+    'solr' must not capture 'solr.filter')."""
     merged = dict(global_props)
-    # global keys namespaced to this table: "events.filter=..." beats "filter=..."
-    prefix = f"{table}."
+    prefix = f"tables.{table}."
     for k, v in global_props.items():
         if k.startswith(prefix):
             merged[k[len(prefix):]] = v

@@ -156,8 +156,13 @@ def ns_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", "w", F.lead("w", 1).over(w_next).alias("w2"))
         .where(F.col("w2").isNotNull())
     )
-    n_bi = bi.count()
-    n_uni = toks.count()
+    # corpus totals from ONE cheap aggregate over per-doc token counts
+    # (n_bi = Σ max(len-1, 0)) — not two extra full tokenize passes
+    totals = d.select(F.size(tokens(F.col("text"))).alias("c")).agg(
+        F.sum("c").alias("n_uni"),
+        F.sum(F.greatest(F.col("c") - 1, F.lit(0))).alias("n_bi"),
+    ).first()
+    n_uni, n_bi = int(totals["n_uni"]), int(totals["n_bi"])
     bigrams = bi.groupBy("w", "w2").agg(F.count("*").alias("c_xy")).where(F.col("c_xy") >= 5)
     uni = toks.groupBy("w").agg(F.count("*").alias("c_x"))
     u1 = uni.select(F.col("w").alias("w"), F.col("c_x").alias("cx"))

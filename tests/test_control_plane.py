@@ -149,13 +149,22 @@ def test_hot_config_reload(spark):
 def test_per_table_config_overlay(tmp_path):
     from cassandra_extractor_spark.config import load_table_properties
 
-    global_props = {"filter": "1=1", "events.filter": "event_type = 'click'", "limit": "5"}
+    global_props = {
+        "filter": "1=1",
+        "tables.events.filter": "event_type = 'click'",
+        "limit": "5",
+        # a dotted config key whose first segment looks like a table
+        # name must NOT be treated as an overlay (collision guard)
+        "solr.filter": "type:log",
+    }
     tdir = tmp_path / "tconf"
     tdir.mkdir()
     (tdir / "orders.properties").write_text("limit=9\nsort=o_orderkey")
     ev = load_table_properties(global_props, "events", str(tdir))
-    assert ev["filter"] == "event_type = 'click'"  # prefixed key wins
+    assert ev["filter"] == "event_type = 'click'"  # namespaced key wins
     assert ev["limit"] == "5"
+    solr_tbl = load_table_properties(global_props, "solr", str(tdir))
+    assert solr_tbl["filter"] == "1=1"  # 'solr.filter' did NOT leak in
     od = load_table_properties(global_props, "orders", str(tdir))
     assert od["limit"] == "9" and od["sort"] == "o_orderkey"  # file overlay
     assert od["filter"] == "1=1"
@@ -166,7 +175,7 @@ def test_cli_app_table_overlay(spark, sf_dir, tmp_path):
 
     out = str(tmp_path / "out_ov")
     props = tmp_path / "job.properties"
-    props.write_text("events.filter=event_type = 'signup'\n")
+    props.write_text("tables.events.filter=event_type = 'signup'\n")
     rc = app_mod.main(
         ["-T", "events", "--sf-dir", sf_dir, "--output", out, "--properties", str(props)]
     )
