@@ -76,6 +76,7 @@ class Actuator:
         self.metrics = metrics or MetricsRegistry()
         self.jobs: dict[str, ExtractionJob] = {}
         self.masked_config: dict[str, Any] = {}
+        self.hwm_store = None  # set by the app when incremental mode is on
         self._start_lock = threading.Lock()
 
     def create(self, job: ExtractionJob) -> ExtractionJob:
@@ -154,6 +155,16 @@ class Actuator:
     def stats(self) -> dict[str, Any]:
         return {t: j.progress() for t, j in self.jobs.items()}
 
+    def state_dump(self) -> dict[str, Any]:
+        """Checkpoint-state dump (reference M3 GET /cache: the Redis
+        page-state view, datacrawler.py:349-360) — here the HWM store
+        contents plus per-job staged config."""
+        out: dict[str, Any] = {"hwm": {}, "job_config": {}}
+        if self.hwm_store is not None:
+            out["hwm"] = self.hwm_store._load()
+        out["job_config"] = {t: j.config for t, j in self.jobs.items()}
+        return out
+
     def config(self) -> dict[str, Any]:
         # passwords masked as in config.py:143-153 of the reference
         return {
@@ -187,6 +198,8 @@ class Actuator:
                     self._send(200, json.dumps(actuator.stats()))
                 elif self.path == "/config":
                     self._send(200, json.dumps(actuator.config()))
+                elif self.path == "/state":
+                    self._send(200, json.dumps(actuator.state_dump()))
                 else:
                     self._send(404, '{"error": "not found"}')
 

@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     metrics = MetricsRegistry()
     actuator = Actuator(spark, metrics)
     actuator.masked_config = {k: v for k, v in {**props, **cli}.items()}
+    actuator.hwm_store = hwm_store
 
     for table in tables:
         # per-table overlay: {dir}/{table}.properties and

@@ -113,6 +113,16 @@ def test_rest_endpoints(spark):
                 return json.loads(r.read())
 
         assert "extractions_total" in get("/metrics")
+        # /state dumps HWM + staged config (reference GET /cache, M3)
+        from cassandra_extractor_spark.streaming.hwm import HighWaterMarkStore
+        import tempfile
+
+        store = HighWaterMarkStore(tempfile.mktemp())
+        store.set("t", "2024-01-01 00:00:00")
+        actuator.hwm_store = store
+        state = json.loads(get("/state"))
+        assert state["hwm"]["t"] == "2024-01-01 00:00:00"
+        assert "t" in state["job_config"]
         cfg = json.loads(get("/config"))
         assert cfg["db.password"] == "***" and cfg["db.host"] == "h"
         assert post("/start", {"table": "t"})["status"] == "started"
