@@ -657,3 +657,153 @@ def q32_event_agg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def q49_intersect(spark, sf_dir):
+    """Set op INTERSECT (completes union/except coverage of SURVEY
+    §2.5). Catalyst plans this as a distinct + left-semi hash join."""
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    return s.intersect(c).orderBy("nk")
+
+
+def q50_lag_lead(spark, sf_dir):
+    """lag/lead analytic windows — partitioned by customer so the
+    shuffle key matches the grouping key and no global sort is needed."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_ok"),
+            F.lead("o_orderkey").over(w).alias("next_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q51_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (sum-CASE + count_if) — a single
+    shuffle-free partial agg per status split, no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_f"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", _money(F.col("o_totalprice"))).otherwise(zero)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev_f"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "O", _money(F.col("o_totalprice"))).otherwise(zero)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev_o"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q52_string_agg(spark, sf_dir):
+    """Ordered string aggregation: collect_list is partial-aggregated
+    map-side; sort_array gives a deterministic, partitioning-independent
+    ordering (equivalent to DuckDB string_agg ... ORDER BY)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias("names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q53_ntile(spark, sf_dir):
+    """Distribution windows: ntile / percent_rank / cume_dist. The
+    window is global, so the input is pre-limited; at 100 TB this shape
+    runs per-partition-key (see q22/q50), never globally."""
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q54_date_arith(spark, sf_dir):
+    """Date arithmetic breadth: add-days, day-diff, last-of-month —
+    all codegen'd JVM-side date intrinsics."""
+    d = F.col("o_orderdate").cast("date")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("due"),
+            F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("age_days"),
+            F.last_day(d).alias("eom"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q55_range_frame(spark, sf_dir):
+    """RANGE window frame: ties on the order key share the running
+    value (vs q23's ROWS frame), so the result is deterministic even
+    with duplicate timestamps."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(_money(F.col("o_totalprice"))).over(w), 2)
+            .cast("double")
+            .alias("run_range"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q56_first_last(spark, sf_dir):
+    """first_value/last_value over a full-partition frame — each
+    customer's chronologically first and last order key."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w).alias("last_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -74,6 +74,14 @@ QUERIES: dict[str, QueryFn] = {
     "q46_recursive_cte": R.q46_recursive_cte,
     "q47_regex_funcs": R.q47_regex_funcs,
     "q48_null_funcs": R.q48_null_funcs,
+    "q49_intersect": R.q49_intersect,
+    "q50_lag_lead": R.q50_lag_lead,
+    "q51_conditional_agg": R.q51_conditional_agg,
+    "q52_string_agg": R.q52_string_agg,
+    "q53_ntile": R.q53_ntile,
+    "q54_date_arith": R.q54_date_arith,
+    "q55_range_frame": R.q55_range_frame,
+    "q56_first_last": R.q56_first_last,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -345,6 +353,65 @@ ORACLES: dict[str, str] = {
         "FROM orders GROUP BY date_trunc('month', o_orderdate)) "
         "SELECT strftime(m, '%Y-%m') AS month, COALESCE(n, 0) AS n "
         "FROM months LEFT JOIN oc ON oc.mo = months.m ORDER BY month"
+    ),
+    "q49_intersect": (
+        "SELECT s_nationkey AS nk FROM supplier "
+        "INTERSECT SELECT c_nationkey AS nk FROM customer ORDER BY nk"
+    ),
+    "q50_lag_lead": (
+        "SELECT o_custkey, o_orderkey, "
+        "LAG(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev_ok, "
+        "LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS next_ok "
+        "FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey"
+    ),
+    "q51_conditional_agg": (
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 2) AS DOUBLE) AS rev_f, "
+        "CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 2) AS DOUBLE) AS rev_o "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "q52_string_agg": (
+        "SELECT c_nationkey, "
+        "string_agg(c_name, '|' ORDER BY c_name) AS names, "
+        "COUNT(*) AS n FROM customer WHERE c_custkey <= 500 "
+        "GROUP BY c_nationkey ORDER BY c_nationkey"
+    ),
+    "q53_ntile": (
+        "SELECT o_orderkey, "
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pr, "
+        "ROUND(CUME_DIST() OVER w, 6) AS cd "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "WINDOW w AS (ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"
+    ),
+    "q54_date_arith": (
+        "SELECT o_orderkey, "
+        "CAST(o_orderdate AS DATE) + 30 AS due, "
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS age_days, "
+        "last_day(CAST(o_orderdate AS DATE)) AS eom "
+        "FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey"
+    ),
+    "q55_range_frame": (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
+        "AS run_range FROM orders WHERE o_custkey <= 50 "
+        "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q56_first_last": (
+        "SELECT o_custkey, o_orderkey, "
+        "FIRST_VALUE(o_orderkey) OVER w AS first_ok, "
+        "LAST_VALUE(o_orderkey) OVER w AS last_ok "
+        "FROM orders WHERE o_custkey <= 100 "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "ORDER BY o_custkey, o_orderkey"
     ),
     # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
     # approximate operator → rows-only check)
