@@ -13,6 +13,8 @@ Supported subset:
   as an open end
 - ``field:pre*`` / ``field:*suf`` / ``field:*mid*`` wildcards → LIKE
 - ``AND`` / ``OR`` / ``NOT`` with parentheses
+- unary ``+clause`` (required — no-op under explicit operators) and
+  ``-clause`` (prohibited → ``NOT``)
 - ``*:*`` (match all)
 
 Everything else (fuzzy ``~``, boosts ``^``, proximity, ranges over
@@ -34,9 +36,9 @@ _TOKEN = re.compile(
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<op>AND\b|OR\b|NOT\b) |
-        (?P<range>[A-Za-z_][\w.]*:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
-        (?P<phrase>[A-Za-z_][\w.]*:"[^"]*") |
-        (?P<term>[A-Za-z_][\w.]*:[^\s()]+) |
+        (?P<range>[+-]?[A-Za-z_][\w.]*:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
+        (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*") |
+        (?P<term>[+-]?[A-Za-z_][\w.]*:[^\s()]+) |
         (?P<star>\*:\*) |
         (?P<other>\S+)
     )""",
@@ -46,6 +48,16 @@ _TOKEN = re.compile(
 _RANGE = re.compile(
     r"(?P<field>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\]}]*?)\s+TO\s+(?P<hi>[^\]}]*?)(?P<rb>[\]}])"
 )
+
+
+def _strip_prefix(clause: str) -> tuple[bool, str]:
+    """Handle Lucene's unary ``+`` (required — a no-op under explicit
+    AND/OR) and ``-`` (prohibited → SQL NOT) clause prefixes."""
+    if clause.startswith("-"):
+        return True, clause[1:]
+    if clause.startswith("+"):
+        return False, clause[1:]
+    return False, clause
 
 
 def _sql_literal(value: str) -> str:
@@ -102,12 +114,21 @@ def solr_to_sql(query: str) -> str:
         elif m.group("op"):
             out.append(m.group("op"))
         elif m.group("range"):
-            out.append(_translate_range(_RANGE.fullmatch(m.group("range"))))
+            neg, clause = _strip_prefix(m.group("range"))
+            if neg:
+                out.append("NOT")
+            out.append(_translate_range(_RANGE.fullmatch(clause)))
         elif m.group("phrase"):
-            field, value = m.group("phrase").split(":", 1)
+            neg, clause = _strip_prefix(m.group("phrase"))
+            if neg:
+                out.append("NOT")
+            field, value = clause.split(":", 1)
             out.append(f"{field} = {_sql_literal(value[1:-1])}")
         elif m.group("term"):
-            field, value = m.group("term").split(":", 1)
+            neg, clause = _strip_prefix(m.group("term"))
+            if neg:
+                out.append("NOT")
+            field, value = clause.split(":", 1)
             out.append(_translate_term(field, value))
         elif m.group("star"):
             out.append("TRUE")

@@ -788,6 +788,47 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q57_array_funcs(spark, sf_dir):
+    """Array-function breadth over the embedding column: size,
+    element_at, left-fold sum, max. The fold matches DuckDB
+    list_reduce bit-for-bit (0.0+e1 == e1, then identical
+    left-to-right double accumulation)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= 100)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_d"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+                ),
+                6,
+            ).alias("total"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q58_explode(spark, sf_dir):
+    """Lateral explode with position (posexplode ↔ per-index subscript):
+    array columns flatten to rows without any shuffle — the explode
+    runs inside the scan stage."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= 20)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
 def q56_first_last(spark, sf_dir):
     """first_value/last_value over a full-partition frame — each
     customer's chronologically first and last order key."""

@@ -82,6 +82,8 @@ QUERIES: dict[str, QueryFn] = {
     "q54_date_arith": R.q54_date_arith,
     "q55_range_frame": R.q55_range_frame,
     "q56_first_last": R.q56_first_last,
+    "q57_array_funcs": R.q57_array_funcs,
+    "q58_explode": R.q58_explode,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -403,6 +405,20 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q57_array_funcs": (
+        "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dim, "
+        "ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_d, "
+        "ROUND(list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) AS total, "
+        "ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx "
+        "FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id"
+    ),
+    "q58_explode": (
+        "SELECT vec_id, CAST(gs AS BIGINT) AS dim, "
+        "ROUND(CAST(embedding[CAST(gs AS INTEGER)] AS DOUBLE), 6) AS val "
+        "FROM embeddings, generate_series(1, 3) AS t(gs) "
+        "WHERE vec_id <= 20 ORDER BY vec_id, dim"
     ),
     "q56_first_last": (
         "SELECT o_custkey, o_orderkey, "

@@ -35,6 +35,18 @@ def test_match_all():
     assert solr_to_sql("*:*") == "TRUE"
 
 
+def test_prohibit_and_require_prefixes():
+    # Lucene unary operators: '-' prohibits (NOT), '+' requires (no-op
+    # under explicit AND/OR)
+    assert solr_to_sql("-event_type:click") == "NOT event_type = 'click'"
+    assert (
+        solr_to_sql("+event_type:click AND -user_id:7")
+        == "event_type = 'click' AND NOT user_id = 7"
+    )
+    assert solr_to_sql("-value:[1 TO 5]") == "NOT (value >= 1 AND value <= 5)"
+    assert solr_to_sql('-name:"a b"') == "NOT name = 'a b'"
+
+
 @pytest.mark.parametrize(
     "bad",
     [
