@@ -374,9 +374,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Iterative joins with ``localCheckpoint`` per round to cut lineage
     (the standard Spark shape for label propagation; GraphFrames does
-    the same under the hood).  Rounds needed = graph diameter ≤
-    ``max_iter``; each round is one shuffle join of the current labels
-    against the edge list.
+    the same under the hood).  Each round combines neighbor-min
+    propagation with pointer jumping (``label(label(node))``,
+    the shortcutting step of two-phase CC algorithms), so rounds
+    needed ≈ log2(graph diameter) ≤ ``max_iter`` — a 10⁶-long dup
+    chain converges in ~20 rounds instead of 10⁶.
     """
     sym = edges.selectExpr("d1 AS src", "d2 AS dst").union(
         edges.selectExpr("d2 AS src", "d1 AS dst")
@@ -393,24 +395,32 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # pointer jumping: label(label(node)) — every node is a key in
+        # labels (labels are node ids), so the inner join is total
+        hop = labels.join(
+            labels.select(
+                F.col("node").alias("l_node"), F.col("label").alias("hop_label")
+            ),
+            F.col("label") == F.col("l_node"),
+        ).select("node", "hop_label")
+        # carry the previous label through the same select so the
+        # convergence probe needs no extra join against the old labels
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .join(hop, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                    F.coalesce(F.col("hop_label"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             converged = True
             break
