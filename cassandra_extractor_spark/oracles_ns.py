@@ -326,6 +326,19 @@ NS_ORACLES: dict[str, str] = {
         "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id "
         "ORDER BY user_id, session_start_ms"
     ),
+    # deterministic hash-gated sampling (sampling.py): same portable
+    # md5 hash, so both engines pick the identical row set
+    "ns_sample_uniform": (
+        "SELECT doc_id FROM documents WHERE "
+        + _hash_sql("CAST(doc_id AS VARCHAR)", "smp")
+        + " % 1000 < 100 ORDER BY doc_id"
+    ),
+    "ns_sample_stratified": (
+        "SELECT event_type, COUNT(*) AS n_sampled FROM events WHERE "
+        + _hash_sql("CAST(event_id AS VARCHAR)", "strat")
+        + " % 1000 < CASE WHEN event_type = 'click' THEN 200 ELSE 50 END "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
 }
 
 

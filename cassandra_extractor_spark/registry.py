@@ -16,6 +16,7 @@ from cassandra_extractor_spark.operators import (
     extraction as X,
     multimodal as M,
     relational as R,
+    sampling as SM,
     similarity as S,
     text as TX,
 )
@@ -107,6 +108,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
     "ns_corpus_select": X.ns_corpus_select,
     "ns_sessionize": _ns_sessionize,
+    "ns_sample_uniform": SM.ns_sample_uniform,
+    "ns_sample_stratified": SM.ns_sample_stratified,
 }
 
 #: name → equivalent ANSI SQL for the DuckDB oracle

@@ -7,6 +7,8 @@ from cassandra_extractor_spark.registry import ORACLES, QUERIES
 
 #: approximate-by-design operators where no exact SQL oracle exists
 ROWS_ONLY = {"q38_approx_distinct", "ns_ann_lsh_bucketed"}
+# (deterministic hash sampling IS oracle-checked — the portable md5
+# hash makes both engines pick identical rows)
 
 
 def test_every_oracle_has_a_query():

@@ -1,0 +1,35 @@
+"""Deterministic sampling behavior (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from cassandra_extractor_spark.operators.sampling import sample_by_hash
+
+
+def test_sample_reproducible_and_partitioning_independent(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = {r.k for r in sample_by_hash(df, "k", 100).collect()}
+    b = {r.k for r in sample_by_hash(df.repartition(7), "k", 100).collect()}
+    assert a == b and a  # same rows regardless of partitioning
+
+
+def test_sample_rate_approximate(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    n = sample_by_hash(df, "k", 100).count()
+    assert 0.08 * 20_000 < n < 0.12 * 20_000  # ≈10%, md5 is uniform
+
+
+def test_salt_draws_independent_sample(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    a = {r.k for r in sample_by_hash(df, "k", 100, salt="s1").collect()}
+    b = {r.k for r in sample_by_hash(df, "k", 100, salt="s2").collect()}
+    # independent 10% draws overlap ≈1%, not ≈10%
+    assert len(a & b) < 0.03 * 20_000
+
+
+def test_sample_filter_reaches_scan(spark, tmp_path):
+    # the gate is a plain filter: no exchange in the plan
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 1000).withColumnRenamed("id", "k").write.parquet(p)
+    df = sample_by_hash(spark.read.parquet(p), "k", 100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
