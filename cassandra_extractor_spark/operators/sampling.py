@@ -34,6 +34,30 @@ def ns_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_by_hash(docs, "doc_id", 100).select("doc_id").orderBy("doc_id")
 
 
+def split_by_hash(df: DataFrame, key, splits: dict[str, int], salt: str = "split") -> DataFrame:
+    """Assign every row to a named split by hash range — the
+    train/val/test partitioner.  ``splits`` maps name → permille width
+    (must sum to 1000); ranges are contiguous in dict order, so adding
+    documents never moves an existing one between splits."""
+    if sum(splits.values()) != 1000:
+        raise ValueError(f"split widths must sum to 1000, got {splits}")
+    h = _md5_hash64(F.col(key).cast("string"), salt) % 1000
+    expr, lo = None, 0
+    for name, width in splits.items():
+        cond = h < F.lit(lo + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr)
+
+
+def ns_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment over documents, summarized per
+    split — one scan, no shuffle beyond the 3-group aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = split_by_hash(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+    return out.groupBy("split").agg(F.count("*").alias("n")).orderBy("split")
+
+
 def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified down-sampling: per-stratum rates (clicks kept at 20%,
     everything else at 5%) applied in one scan — the rebalancing step

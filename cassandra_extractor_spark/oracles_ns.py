@@ -333,6 +333,14 @@ NS_ORACLES: dict[str, str] = {
         + _hash_sql("CAST(doc_id AS VARCHAR)", "smp")
         + " % 1000 < 100 ORDER BY doc_id"
     ),
+    "ns_split_assign": (
+        "WITH h AS (SELECT "
+        + _hash_sql("CAST(doc_id AS VARCHAR)", "split")
+        + " % 1000 AS hv FROM documents) "
+        "SELECT CASE WHEN hv < 900 THEN 'train' WHEN hv < 950 THEN 'val' "
+        "ELSE 'test' END AS split, COUNT(*) AS n FROM h "
+        "GROUP BY 1 ORDER BY split"
+    ),
     "ns_sample_stratified": (
         "SELECT event_type, COUNT(*) AS n_sampled FROM events WHERE "
         + _hash_sql("CAST(event_id AS VARCHAR)", "strat")

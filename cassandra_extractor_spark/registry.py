@@ -110,6 +110,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_sessionize": _ns_sessionize,
     "ns_sample_uniform": SM.ns_sample_uniform,
     "ns_sample_stratified": SM.ns_sample_stratified,
+    "ns_split_assign": SM.ns_split_assign,
 }
 
 #: name → equivalent ANSI SQL for the DuckDB oracle

@@ -26,6 +26,23 @@ def test_salt_draws_independent_sample(spark):
     assert len(a & b) < 0.03 * 20_000
 
 
+def test_split_partition_of_rows(spark):
+    import pytest
+
+    from cassandra_extractor_spark.operators.sampling import split_by_hash
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    out = split_by_hash(df, "k", {"train": 900, "val": 50, "test": 50})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # total partition, nothing dropped
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable: same row → same split on recompute
+    again = split_by_hash(df, "k", {"train": 900, "val": 50, "test": 50})
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        split_by_hash(df, "k", {"a": 500, "b": 400})
+
+
 def test_sample_filter_reaches_scan(spark, tmp_path):
     # the gate is a plain filter: no exchange in the plan
     p = str(tmp_path / "t.parquet")
