@@ -35,6 +35,30 @@ def ns_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) doc counts, token
+    totals, and summed quality — the audit table a training-data
+    pipeline publishes per snapshot.  Quality sums go through
+    DECIMAL(18,6) so the aggregate is order-independent (correct under
+    any partitioning) and oracle-exact."""
+    from cassandra_extractor_spark.operators.text import ns_text_quality
+
+    quality = ns_text_quality(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "lang")
+    return (
+        docs.join(quality, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.sum(F.col("quality").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_quality"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 #: the FIXTURES.md representative table spec (reference worker.py:110-162)
 EVENTS_TABLE_SPEC = {
     "columns": [

@@ -370,3 +370,13 @@ def _corpus_select_sql() -> str:
 
 
 NS_ORACLES["ns_corpus_select"] = _corpus_select_sql()
+
+NS_ORACLES["ns_corpus_stats"] = (
+    f"WITH q AS ({NS_ORACLES['ns_text_quality']}) "
+    "SELECT d.source, d.lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens, "
+    "CAST(ROUND(SUM(CAST(q.quality AS DECIMAL(18,6))), 6) AS DOUBLE) "
+    "AS sum_quality "
+    "FROM q JOIN documents d ON d.doc_id = q.doc_id "
+    "GROUP BY d.source, d.lang ORDER BY d.source, d.lang"
+)

@@ -107,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
     "ns_corpus_select": X.ns_corpus_select,
+    "ns_corpus_stats": X.ns_corpus_stats,
     "ns_sessionize": _ns_sessionize,
     "ns_sample_uniform": SM.ns_sample_uniform,
     "ns_sample_stratified": SM.ns_sample_stratified,
