@@ -788,6 +788,36 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q59_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics — q25 is the DISTINCT variant):
+    multiplicity-aware subtraction, planned as an aggregate on counts
+    rather than a per-row loop."""
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    # per-key multiplicity difference as an aggregate, grouped once
+    return a.exceptAll(b).groupBy("k").agg(F.count("*").alias("n")).orderBy("k")
+
+
+def q60_not_exists(spark, sf_dir):
+    """Correlated NOT EXISTS — Catalyst decorrelates to a left-anti
+    join (complement of q39's EXISTS→semi)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v60")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v60")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer_v60 c
+        WHERE NOT EXISTS (SELECT 1 FROM orders_v60 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """
+    )
+
+
 def q57_array_funcs(spark, sf_dir):
     """Array-function breadth over the embedding column: size,
     element_at, left-fold sum, max. The fold matches DuckDB

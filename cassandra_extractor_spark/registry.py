@@ -85,6 +85,8 @@ QUERIES: dict[str, QueryFn] = {
     "q56_first_last": R.q56_first_last,
     "q57_array_funcs": R.q57_array_funcs,
     "q58_explode": R.q58_explode,
+    "q59_except_all": R.q59_except_all,
+    "q60_not_exists": R.q60_not_exists,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -410,6 +412,17 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q59_except_all": (
+        "WITH d AS (SELECT o_custkey AS k FROM orders "
+        "EXCEPT ALL SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') "
+        "SELECT k, COUNT(*) AS n FROM d GROUP BY k ORDER BY k"
+    ),
+    "q60_not_exists": (
+        "SELECT c_custkey FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') "
+        "ORDER BY c_custkey"
     ),
     "q57_array_funcs": (
         "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dim, "
