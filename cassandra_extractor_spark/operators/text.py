@@ -232,6 +232,37 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunking contract: fixed token window, fixed stride (overlap = window-stride)
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping fixed-size token windows — the
+    context-window prep step before tokenization/embedding in an LLM
+    data pipeline.  sequence() + transform + array_join stay entirely
+    JVM-side; one row explodes to ceil(n/stride) chunk rows inside the
+    scan stage (no shuffle, no Python)."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") <= 200)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("i", "s"))
+        .select(
+            "doc_id",
+            (F.col("i") + 1).cast("long").alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size(F.col("toks")) - F.col("s") + 1
+            ).cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("toks"), F.col("s"), CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, length saturation, punctuation
     penalty → weighted score.  Pure double arithmetic in a fixed

@@ -371,6 +371,16 @@ def _corpus_select_sql() -> str:
 
 NS_ORACLES["ns_corpus_select"] = _corpus_select_sql()
 
+NS_ORACLES["ns_doc_chunk"] = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <= 200), "
+    "u AS (SELECT doc_id, toks, "
+    "unnest(generate_series(1, greatest(len(toks), 1), 40)) AS s FROM t) "
+    "SELECT doc_id, CAST((s - 1) // 40 + 1 AS BIGINT) AS chunk_idx, "
+    "CAST(least(50, len(toks) - s + 1) AS BIGINT) AS n_chunk_tokens, "
+    "array_to_string(list_slice(toks, s, s + 49), ' ') AS chunk_text "
+    "FROM u ORDER BY doc_id, chunk_idx"
+)
+
 NS_ORACLES["ns_corpus_stats"] = (
     f"WITH q AS ({NS_ORACLES['ns_text_quality']}) "
     "SELECT d.source, d.lang, COUNT(*) AS n_docs, "

@@ -95,6 +95,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_pii_scrub": TX.ns_pii_scrub,
     "ns_ngram_pmi": TX.ns_ngram_pmi,
     "ns_text_quality": TX.ns_text_quality,
+    "ns_doc_chunk": TX.ns_doc_chunk,
     "ns_dedup_exact": D.ns_dedup_exact,
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
     "ns_dedup_jaccard": D.ns_dedup_jaccard,

@@ -66,6 +66,49 @@ def test_lang_id_markers(spark):
     assert out[0] == "en" and out[1] == "fr" and out[2] == "und"
 
 
+def test_doc_chunk_overlap_and_coverage(spark, sf_dir):
+    from cassandra_extractor_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        ns_doc_chunk,
+        tokens,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    chunks = ns_doc_chunk(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n
+        for r in load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        n = docs[doc_id]
+        # chunk count = number of stride starts in [1, max(n,1)]
+        assert len(cs) == (max(n, 1) - 1) // CHUNK_STRIDE + 1
+        # every chunk is full-size except possibly trailing ones
+        assert all(c.n_chunk_tokens <= CHUNK_TOKENS for c in cs)
+        assert cs[0].chunk_idx == 1
+        # consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens
+        for a, b in zip(cs, cs[1:]):
+            assert b.chunk_idx == a.chunk_idx + 1
+            if a.n_chunk_tokens == CHUNK_TOKENS:
+                overlap = a.chunk_text.split()[CHUNK_STRIDE:]
+                assert b.chunk_text.split()[: len(overlap)] == overlap
+        # full token coverage: stitched chunks at stride = original stream
+        stitched = []
+        for c in cs:
+            stitched.extend(c.chunk_text.split()[: CHUNK_STRIDE])
+        tail = cs[-1].chunk_text.split()[CHUNK_STRIDE:]
+        assert len(stitched) + len(tail) == n
+
+
 def test_incremental_dedup_matches_full(spark, sf_dir):
     """Batch-vs-corpus incremental LSH finds exactly the full-corpus
     candidate pairs that involve a new doc."""
