@@ -10,8 +10,9 @@ Scale design (100 TB posture):
 - **Candidate generation is a band-signature self-join** — the classic
   shuffle-on-bucket-key LSH join.  Shuffle volume is O(#bands × rows),
   keys are md5-uniform so there is no inherent skew; degenerate buckets
-  (e.g. empty-text) are the one skew source and would be salted/capped
-  in production.
+  (mass-duplicated boilerplate, empty-ish text) are the one skew source
+  — ``lsh_candidate_pairs(max_bucket=…)`` switches such buckets to a
+  star topology (O(k) pairs, connectivity-identical for clustering).
 - **Pairwise verification only runs on candidates**, never all-pairs.
   The all-pairs Jaccard query restricts to a doc_id window purely so
   the DuckDB oracle stays tractable; the LSH path is the scale path.
@@ -264,6 +265,46 @@ def incremental_dedup(
     return vs_base.union(vs_new).distinct(), new_bands
 
 
+def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs from band signatures, with the production skew
+    guard.
+
+    ``max_bucket=None``: plain all-pairs self-join per (band, sig)
+    bucket — exact candidate semantics, O(k²) pairs in a k-doc bucket.
+
+    ``max_bucket=m``: buckets larger than ``m`` (mass-duplicated
+    boilerplate, empty-ish texts — the one real skew source at 100 TB)
+    switch to a star topology: every member pairs with the bucket's min
+    doc_id only.  O(k) pairs, same connectivity — any clustering built
+    on the pairs (connected components) is unchanged, because all
+    bucket members stay connected through the hub.  Only valid for
+    connectivity consumers; per-pair verification flows need the
+    all-pairs form on the capped buckets too.
+    """
+    a, b = bands.alias("a"), bands.alias("b")
+    join_cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+    if max_bucket is None:
+        return (
+            a.join(b, join_cond & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+    stats = bands.groupBy("band", "sig").agg(
+        F.count("*").alias("bkt_n"), F.min("doc_id").alias("bkt_min")
+    )
+    annotated = bands.join(stats, ["band", "sig"])
+    small = annotated.where(F.col("bkt_n") <= max_bucket)
+    sa, sb = small.alias("a"), small.alias("b")
+    small_pairs = sa.join(
+        sb, join_cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    big_pairs = (
+        annotated.where((F.col("bkt_n") > max_bucket) & (F.col("doc_id") != F.col("bkt_min")))
+        .select(F.col("bkt_min").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    return small_pairs.union(big_pairs).distinct()
+
+
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
 
@@ -276,18 +317,7 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (signatures are CPU-light vs cache serialization); on a busy
     # shared cluster persist(StorageLevel.MEMORY_AND_DISK) the bands.
     bands = minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
-    )
+    return lsh_candidate_pairs(bands).orderBy("d1", "d2")
 
 
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,8 +470,13 @@ def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep min doc per cluster."""
     # materialize the candidate pairs once: every propagation round
     # joins against the edge list, which would otherwise re-run the
-    # whole signature+LSH pipeline per iteration
-    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    # whole signature+LSH pipeline per iteration.  max_bucket engages
+    # the star-topology skew guard — connectivity (and therefore the
+    # clusters, and the oracle hash) is identical to all-pairs, but a
+    # mass-duplicated bucket costs O(k) instead of O(k²) pairs.
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir), max_bucket=64).localCheckpoint(
+        eager=True
+    )
     return connected_components(pairs).orderBy("doc_id")
 
 

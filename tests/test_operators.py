@@ -66,6 +66,32 @@ def test_lang_id_markers(spark):
     assert out[0] == "en" and out[1] == "fr" and out[2] == "und"
 
 
+def test_lsh_skew_cap_preserves_connectivity(spark):
+    from cassandra_extractor_spark.operators.dedup import (
+        bands_for,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures_for,
+    )
+
+    # 200 identical docs (one giant LSH bucket) + a few distinct ones
+    rows = [Row(doc_id=i, text="mass duplicated boilerplate text body") for i in range(200)]
+    rows += [Row(doc_id=1000 + i, text=f"unique document number {i} entirely") for i in range(5)]
+    docs = spark.createDataFrame(rows)
+    bands = bands_for(minhash_signatures_for(docs))
+
+    full = lsh_candidate_pairs(bands)
+    capped = lsh_candidate_pairs(bands, max_bucket=16)
+    n_full, n_capped = full.count(), capped.count()
+    # all-pairs is quadratic in the dup bucket; star is linear
+    assert n_full >= 199 * 200 / 2
+    assert n_capped < 4 * 200
+    # identical clustering
+    cc_full = {(r.doc_id, r.cluster_id) for r in connected_components(full).collect()}
+    cc_capped = {(r.doc_id, r.cluster_id) for r in connected_components(capped).collect()}
+    assert cc_full == cc_capped
+
+
 def test_doc_chunk_overlap_and_coverage(spark, sf_dir):
     from cassandra_extractor_spark.operators.text import (
         CHUNK_STRIDE,
