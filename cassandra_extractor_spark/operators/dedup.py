@@ -293,7 +293,8 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> Data
         F.count("*").alias("bkt_n"), F.min("doc_id").alias("bkt_min")
     )
     annotated = bands.join(stats, ["band", "sig"])
-    small = annotated.where(F.col("bkt_n") <= max_bucket)
+    # narrow each branch to exactly the columns its join shuffles
+    small = annotated.where(F.col("bkt_n") <= max_bucket).select("band", "sig", "doc_id")
     sa, sb = small.alias("a"), small.alias("b")
     small_pairs = sa.join(
         sb, join_cond & (F.col("a.doc_id") < F.col("b.doc_id"))
