@@ -788,6 +788,20 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q61_json_keys(spark, sf_dir):
+    """JSON introspection: the key set of a semi-structured column
+    (T2-family breadth beyond q31's field extraction)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            F.array_join(F.sort_array(F.json_object_keys("props")), ",").alias("keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q59_except_all(spark, sf_dir):
     """EXCEPT ALL (bag semantics — q25 is the DISTINCT variant):
     multiplicity-aware subtraction, planned as an aggregate on counts

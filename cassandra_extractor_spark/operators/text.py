@@ -232,6 +232,20 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: exact top-50 terms by frequency.
+    explode → map-side-combined count → TakeOrderedAndProject (the
+    top-k never materializes a full sort at scale)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
 #: chunking contract: fixed token window, fixed stride (overlap = window-stride)
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 40

@@ -371,6 +371,12 @@ def _corpus_select_sql() -> str:
 
 NS_ORACLES["ns_corpus_select"] = _corpus_select_sql()
 
+NS_ORACLES["ns_top_terms"] = (
+    f"WITH u AS (SELECT unnest({TOKS}) AS term FROM documents) "
+    "SELECT term, COUNT(*) AS n FROM u "
+    "GROUP BY term ORDER BY n DESC, term LIMIT 50"
+)
+
 NS_ORACLES["ns_doc_chunk"] = (
     f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <= 200), "
     "u AS (SELECT doc_id, toks, "

@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "q58_explode": R.q58_explode,
     "q59_except_all": R.q59_except_all,
     "q60_not_exists": R.q60_not_exists,
+    "q61_json_keys": R.q61_json_keys,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -96,6 +97,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ngram_pmi": TX.ns_ngram_pmi,
     "ns_text_quality": TX.ns_text_quality,
     "ns_doc_chunk": TX.ns_doc_chunk,
+    "ns_top_terms": TX.ns_top_terms,
     "ns_dedup_exact": D.ns_dedup_exact,
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
     "ns_dedup_jaccard": D.ns_dedup_jaccard,
@@ -413,6 +415,11 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q61_json_keys": (
+        "SELECT event_id, "
+        "array_to_string(list_sort(json_keys(props)), ',') AS keys "
+        "FROM events WHERE event_id <= 500 ORDER BY event_id"
     ),
     "q59_except_all": (
         "WITH d AS (SELECT o_custkey AS k FROM orders "
