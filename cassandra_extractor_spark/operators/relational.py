@@ -788,6 +788,22 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q62_histogram(spark, sf_dir):
+    """Fixed-width histogram: bucket arithmetic inline (floor division
+    is engine-portable; width_bucket is not), one partial+final agg."""
+    b = F.floor(F.col("o_totalprice") / 60000).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q61_json_keys(spark, sf_dir):
     """JSON introspection: the key set of a semi-structured column
     (T2-family breadth beyond q31's field extraction)."""

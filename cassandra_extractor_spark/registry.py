@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "q59_except_all": R.q59_except_all,
     "q60_not_exists": R.q60_not_exists,
     "q61_json_keys": R.q61_json_keys,
+    "q62_histogram": R.q62_histogram,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -415,6 +416,11 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q62_histogram": (
+        "SELECT CAST(FLOOR(o_totalprice / 60000) AS BIGINT) AS bucket, "
+        "COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
+        "FROM orders GROUP BY bucket ORDER BY bucket"
     ),
     "q61_json_keys": (
         "SELECT event_id, "
