@@ -96,6 +96,12 @@ class Actuator:
             job.state = JobState.RUNNING
 
         def runner():
+            # per-table FAIR pool: scheduler.mode=FAIR only shares
+            # between pools — without this every job lands in the
+            # single default pool and still runs FIFO (D10)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"pool-{job.table}"
+            )
             self.spark.sparkContext.setJobGroup(job.group_id, f"extraction {job.table}", True)
             try:
                 with self.metrics.time("extract_seconds", table=job.table):
@@ -155,22 +161,27 @@ class Actuator:
     def stats(self) -> dict[str, Any]:
         return {t: j.progress() for t, j in self.jobs.items()}
 
-    def state_dump(self) -> dict[str, Any]:
-        """Checkpoint-state dump (reference M3 GET /cache: the Redis
-        page-state view, datacrawler.py:349-360) — here the HWM store
-        contents plus per-job staged config."""
-        out: dict[str, Any] = {"hwm": {}, "job_config": {}}
-        if self.hwm_store is not None:
-            out["hwm"] = self.hwm_store._load()
-        out["job_config"] = {t: j.config for t, j in self.jobs.items()}
-        return out
-
-    def config(self) -> dict[str, Any]:
+    @staticmethod
+    def _mask(cfg: dict[str, Any]) -> dict[str, Any]:
         # passwords masked as in config.py:143-153 of the reference
         return {
             k: ("***" if any(s in k.lower() for s in ("password", "secret", "token")) else v)
-            for k, v in self.masked_config.items()
+            for k, v in cfg.items()
         }
+
+    def state_dump(self) -> dict[str, Any]:
+        """Checkpoint-state dump (reference M3 GET /cache: the Redis
+        page-state view, datacrawler.py:349-360) — here the HWM store
+        contents plus per-job staged config (secrets masked, same rule
+        as GET /config)."""
+        out: dict[str, Any] = {"hwm": {}, "job_config": {}}
+        if self.hwm_store is not None:
+            out["hwm"] = self.hwm_store.dump()
+        out["job_config"] = {t: self._mask(j.config) for t, j in self.jobs.items()}
+        return out
+
+    def config(self) -> dict[str, Any]:
+        return self._mask(self.masked_config)
 
     # --- HTTP ----------------------------------------------------------
 

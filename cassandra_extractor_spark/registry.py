@@ -447,10 +447,13 @@ ORACLES: dict[str, str] = {
         "FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id"
     ),
     "q58_explode": (
+        # gs <= len(): posexplode emits one row per EXISTING element
+        # (0 for NULL/short arrays) — the unconditional cross join
+        # would fabricate NULL-val rows for vectors shorter than 3
         "SELECT vec_id, CAST(gs AS BIGINT) AS dim, "
         "ROUND(CAST(embedding[CAST(gs AS INTEGER)] AS DOUBLE), 6) AS val "
         "FROM embeddings, generate_series(1, 3) AS t(gs) "
-        "WHERE vec_id <= 20 ORDER BY vec_id, dim"
+        "WHERE vec_id <= 20 AND gs <= len(embedding) ORDER BY vec_id, dim"
     ),
     "q56_first_last": (
         "SELECT o_custkey, o_orderkey, "

@@ -36,6 +36,11 @@ class HighWaterMarkStore:
     def get(self, table: str) -> str | None:
         return self._load().get(table)
 
+    def dump(self) -> dict:
+        """Public snapshot of all per-table watermarks (the actuator's
+        GET /state view)."""
+        return self._load()
+
     def set(self, table: str, value: str) -> None:
         state = self._load()
         state[table] = value

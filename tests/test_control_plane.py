@@ -120,9 +120,12 @@ def test_rest_endpoints(spark):
         store = HighWaterMarkStore(tempfile.mktemp())
         store.set("t", "2024-01-01 00:00:00")
         actuator.hwm_store = store
+        # staged secrets must come back masked, same rule as /config
+        actuator.jobs["t"].config = {"db.password": "hunter2", "db.host": "h"}
         state = json.loads(get("/state"))
         assert state["hwm"]["t"] == "2024-01-01 00:00:00"
-        assert "t" in state["job_config"]
+        assert state["job_config"]["t"]["db.password"] == "***"
+        assert state["job_config"]["t"]["db.host"] == "h"
         cfg = json.loads(get("/config"))
         assert cfg["db.password"] == "***" and cfg["db.host"] == "h"
         assert post("/start", {"table": "t"})["status"] == "started"
