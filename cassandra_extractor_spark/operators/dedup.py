@@ -166,6 +166,39 @@ def ns_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.8 —
+    catches doc-in-doc duplication (quotes, mirrors with added
+    boilerplate) that symmetric Jaccard under-scores when sizes differ.
+    Same windowed all-pairs shape as ns_dedup_jaccard (LSH is the scale
+    path for candidate generation; containment is the verifier)."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    sh = exploded_shingles(d).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    i = F.col("inter").cast("double")
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.greatest(i / F.col("n1").cast("double"), i / F.col("n2").cast("double")), 6
+            ).alias("cont"),
+        )
+        .where(F.col("cont") >= 0.8)
+        .orderBy("d1", "d2")
+    )
+
+
 def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh): 3-word shingles via posexplode + window lead.
 

@@ -102,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_exact": D.ns_dedup_exact,
     "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
     "ns_dedup_jaccard": D.ns_dedup_jaccard,
+    "ns_dedup_containment": D.ns_dedup_containment,
     "ns_dedup_minhash_lsh": D.ns_dedup_minhash_lsh,
     "ns_dedup_clusters": D.ns_dedup_clusters,
     "ns_dedup_simhash": D.ns_dedup_simhash,
