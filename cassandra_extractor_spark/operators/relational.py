@@ -788,6 +788,30 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q63_sliding_window(spark, sf_dir):
+    """Time-based sliding aggregate: events per user in the trailing
+    hour, via a RANGE frame over epoch millis — the batch analogue of a
+    streaming sliding window (one shuffle+sort per user, no self-join).
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 50)
+        .select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ms",
+            F.count("*").over(w).alias("n_trailing_1h"),
+        )
+        .orderBy("user_id", "ts_ms", "event_id")
+    )
+
+
 def q62_histogram(spark, sf_dir):
     """Fixed-width histogram: bucket arithmetic inline (floor division
     is engine-portable; width_bucket is not), one partial+final agg."""

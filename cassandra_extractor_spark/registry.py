@@ -89,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "q60_not_exists": R.q60_not_exists,
     "q61_json_keys": R.q61_json_keys,
     "q62_histogram": R.q62_histogram,
+    "q63_sliding_window": R.q63_sliding_window,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -417,6 +418,14 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q63_sliding_window": (
+        "WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms "
+        "FROM events WHERE user_id <= 50) "
+        "SELECT user_id, event_id, ts_ms, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms "
+        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_trailing_1h "
+        "FROM t ORDER BY user_id, ts_ms, event_id"
     ),
     "q62_histogram": (
         "SELECT CAST(FLOOR(o_totalprice / 60000) AS BIGINT) AS bucket, "
