@@ -788,6 +788,27 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q64_regression(spark, sf_dir):
+    """Per-group linear-regression aggregates (value drift over time).
+    Slope is rescaled to per-hour and rounded: double moment sums
+    accumulate in partition order, so the last bits differ between
+    engines — round-4 on an O(1) quantity absorbs that while staying a
+    real trend measure."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    per_hour = F.lit(3_600_000.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)") * per_hour, 4).alias("slope_per_hour"),
+            F.round(F.expr("regr_intercept(y, x)"), 2).alias("intercept"),
+            F.expr("regr_count(y, x)").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q63_sliding_window(spark, sf_dir):
     """Time-based sliding aggregate: events per user in the trailing
     hour, via a RANGE frame over epoch millis — the batch analogue of a

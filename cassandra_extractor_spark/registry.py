@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "q61_json_keys": R.q61_json_keys,
     "q62_histogram": R.q62_histogram,
     "q63_sliding_window": R.q63_sliding_window,
+    "q64_regression": R.q64_regression,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -418,6 +419,15 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q64_regression": (
+        "WITH t AS (SELECT event_type, CAST(epoch_ms(ts) AS DOUBLE) AS x, "
+        "value AS y FROM events) "
+        "SELECT event_type, "
+        "ROUND(regr_slope(y, x) * 3600000.0, 4) AS slope_per_hour, "
+        "ROUND(regr_intercept(y, x), 2) AS intercept, "
+        "CAST(regr_count(y, x) AS BIGINT) AS n "
+        "FROM t GROUP BY event_type ORDER BY event_type"
     ),
     "q63_sliding_window": (
         "WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms "
