@@ -63,3 +63,50 @@ def test_partition_ddl_always_escapes(values):
         # the quoted literal must contain no bare single quote
         inner = body[1 : body.rindex("')")]
         assert "'" not in inner.replace("''", "")
+
+
+# --- Solr translator grammar (functions/solr.py) ----------------------
+
+_field = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8).filter(
+    lambda s: s not in ("AND", "OR", "NOT", "TO")
+)
+_value = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+
+
+def _leaf():
+    return st.one_of(
+        st.tuples(st.sampled_from(["", "+", "-"]), _field, _value).map(
+            lambda t: f"{t[0]}{t[1]}:{t[2]}"
+        ),
+        st.tuples(_field, st.integers(0, 99), st.integers(100, 999)).map(
+            lambda t: f"{t[0]}:[{t[1]} TO {t[2]}]"
+        ),
+        st.just("*:*"),
+    )
+
+
+_solr_query = st.recursive(
+    _leaf(),
+    lambda children: st.one_of(
+        st.tuples(children, st.sampled_from(["AND", "OR"]), children).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        children.map(lambda c: f"(NOT {c})"),
+    ),
+    max_leaves=8,
+)
+
+
+@given(_solr_query)
+@settings(max_examples=200, deadline=None)
+def test_solr_grammar_always_translates(q):
+    from cassandra_extractor_spark.functions.solr import solr_to_sql
+
+    sql = solr_to_sql(q)
+    # structural invariants: balanced parens, no Solr remnants, and the
+    # operator/operand alternation the translator's own grammar check
+    # enforces implies non-empty SQL
+    assert sql.count("(") == sql.count(")")
+    assert ":" not in sql.replace("':'", "")  # no untranslated field:value
+    assert sql.strip()
+    # every generated query is inside the supported subset → never raises
