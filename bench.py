@@ -45,6 +45,33 @@ def main() -> None:
             best = -1.0
         timings[name] = best
 
+    # end-to-end extract throughput (BASELINE.md protocol): orders →
+    # table-spec transforms → JSONL sink, rows/s
+    import shutil
+    import tempfile
+
+    from cassandra_extractor_spark.plans.spec import ExtractionSpec
+    from cassandra_extractor_spark.sinks.jsonl import write_jsonl
+
+    spec = ExtractionSpec(
+        table="orders",
+        table_spec={
+            "columns": [
+                {"name": "o_orderkey", "renameTo": "order_id"},
+                {"name": "o_orderpriority", "remove": True},
+            ]
+        },
+    )
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        df = spec.build(spark, sf_dir)
+        n_rows = df.count()
+        t0 = time.time()
+        write_jsonl(df, out_dir)
+        extract_sec = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -54,6 +81,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extract_sec": extract_sec,
+                "extract_rows": n_rows,
+                "extract_rows_per_sec": round(n_rows / extract_sec) if extract_sec else None,
             }
         )
     )
