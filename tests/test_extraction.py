@@ -90,12 +90,17 @@ def test_read_source_roundtrip(spark, sf_dir, tmp_path):
     df = load_table(spark, "nation", sf_dir)
     df.write.option("header", "true").csv(str(tmp_path / "n_csv"))
     df.write.json(str(tmp_path / "n_json"))
+    df.write.orc(str(tmp_path / "n_orc"))
     back_csv = read_source(spark, str(tmp_path / "n_csv"), "csv")
     back_json = read_source(spark, str(tmp_path / "n_json"), "json", schema=df.schema)
+    back_orc = read_source(spark, str(tmp_path / "n_orc"), "orc")
     assert back_csv.count() == df.count()
     assert sorted(r["n_name"] for r in back_json.collect()) == sorted(
         r["n_name"] for r in df.collect()
     )
+    # ORC preserves the exact schema (columnar, typed — like parquet)
+    assert back_orc.schema == df.schema
+    assert back_orc.count() == df.count()
 
 
 def test_config_precedence(tmp_path, monkeypatch):
