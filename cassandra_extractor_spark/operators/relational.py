@@ -788,6 +788,24 @@ def q55_range_frame(spark, sf_dir):
     )
 
 
+def q65_schema_evolution_union(spark, sf_dir):
+    """Schema-evolution merge: unionByName(allowMissingColumns=True)
+    aligns two snapshot schemas by name and NULL-fills the gaps — how
+    corpus versions with drifted columns combine without a migration."""
+    c = _t(spark, sf_dir, "customer")
+    v1 = (
+        c.where(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+        .withColumn("src", F.lit("v1"))
+    )
+    v2 = (
+        c.where(F.col("c_custkey").between(50, 150))
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("src", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).orderBy("c_custkey", "src")
+
+
 def q64_regression(spark, sf_dir):
     """Per-group linear-regression aggregates (value drift over time).
     Slope is rescaled to per-hour and rounded: double moment sums

@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "q62_histogram": R.q62_histogram,
     "q63_sliding_window": R.q63_sliding_window,
     "q64_regression": R.q64_regression,
+    "q65_schema_evolution_union": R.q65_schema_evolution_union,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -419,6 +420,14 @@ ORACLES: dict[str, str] = {
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
         "AS run_range FROM orders WHERE o_custkey <= 50 "
         "ORDER BY o_custkey, o_orderkey"
+    ),
+    "q65_schema_evolution_union": (
+        "SELECT c_custkey, c_name, 'v1' AS src, CAST(NULL AS VARCHAR) AS c_mktsegment "
+        "FROM customer WHERE c_custkey <= 100 "
+        "UNION ALL "
+        "SELECT c_custkey, CAST(NULL AS VARCHAR), 'v2', c_mktsegment "
+        "FROM customer WHERE c_custkey BETWEEN 50 AND 150 "
+        "ORDER BY c_custkey, src"
     ),
     "q64_regression": (
         "WITH t AS (SELECT event_type, CAST(epoch_ms(ts) AS DOUBLE) AS x, "
