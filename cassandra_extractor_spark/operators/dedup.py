@@ -276,7 +276,9 @@ def incremental_dedup(
     batch plus a bucket join against the (bucketed, pre-partitioned)
     signature store.
     """
-    new_bands = bands_for(minhash_signatures_for(new_docs))
+    # one signature pass over the batch, reused by the vs-base join, the
+    # vs-new self-join, and the returned store-append frame
+    new_bands = materialize_once(bands_for(minhash_signatures_for(new_docs)))
     nb, bb = new_bands.alias("n"), base_bands.alias("b")
     vs_base = (
         nb.join(
@@ -339,18 +341,33 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> Data
     return small_pairs.union(big_pairs).distinct()
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Compute a frame once and reuse it across self-join sides.
+
+    Catalyst does not reuse exchanges across differently-aliased
+    self-join subplans (verified on the executed plan), so without this
+    the full upstream pipeline runs once per side — at 100 TB the
+    signature pass is the dominant map cost and computing it twice
+    doubles the job.  ``localCheckpoint`` (MEMORY_AND_DISK + lineage
+    truncation) materializes the partitions; both aliases then read the
+    checkpointed blocks.  On a multi-executor cluster where executor
+    loss must be survivable, swap for ``persist()`` + a reliable
+    ``checkpoint()`` dir — same shape, fault-tolerant storage.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
 
     shingle→minhash (map-only) → band→bucket self-join (one shuffle on
     uniformly-distributed md5 band signatures) → distinct pairs.
+
+    The band frame is materialized once (``materialize_once``) so the
+    bucket self-join does NOT recompute the shingle→signature pipeline
+    per aliased side.
     """
-    # NOTE: the self-join recomputes the signature pipeline per side
-    # (no exchange reuse across the aliased subplans — verified on the
-    # executed plan). Recompute benches faster than persist() here
-    # (signatures are CPU-light vs cache serialization); on a busy
-    # shared cluster persist(StorageLevel.MEMORY_AND_DISK) the bands.
-    bands = minhash_bands(spark, sf_dir)
+    bands = materialize_once(minhash_bands(spark, sf_dir))
     return lsh_candidate_pairs(bands).orderBy("d1", "d2")
 
 
@@ -396,7 +413,8 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")  # same recompute trade-off as minhash
+    chunks = materialize_once(chunks)  # one signature pass, not one per join side
+    a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
             b,
