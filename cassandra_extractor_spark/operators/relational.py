@@ -371,25 +371,55 @@ def q30_case(spark, sf_dir):
     )
 
 
+def range_join_pairs(events: DataFrame, window_sec: int = 60) -> DataFrame:
+    """Same-user event pairs with ``ts2`` in ``[ts1, ts1 + window]`` —
+    time-bucketed so the join intermediate is bounded per (user, bucket)
+    even under key skew.
+
+    A plain equi-join on user_id with the range as a post-filter is
+    O(n²) in each user's event count *before* the filter — one hot user
+    (bot traffic) blows up the intermediate at scale.  Bucketing the
+    join key by ``window_sec`` bounds each probe row to its own and the
+    adjacent bucket: the intermediate is Σ n(user,bkt)·n(user,bkt±1),
+    linear in rows for any fixed event rate, regardless of how many
+    total events one user has.
+
+    The probe side explodes into (bucket, bucket+1) — the window spans
+    at most two buckets — and each build row carries exactly one
+    bucket, so a qualifying pair matches exactly once (no distinct
+    needed).  2× probe-side shuffle volume buys a skew-proof plan.
+    """
+    usec = window_sec * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(usec))
+    a = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("e1"),
+            F.col("ts").alias("ts1"),
+            bucket.alias("bk0"),
+        )
+        .withColumn("bk", F.explode(F.array(F.col("bk0"), F.col("bk0") + 1)))
+        .drop("bk0")
+    )
+    b = events.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("e2"),
+        F.col("ts").alias("ts2"),
+        bucket.alias("bk"),
+    )
+    return a.join(b, ["u", "bk"]).where(
+        (F.col("e1") != F.col("e2"))
+        & (F.col("ts2") >= F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr(f"INTERVAL {window_sec} SECOND"))
+    )
+
+
 def q33_range_join(spark, sf_dir):
     """Range (non-equi) join: same-user event pairs within a 1-minute
-    window.  Equi key (user_id) + range predicate → Catalyst plans a
-    hash join on user_id with the range as a post-filter, not a
-    cartesian product."""
-    e = _t(spark, sf_dir, "events")
-    a = e.select(
-        F.col("user_id").alias("u"), F.col("event_id").alias("e1"), F.col("ts").alias("ts1")
-    )
-    b = e.select(
-        F.col("user_id").alias("u"), F.col("event_id").alias("e2"), F.col("ts").alias("ts2")
-    )
+    window, via the skew-bounded time-bucketed plan
+    (``range_join_pairs``)."""
     return (
-        a.join(b, "u")
-        .where(
-            (F.col("e1") != F.col("e2"))
-            & (F.col("ts2") >= F.col("ts1"))
-            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 MINUTE"))
-        )
+        range_join_pairs(_t(spark, sf_dir, "events"), window_sec=60)
         .select("e1", "e2")
         .orderBy("e1", "e2")
     )

@@ -80,3 +80,48 @@ def test_salted_aggregate_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_range_join_bucketing_bounds_hot_user_intermediate(spark):
+    """One hot user must not produce an O(n^2) join intermediate.
+
+    5k events for a single user spread over ~500 minutes: the naive
+    user_id equi-join materializes 25M pre-filter pairs; the bucketed
+    plan only pairs each probe row with its own + adjacent minute
+    bucket (~10 events each)."""
+    from cassandra_extractor_spark.operators.relational import range_join_pairs
+
+    n = 5_000
+    events = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_millis((F.col("id") * 6_000).cast("long")).alias("ts"),  # 10/min
+    )
+    pairs = range_join_pairs(events, window_sec=60)
+    # correctness: every in-window ordered pair, nothing else (id*6s
+    # spacing => each event pairs with its 10 successors and itself-
+    # excluded predecessors within 60s)
+    naive = (
+        events.alias("a")
+        .join(events.alias("b"), "user_id")
+        .where(
+            (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECOND"))
+        )
+        .select(F.col("a.event_id").alias("e1"), F.col("b.event_id").alias("e2"))
+    )
+    assert pairs.select("e1", "e2").exceptAll(naive).count() == 0
+    assert naive.exceptAll(pairs.select("e1", "e2")).count() == 0
+    # scale: the bucketed pre-filter intermediate stays linear
+    usec = 60 * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(usec))
+    probe = events.select(
+        "user_id", bucket.alias("bk0")
+    ).withColumn("bk", F.explode(F.array(F.col("bk0"), F.col("bk0") + 1)))
+    build = events.select("user_id", bucket.alias("bk"))
+    intermediate = probe.join(build, ["user_id", "bk"]).count()
+    assert intermediate < 250_000, intermediate  # vs 25M for the naive plan
+    # the executed plan joins on the bucket key, not user_id alone
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "bk" in plan, plan
