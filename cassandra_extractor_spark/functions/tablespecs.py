@@ -245,14 +245,19 @@ def render_template(df: DataFrame, template: str, out: str = "rendered") -> Data
     ``format_string`` (reference templated Kafka/S3/RDS/JSON payloads,
     e.g. kafkaworker.py:62-63, s3worker.py:19-23).
 
-    ``[DQ]`` unescapes to ``"`` as in app.py:497.
+    ``[DQ]`` unescapes to ``"`` as in app.py:497.  Literal ``%``
+    characters outside ``%(name)s`` tokens are escaped to ``%%``
+    (tokenize first, then escape the remainder) so templates like
+    ``"score 100%"`` don't hit the Java Formatter as stray directives.
     """
     template = template.replace("[DQ]", '"')
     cols: list[Column] = []
-
-    def repl(m: re.Match) -> str:
+    parts: list[str] = []
+    pos = 0
+    for m in _TEMPLATE_TOKEN.finditer(template):
+        parts.append(template[pos : m.start()].replace("%", "%%"))
         cols.append(F.col(m.group(1)))
-        return "%s" if m.group(2) == "s" else "%d"
-
-    fmt = _TEMPLATE_TOKEN.sub(repl, template)
-    return df.withColumn(out, F.format_string(fmt, *cols))
+        parts.append("%s" if m.group(2) == "s" else "%d")
+        pos = m.end()
+    parts.append(template[pos:].replace("%", "%%"))
+    return df.withColumn(out, F.format_string("".join(parts), *cols))

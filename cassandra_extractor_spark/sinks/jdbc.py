@@ -15,6 +15,7 @@ collecting it on the driver is correct, not a scalability bug.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -39,7 +40,10 @@ def partition_ddl(table: str, partition_column: str, values: list) -> list[str]:
     stmts = []
     for v in values:
         safe = str(v).replace("'", "''")
-        part_name = f"{table}_p_{str(v).lower().replace('-', '_').replace(' ', '_')}"
+        # identifier from a DATA value: whitelist, never blacklist —
+        # anything outside [a-z0-9_] (quotes, semicolons, parens, dots)
+        # would otherwise flow into the DDL as raw SQL
+        part_name = f"{table}_p_{re.sub(r'[^a-z0-9_]', '_', str(v).lower())}"
         stmts.append(
             f"CREATE TABLE IF NOT EXISTS {part_name} PARTITION OF {table} "
             f"FOR VALUES IN ('{safe}')"
@@ -77,7 +81,12 @@ def write_jdbc(df: DataFrame, cfg: JdbcSinkConfig, ddl_execute=None) -> None:
     try:
         df.write.jdbc(cfg.url, cfg.table, mode=cfg.mode, properties=props)
     except Exception as exc:  # pragma: no cover - no JDBC driver in tests
-        raise RuntimeError(
-            "JDBC sink unavailable: add the PostgreSQL JDBC driver jar to "
-            "spark.jars and verify the connection URL."
-        ) from exc
+        # setup hint only for the missing-driver case; real write errors
+        # (auth, constraint violations, connectivity) propagate as-is
+        msg = str(exc)
+        if "ClassNotFoundException" in msg or "No suitable driver" in msg:
+            raise RuntimeError(
+                "JDBC sink unavailable: add the PostgreSQL JDBC driver jar to "
+                "spark.jars and verify the connection URL."
+            ) from exc
+        raise

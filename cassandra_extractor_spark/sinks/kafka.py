@@ -102,7 +102,12 @@ def write_kafka(df: DataFrame, cfg: KafkaSinkConfig) -> None:
     try:
         writer.save()
     except Exception as exc:  # pragma: no cover - kafka jar absent in tests
-        raise RuntimeError(
-            "Kafka sink unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
-            "to spark.jars.packages and point bootstrap_servers at a broker."
-        ) from exc
+        # only the missing-jar case gets the setup hint; genuine runtime
+        # failures (auth, broker down, serialization) propagate as-is
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg or "ClassNotFoundException" in msg:
+            raise RuntimeError(
+                "Kafka sink unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+                "to spark.jars.packages and point bootstrap_servers at a broker."
+            ) from exc
+        raise

@@ -6,9 +6,10 @@ analogue for, included because real event-extraction pipelines need it:
 - ``sessionize`` (batch): lag/cumsum window formulation — one
   shuffle+sort per key, linear, oracle-checkable, the 100 TB path for
   backfills.
-- ``sessionize_stream`` (streaming): ``applyInPandasWithState`` with
-  event-time timeout — the same semantics over an unbounded stream,
-  state = open session per user, flushed on gap timeout or stream end.
+- ``sessionize_stream`` (streaming): ``applyInPandasWithState`` with a
+  processing-time timeout — the same fold over an unbounded stream,
+  state = open session per user, flushed on timeout (see the function
+  docstring for the event-time trade-off).
 """
 
 from __future__ import annotations
@@ -75,9 +76,54 @@ def ns_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fold_key(
+    user_id: int,
+    ts_chunks: list[pd.Series],
+    prior: tuple[int, int, int] | None,
+    gap_ms: int,
+) -> tuple[list[dict], tuple[int, int, int] | None]:
+    """Pure per-key session fold over UNORDERED epoch-ms chunks.
+
+    Concatenates all chunks and sorts the union once — per-chunk sorts
+    would let an out-of-order later chunk move ``end_ms`` backwards or
+    mis-split sessions.  Returns (closed sessions, open-session state).
+    """
+    start_ms = end_ms = None
+    n = 0
+    if prior is not None:
+        start_ms, end_ms, n = prior
+    out: list[dict] = []
+    all_ts = (
+        pd.concat(ts_chunks, ignore_index=True).sort_values() if ts_chunks else []
+    )
+    for ts_ms in all_ts:
+        ts_ms = int(ts_ms)
+        if start_ms is None:
+            start_ms, end_ms, n = ts_ms, ts_ms, 1
+        elif ts_ms - end_ms > gap_ms:
+            out.append(
+                {"user_id": user_id, "session_start_ms": start_ms, "session_end_ms": end_ms, "n_events": n}
+            )
+            start_ms, end_ms, n = ts_ms, ts_ms, 1
+        else:
+            end_ms, n = ts_ms, n + 1
+    state = (start_ms, end_ms, n) if start_ms is not None else None
+    return out, state
+
+
 def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
-    """Streaming sessionization with per-user state + processing-time
-    timeout.  Input must be a streaming frame with (user_id, ts)."""
+    """Streaming sessionization with per-user state + PROCESSING-time
+    timeout.  Input must be a streaming frame with (user_id, ts).
+
+    Trade-off (deliberate): the 60 s processing-time timeout flushes an
+    open session when no batch for that user arrives for 60 s of wall
+    clock — an event delayed longer than that lands in a NEW session,
+    diverging from the batch ``sessionize`` result.  Event-time
+    correctness would need ``EventTimeTimeout`` + a watermark ≥ the
+    session gap, which delays every emission by the gap (30 min);
+    extraction pipelines prefer the fast flush.  Re-running the batch
+    ``sessionize`` over the landed data reconciles exactly.
+    """
     gap_ms = gap_min * 60 * 1000
 
     def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -89,25 +135,12 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
                 [{"user_id": user_id, "session_start_ms": start_ms, "session_end_ms": end_ms, "n_events": n}]
             )
             return
-        out = []
-        start_ms = end_ms = None
-        n = 0
-        if state.exists:
-            start_ms, end_ms, n = state.get
-        for pdf in pdf_iter:
-            for ts_ms in (pdf["ts"].astype("int64") // 10**6).sort_values():
-                ts_ms = int(ts_ms)
-                if start_ms is None:
-                    start_ms, end_ms, n = ts_ms, ts_ms, 1
-                elif ts_ms - end_ms > gap_ms:
-                    out.append(
-                        {"user_id": user_id, "session_start_ms": start_ms, "session_end_ms": end_ms, "n_events": n}
-                    )
-                    start_ms, end_ms, n = ts_ms, ts_ms, 1
-                else:
-                    end_ms, n = ts_ms, n + 1
-        state.update((start_ms, end_ms, n))
-        state.setTimeoutDuration(60_000)
+        prior = tuple(state.get) if state.exists else None
+        chunks = [pdf["ts"].astype("int64") // 10**6 for pdf in pdf_iter]
+        out, new_state = _fold_key(user_id, chunks, prior, gap_ms)
+        if new_state is not None:
+            state.update(new_state)
+            state.setTimeoutDuration(60_000)
         yield pd.DataFrame(out)
 
     return events.groupBy("user_id").applyInPandasWithState(

@@ -101,3 +101,20 @@ def test_fanout_isolated_failures(spark, tmp_path):
     assert res["good"] is None
     assert isinstance(res["bad"], ValueError)
     assert seen["good"] == 10
+
+
+def test_jdbc_partition_ddl_hostile_values():
+    """Data-derived identifiers are whitelisted: quotes/semicolons/parens
+    cannot reach the DDL as raw SQL."""
+    from cassandra_extractor_spark.sinks.jdbc import partition_ddl
+
+    stmts = partition_ddl("t", "region", ["us-east", "x'); DROP TABLE t; --"])
+    assert stmts[0].startswith("CREATE TABLE IF NOT EXISTS t_p_us_east ")
+    # identifier fully sanitized, literal single-quotes doubled
+    assert "t_p_x____drop_table_t____" in stmts[1]
+    assert "IN ('x''); DROP TABLE t; --')" in stmts[1]
+    # nothing outside [a-z0-9_] in any generated identifier
+    import re
+    for s in stmts:
+        ident = s.split()[5]
+        assert re.fullmatch(r"[a-z0-9_]+", ident), ident

@@ -130,3 +130,27 @@ def test_streaming_sessionize(spark, tmp_path):
     # availableNow flush emits closed sessions; open sessions stay in
     # state (user1 first session closed by the 40-min gap within batch)
     assert (1, 2) in [(r["user_id"], r["n_events"]) for r in got]
+
+
+def test_fold_key_out_of_order_chunks():
+    """Chunks arriving out of global time order must fold identically to
+    the sorted union (per-chunk sorting would split/merge wrongly)."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.stateful import _fold_key
+
+    gap_ms = 30 * 60 * 1000
+    # session A: [0, 10min]; session B: [60min, 61min] — delivered interleaved
+    chunk1 = pd.Series([60 * 60_000, 10 * 60_000])  # later session's first + A's tail
+    chunk2 = pd.Series([0, 61 * 60_000, 5 * 60_000])
+    out, state = _fold_key(7, [chunk1, chunk2], None, gap_ms)
+    assert out == [
+        {"user_id": 7, "session_start_ms": 0, "session_end_ms": 10 * 60_000, "n_events": 3}
+    ]
+    assert state == (60 * 60_000, 61 * 60_000, 2)
+    # resuming from prior open state merges when within gap
+    out2, state2 = _fold_key(7, [pd.Series([62 * 60_000])], state, gap_ms)
+    assert out2 == [] and state2 == (60 * 60_000, 62 * 60_000, 3)
+    # empty batch (pure timeout path) keeps state
+    out3, state3 = _fold_key(7, [], state2, gap_ms)
+    assert out3 == [] and state3 == state2

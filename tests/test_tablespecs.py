@@ -118,3 +118,15 @@ def test_list_and_map_convert(spark):
     out = apply_table_spec(df, spec).first()
     assert [x["k"] for x in out["lst"]] == [1, 2]
     assert out["mp"]["a"]["k"] == 3
+
+
+def test_render_template_literal_percent(spark):
+    """Stray % outside %(name)s tokens must not hit the Java Formatter
+    as directives."""
+    from cassandra_extractor_spark.functions.tablespecs import render_template
+
+    df = spark.createDataFrame([(42,)], "score int")
+    row = render_template(df, "scored %(score)d out of 100%", out="r").first()
+    assert row["r"] == "scored 42 out of 100%"
+    row2 = render_template(df, "100% of %(score)s%", out="r").first()
+    assert row2["r"] == "100% of 42%"
