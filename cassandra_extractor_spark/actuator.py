@@ -77,12 +77,33 @@ class Actuator:
         self.jobs: dict[str, ExtractionJob] = {}
         self.masked_config: dict[str, Any] = {}
         self.hwm_store = None  # set by the app when incremental mode is on
+        #: builds an ExtractionJob from (table, properties) — wire this
+        #: to enable runtime POST /create (reference management.py:306-333)
+        self.job_factory: Callable[[str, dict[str, Any]], ExtractionJob] | None = None
         self._start_lock = threading.Lock()
 
     def create(self, job: ExtractionJob) -> ExtractionJob:
         job.group_id = f"extract-{job.table}"
         self.jobs[job.table] = job
         return job
+
+    def create_from_config(self, table: str, raw_properties: str = "") -> dict[str, Any]:
+        """Runtime extractor creation (reference POST /create,
+        management.py:306-333): parse the posted properties, build the
+        job through the app-wired factory, register it (start stays a
+        separate call, as in the reference's create-then-start flow)."""
+        from cassandra_extractor_spark.config import load_properties
+
+        if table in self.jobs:
+            raise ValueError(f"table {table!r} already exists; shutdown it first")
+        if self.job_factory is None:
+            raise RuntimeError("no job factory wired; runtime create is disabled")
+        props = load_properties(raw_properties, is_text=True) if raw_properties else {}
+        job = self.job_factory(table, props)
+        job.config = {**getattr(job, "config", {}), **props}
+        self.create(job)
+        self.metrics.inc("creates_total", table=table)
+        return {"status": "created", "table": table, "state": job.state.value}
 
     def start(self, table: str) -> dict[str, Any]:
         job = self.jobs[table]
@@ -183,6 +204,25 @@ class Actuator:
     def config(self) -> dict[str, Any]:
         return self._mask(self.masked_config)
 
+    def cache_clear(self, table: str | None = None) -> dict[str, Any]:
+        """Reference POST /cache/clear (management.py:394-419: flush the
+        Redis page-state): drop HWM marks and staged job config — for
+        one table, or everything when no table is given.  The next run
+        re-extracts from scratch."""
+        cleared_hwm: list[str] = []
+        if self.hwm_store is not None:
+            marks = self.hwm_store.dump()
+            for t in list(marks):
+                if table is None or t == table:
+                    self.hwm_store.clear(t)
+                    cleared_hwm.append(t)
+        cleared_cfg: list[str] = []
+        for t, job in self.jobs.items():
+            if (table is None or t == table) and job.config:
+                job.config = {}
+                cleared_cfg.append(t)
+        return {"status": "cleared", "hwm": sorted(cleared_hwm), "job_config": sorted(cleared_cfg)}
+
     # --- HTTP ----------------------------------------------------------
 
     def serve(self, port: int = 0) -> ThreadingHTTPServer:
@@ -209,7 +249,9 @@ class Actuator:
                     self._send(200, json.dumps(actuator.stats()))
                 elif self.path == "/config":
                     self._send(200, json.dumps(actuator.config()))
-                elif self.path == "/state":
+                elif self.path in ("/state", "/cache"):
+                    # /cache is the reference's name (GET /cache dumps
+                    # the Redis page-state); /state is kept as an alias
                     self._send(200, json.dumps(actuator.state_dump()))
                 else:
                     self._send(404, '{"error": "not found"}')
@@ -220,6 +262,27 @@ class Actuator:
                 table = payload.get("table") or payload.get("instance")
                 if isinstance(table, list):
                     table = table[0]
+                # routes that must NOT require an existing job
+                try:
+                    if self.path == "/create":
+                        if not table:
+                            self._send(400, '{"error": "table required"}')
+                        else:
+                            self._send(
+                                200,
+                                json.dumps(
+                                    actuator.create_from_config(
+                                        table, payload.get("properties", "")
+                                    )
+                                ),
+                            )
+                        return
+                    if self.path == "/cache/clear":
+                        self._send(200, json.dumps(actuator.cache_clear(table)))
+                        return
+                except Exception as exc:  # noqa: BLE001
+                    self._send(500, json.dumps({"error": str(exc)[:200]}))
+                    return
                 actions = {
                     "/start": actuator.start,
                     "/pause": actuator.pause,

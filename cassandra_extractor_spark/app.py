@@ -92,10 +92,16 @@ def main(argv: list[str] | None = None) -> int:
     actuator.masked_config = {k: v for k, v in {**props, **cli}.items()}
     actuator.hwm_store = hwm_store
 
-    for table in tables:
+    def build_job(table: str, extra_props: dict | None = None) -> ExtractionJob:
+        """Build one table's ExtractionJob — used by the startup loop
+        AND as the actuator's runtime POST /create factory (reference
+        management.py:306-333)."""
         # per-table overlay: {dir}/{table}.properties and
-        # "{table}."-prefixed global keys override the global config
+        # "{table}."-prefixed global keys override the global config;
+        # runtime-created jobs overlay their posted properties last
         tprops = load_table_properties(props, table, cfg("table.properties.dir"))
+        if extra_props:
+            tprops = {**tprops, **extra_props}
 
         def tcfg(key: str, default=None, cast=None, _p=tprops):
             return resolve(key, cli, _p, default=default, cast=cast)
@@ -141,8 +147,8 @@ def main(argv: list[str] | None = None) -> int:
             job: ExtractionJob,
             spec=spec,
             table=table,
-            # bind per-table closures NOW: the loop rebinds these names
-            # on the next iteration while this job may still be running
+            # default-arg binding kept from the loop-body days; inside
+            # build_job each call already gets a fresh closure scope
             tcfg=tcfg,
             tcfg_flag=tcfg_flag,
             sink_names=sink_names,
@@ -210,7 +216,11 @@ def main(argv: list[str] | None = None) -> int:
             job.processed = int(obs.get["rows"])
             metrics.inc("rows_processed_total", job.processed, table=table)
 
-        actuator.create(ExtractionJob(table=table, run=run))
+        return ExtractionJob(table=table, run=run)
+
+    actuator.job_factory = build_job
+    for table in tables:
+        actuator.create(build_job(table))
         if not cfg_flag("no.auto.start"):
             actuator.start(table)
 

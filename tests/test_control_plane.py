@@ -220,3 +220,77 @@ def test_cli_app(spark, sf_dir, tmp_path, monkeypatch):
     back = spark.read.json(f"{out}/events")
     assert back.count() > 0
     assert set(r["event_type"] for r in back.select("event_type").distinct().collect()) == {"click"}
+
+
+def test_rest_create_and_cache(spark):
+    """POST /create (factory-built job, then start) + GET /cache +
+    POST /cache/clear — reference management.py:306-333,130-160,394-419."""
+    import json
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    actuator = Actuator(spark)
+
+    def factory(table, props):
+        def run(job):
+            job.processed = job.total = 5
+
+        return ExtractionJob(table=table, run=run)
+
+    actuator.job_factory = factory
+    from cassandra_extractor_spark.streaming.hwm import HighWaterMarkStore
+
+    store = HighWaterMarkStore(tempfile.mktemp())
+    store.set("orders", "2024-02-02 00:00:00")
+    store.set("events", "2024-03-03 00:00:00")
+    actuator.hwm_store = store
+    server = actuator.serve()
+    port = server.server_port
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        # create-then-start, properties staged on the job
+        out = post("/create", {"table": "orders", "properties": "sinks=jsonl\nlimit=10"})
+        assert out == {"status": "created", "table": "orders", "state": "created"}
+        assert actuator.jobs["orders"].config["sinks"] == "jsonl"
+        assert post("/start", {"table": "orders"})["status"] == "started"
+        assert _wait(lambda: actuator.jobs["orders"].state == JobState.DONE)
+        # duplicate create -> 500 with explanation
+        try:
+            post("/create", {"table": "orders"})
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500 and "already exists" in e.read().decode()
+        # missing table -> 400
+        try:
+            post("/create", {})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # GET /cache is the reference route name for the state dump
+        cache = get("/cache")
+        assert cache["hwm"]["orders"] == "2024-02-02 00:00:00"
+        # targeted clear drops one table's HWM + staged config only
+        out = post("/cache/clear", {"table": "orders"})
+        assert out["hwm"] == ["orders"] and out["job_config"] == ["orders"]
+        assert actuator.jobs["orders"].config == {}
+        assert store.get("orders") is None
+        assert store.get("events") == "2024-03-03 00:00:00"
+        # clear-all drops the rest
+        out = post("/cache/clear", {})
+        assert out["hwm"] == ["events"]
+        assert store.dump() == {}
+    finally:
+        server.shutdown()
