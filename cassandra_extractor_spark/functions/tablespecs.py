@@ -25,19 +25,35 @@ Spark-first compilation: the whole spec becomes a single ``select`` of
 Column expressions, so Catalyst sees one projection (column pruning +
 whole-stage codegen apply; nothing is per-row Python).  JSON parsing
 uses ``from_json`` with an explicit or sampled schema; timestamps use
-``to_timestamp``/``unix_millis``; templates go through ``expr()`` (SQL
-expression subset) — the sandboxed-eval escape hatch of the reference is
-deliberately narrowed to declarative expressions (SURVEY §7.3.1).
+``to_timestamp``/``unix_millis``; templates go through ``expr()`` when
+the expression is valid Spark SQL, with a sandboxed-Python pandas-UDF
+fallback (flagged slow in logs) for the reference's ``template:<pyexpr>``
+cases SQL can't express (SURVEY §7.3.1).
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import re
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+logger = logging.getLogger(__name__)
+
+#: builtins exposed to the sandboxed Python-template fallback — the
+#: reference's eval sandbox equivalent (worker.py:149-150); no import,
+#: no IO, no attribute escape hatches like getattr/vars
+_SAFE_BUILTINS: dict[str, Any] = {
+    n: __builtins__[n] if isinstance(__builtins__, dict) else getattr(__builtins__, n)
+    for n in (
+        "abs", "bool", "float", "int", "len", "max", "min", "round",
+        "sorted", "str", "sum", "tuple", "list", "dict", "set", "zip",
+        "enumerate", "range", "any", "all", "repr", "format",
+    )
+}
 
 #: reference default strptime format (app.py:307)
 DEFAULT_TIMESTAMP_FORMAT = "%Y-%m-%d %H:%M:%S.%f%z"
@@ -169,6 +185,59 @@ def _parse_json_value_fn(schema):
     return lambda k, v: F.from_json(v, schema)
 
 
+def _template_col(df: DataFrame, expr_src: str) -> Column:
+    """``template:`` compilation with a two-tier strategy (SURVEY §7.3.1).
+
+    Fast path: the expression compiles AND analyzes as Spark SQL →
+    ``F.expr`` (JVM-side, whole-stage codegen).  Fallback: sandboxed
+    Python ``eval`` over the row via an Arrow-batched pandas UDF — the
+    reference's ``convertTo:"template:<pyexpr>"`` semantics
+    (worker.py:149-150) for expressions SQL can't say.  The fallback is
+    row-at-a-time Python inside the batch and is logged as the SLOW
+    path; only the columns the expression references are shipped.
+    """
+    try:
+        col = F.expr(expr_src)
+        df.select(col)  # force analysis so unresolved names/functions fail here
+        return col
+    except Exception:  # noqa: BLE001 - parse or analysis failure → Python path
+        pass
+    import ast
+
+    tree = ast.parse(expr_src, mode="eval")
+    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    for node in ast.walk(tree):  # no dunder escape hatches (__class__ etc.)
+        if isinstance(node, ast.Attribute) and node.attr.startswith("__"):
+            raise ValueError(f"template {expr_src!r}: dunder attribute access is blocked")
+    refs = [c for c in df.columns if c in names]
+    unknown = names - set(refs) - set(_SAFE_BUILTINS)
+    if unknown:
+        raise ValueError(
+            f"template {expr_src!r} is neither valid Spark SQL nor sandboxed "
+            f"Python over the row (unknown names: {sorted(unknown)})"
+        )
+    code = compile(tree, "<template>", "eval")
+    if not refs:  # constant Python expression — evaluate once, plan-time
+        return F.lit(str(eval(code, {"__builtins__": _SAFE_BUILTINS}, {})))  # noqa: S307
+    logger.warning(
+        "template %r is not SQL-expressible; using the sandboxed-Python "
+        "pandas-UDF fallback (SLOW path — row-at-a-time eval)",
+        expr_src,
+    )
+
+    @F.pandas_udf("string")
+    def run_template(*series):
+        import pandas as pd
+
+        out = []
+        for vals in zip(*series):
+            row = dict(zip(refs, vals))
+            out.append(str(eval(code, {"__builtins__": _SAFE_BUILTINS}, row)))  # noqa: S307
+        return pd.Series(out)
+
+    return run_template(*[F.col(c) for c in refs])
+
+
 def compile_table_spec(
     df: DataFrame, spec: TableSpec
 ) -> tuple[list[Column], list[str]]:
@@ -205,7 +274,7 @@ def compile_table_spec(
         elif conv == "timestamp":
             col = _timestamp_to_epoch_millis(col, cs.timestamp_format)
         elif conv.startswith("template:"):
-            col = F.expr(conv[len("template:") :])
+            col = _template_col(df, conv[len("template:") :])
         else:
             raise ValueError(f"unknown convertTo: {conv!r}")
         exprs.append(col.alias(out_name))

@@ -130,3 +130,44 @@ def test_render_template_literal_percent(spark):
     assert row["r"] == "scored 42 out of 100%"
     row2 = render_template(df, "100% of %(score)s%", out="r").first()
     assert row2["r"] == "100% of 42%"
+
+
+def test_template_python_fallback(spark):
+    """Non-SQL templates run through the sandboxed-Python pandas UDF;
+    SQL-expressible ones stay on the expr() fast path."""
+    from cassandra_extractor_spark.functions.tablespecs import apply_table_spec
+
+    df = spark.createDataFrame(
+        [("alice smith", 2), ("bob", 3)], "name string, k int"
+    )
+    # Python-only: method calls + conditional expression
+    out = apply_table_spec(
+        df,
+        {"columns": [{"name": "name",
+                      "convertTo": "template:name.split(' ')[0].upper() if name else ''"}]},
+    )
+    assert [r["name"] for r in out.orderBy("k").collect()] == ["ALICE", "BOB"]
+    # SQL-expressible: must NOT use a Python UDF
+    sql_out = apply_table_spec(
+        df, {"columns": [{"name": "k", "convertTo": "template:k * 10"}]}
+    )
+    plan = sql_out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert sorted(r["k"] for r in sql_out.collect()) == [20, 30]
+    # constant Python expression folds at plan time
+    const = apply_table_spec(
+        df, {"columns": [{"name": "name", "convertTo": "template:str(len([1,2,3]))"}]}
+    )
+    assert {r["name"] for r in const.collect()} == {"3"}
+
+
+def test_template_sandbox_rejects_unknown_names(spark):
+    from cassandra_extractor_spark.functions.tablespecs import apply_table_spec
+    import pytest
+
+    df = spark.createDataFrame([("x",)], "name string")
+    with pytest.raises(ValueError, match="unknown names"):
+        apply_table_spec(
+            df,
+            {"columns": [{"name": "name", "convertTo": "template:__import__('os').getcwd()"}]},
+        )
