@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--columns", help="comma-separated projection")
     p.add_argument("--filter", help="SQL predicate (P2)")
     p.add_argument("--solr-filter", help="Solr-subset query, translated to SQL (P2)")
+    p.add_argument(
+        "--solr-default-field",
+        help="text column for bare full-text Solr terms (CONTAINS mapping)",
+    )
     p.add_argument("--sort", help="comma-separated sort expressions (O1)")
     p.add_argument("--limit", type=int, help="row cap (S6)")
     p.add_argument("--table-specs", help="table-specs JSON file (T1-T10)")
@@ -120,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
             columns=tcfg("columns").split(",") if tcfg("columns") else None,
             filter=tcfg("filter"),
             solr_filter=tcfg("solr.filter"),
+            solr_default_field=tcfg("solr.default.field"),
             sort=tcfg("sort").split(",") if tcfg("sort") else [],
             limit=tcfg("limit", cast=int),
             table_spec=table_spec,

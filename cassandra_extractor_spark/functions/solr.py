@@ -17,9 +17,18 @@ Supported subset:
   ``-clause`` (prohibited → ``NOT``)
 - ``*:*`` (match all)
 
-Everything else (fuzzy ``~``, boosts ``^``, proximity, ranges over
-text analyzers, bare full-text terms without a field) raises
-``SolrTranslationError``.
+Bare full-text terms and phrases (no ``field:`` prefix) — the
+reference's most common usage (README.md:280-283 pushes arbitrary
+``q`` strings into the default search field) — translate to a
+case-insensitive CONTAINS on a caller-designated ``default_field``:
+``solr_to_sql("spark AND streaming", default_field="text")``.  Without
+a ``default_field`` they are rejected, as before.  The mapping is
+substring containment, not analyzer-tokenized scoring — exact parity
+with Solr's text analysis is impossible without Solr; containment is
+the documented approximation.
+
+Everything else (fuzzy ``~``, boosts ``^``, proximity ``"a b"~5``,
+ranges over text analyzers) raises ``SolrTranslationError``.
 """
 
 from __future__ import annotations
@@ -40,7 +49,8 @@ _TOKEN = re.compile(
         (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*") |
         (?P<term>[+-]?[A-Za-z_][\w.]*:[^\s()]+) |
         (?P<star>\*:\*) |
-        (?P<other>\S+)
+        (?P<bare_phrase>[+-]?"[^"]*"(?:~\d+)?) |
+        (?P<other>[^\s()]+)
     )""",
     re.VERBOSE,
 )
@@ -63,9 +73,26 @@ def _strip_prefix(clause: str) -> tuple[bool, str]:
 def _sql_literal(value: str) -> str:
     if re.fullmatch(r"-?\d+(\.\d+)?", value):
         return value
+    return _sql_string(value)
+
+
+def _sql_string(value: str) -> str:
     # the predicate is consumed by Spark SQL, whose string literals
     # treat backslash as an escape — double it, then double quotes
     return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _contains(default_field: str | None, text: str) -> str:
+    """Bare full-text term/phrase → case-insensitive containment on the
+    designated default text field."""
+    if default_field is None:
+        raise SolrTranslationError(
+            f"bare full-text term {text!r} has no field: pass default_field= "
+            "to map it to a CONTAINS on a text column, or qualify it"
+        )
+    if not text:
+        raise SolrTranslationError("empty full-text term")
+    return f"INSTR(LOWER({default_field}), {_sql_string(text.lower())}) > 0"
 
 
 def _translate_range(m: re.Match) -> str:
@@ -90,8 +117,11 @@ def _translate_term(field: str, value: str) -> str:
     return f"{field} = {_sql_literal(value)}"
 
 
-def solr_to_sql(query: str) -> str:
+def solr_to_sql(query: str, default_field: str | None = None) -> str:
     """Translate a Solr query string to an equivalent SQL predicate.
+
+    ``default_field`` enables bare full-text terms/phrases (no
+    ``field:`` prefix) as case-insensitive containment on that column.
 
     Raises ``SolrTranslationError`` for syntax outside the documented
     subset (SURVEY §7.3.5: reject, never half-translate).
@@ -132,11 +162,25 @@ def solr_to_sql(query: str) -> str:
             out.append(_translate_term(field, value))
         elif m.group("star"):
             out.append("TRUE")
+        elif m.group("bare_phrase"):
+            neg, clause = _strip_prefix(m.group("bare_phrase"))
+            if not clause.endswith('"'):
+                raise SolrTranslationError(
+                    f"proximity syntax not supported: {m.group('bare_phrase')}"
+                )
+            if neg:
+                out.append("NOT")
+            out.append("(" + _contains(default_field, clause[1:-1]) + ")")
         else:
-            raise SolrTranslationError(
-                f"unsupported Solr syntax: {m.group('other')!r} "
-                "(bare terms, fuzzy, boosts, proximity are not translatable)"
-            )
+            neg, clause = _strip_prefix(m.group("other"))
+            for bad, what in (("~", "fuzzy"), ("^", "boost"), ("*", "wildcard"), ("?", "wildcard")):
+                if bad in clause:
+                    raise SolrTranslationError(
+                        f"{what} syntax on a bare term is not translatable: {clause}"
+                    )
+            if neg:
+                out.append("NOT")
+            out.append("(" + _contains(default_field, clause) + ")")
     if depth != 0:
         raise SolrTranslationError("unbalanced parentheses")
     if not out:

@@ -28,6 +28,7 @@ class ExtractionSpec:
     columns: list[str] | None = None  # None = '*' (app.py:448)
     filter: str | None = None  # SQL predicate (Solr-filter analogue)
     solr_filter: str | None = None  # Solr-subset syntax (translated, §7.3.5)
+    solr_default_field: str | None = None  # bare full-text terms → CONTAINS here
     sort: list[str] = field(default_factory=list)  # O1
     limit: int | None = None  # pages × fetch_size cap (S6)
     table_spec: dict[str, Any] | None = None  # T1-T10 transforms
@@ -52,7 +53,7 @@ class ExtractionSpec:
         if self.solr_filter:
             from cassandra_extractor_spark.functions.solr import solr_to_sql
 
-            df = df.where(solr_to_sql(self.solr_filter))
+            df = df.where(solr_to_sql(self.solr_filter, self.solr_default_field))
         if self.hwm_column and hwm_store is not None:
             # mark commit is deferred: run_extraction calls it only
             # after every sink write succeeded (crash-safe window)

@@ -79,3 +79,38 @@ def test_translated_filter_runs_in_spark(spark, sf_dir):
     df = spec.build(spark, sf_dir)
     rows = df.collect()
     assert rows and all(r["event_type"] == "click" and r["value"] >= 100 for r in rows)
+
+
+def test_bare_terms_with_default_field(spark, sf_dir):
+    """Reference README.md:280-283 pushes bare full-text q strings into
+    the default search field; with default_field they become
+    case-insensitive CONTAINS predicates."""
+    assert (
+        solr_to_sql("spark", default_field="text")
+        == "(INSTR(LOWER(text), 'spark') > 0)"
+    )
+    assert (
+        solr_to_sql('"machine learning" AND spark', default_field="text")
+        == "(INSTR(LOWER(text), 'machine learning') > 0) AND (INSTR(LOWER(text), 'spark') > 0)"
+    )
+    assert solr_to_sql("-Spam", default_field="text") == "NOT (INSTR(LOWER(text), 'spam') > 0)"
+    # mixes with fielded clauses
+    sql = solr_to_sql("lang:en AND pizza", default_field="text")
+    assert sql == "lang = 'en' AND (INSTR(LOWER(text), 'pizza') > 0)"
+    # actually executes against the documents table
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.where(solr_to_sql("the", default_field="text")).count()
+    assert 0 < n <= docs.count()
+
+
+def test_bare_terms_rejected_without_default_field():
+    with pytest.raises(SolrTranslationError, match="default_field"):
+        solr_to_sql("spark")
+
+
+def test_bare_term_hard_syntax_still_rejected():
+    for q in ("spark~2", "spark^3", "spar*", 'spar?', '"big data"~5'):
+        with pytest.raises(SolrTranslationError):
+            solr_to_sql(q, default_field="text")
