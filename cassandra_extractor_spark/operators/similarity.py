@@ -20,25 +20,30 @@ from cassandra_extractor_spark.sources.catalog import load_table
 
 N_QUERIES = 10  #: vec_id < N_QUERIES are the query set in the demo queries
 TOP_K = 5
-LSH_PLANES = 8
+LSH_PLANES = 4  #: hyperplanes per LSH table (bucket bits)
+LSH_TABLES = 8  #: independent LSH tables (candidate = collision in ANY)
 DIM = 64
 
 
-def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def brute_topk(e: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for each query vector.
 
     Corpus scans once; the query set is broadcast (no corpus shuffle
     until the final per-query top-k, which AQE handles as a tiny
-    window over q_id).
+    window over q_id).  ``e``: (vec_id, emb) with vec_id < n_queries
+    as the query set.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
     e = e.withColumn("nrm", norm(F.col("emb")))
-    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+    queries = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
-    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+    corpus = e.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
@@ -52,9 +57,13 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_topk(_load_embeddings(spark, sf_dir))
 
 
 def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,23 +148,24 @@ def cosine_topk_vectorized(
     )
 
 
-def _projection_component(plane: int, dim: int) -> float:
+def _projection_component(plane: int, dim: int, salt: int = 0) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1),
     derived from md5 so any engine can reproduce the planes."""
     import hashlib
 
-    h = int(hashlib.md5(f"proj|{plane}|{dim}".encode()).hexdigest()[:15], 16)
+    h = int(hashlib.md5(f"proj|{salt}|{plane}|{dim}".encode()).hexdigest()[:15], 16)
     return (h / float(16**15)) * 2.0 - 1.0
 
 
-def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = DIM) -> Column:
+def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = DIM, salt: int = 0) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane = sign of <emb, plane>.
 
-    Pure per-row arithmetic over literal plane arrays — map-only.
+    ``salt`` derives an independent plane set per hash table.  Pure
+    per-row arithmetic over literal plane arrays — map-only.
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        plane = F.array(*[F.lit(_projection_component(p, d)) for d in range(dim)])
+        plane = F.array(*[F.lit(_projection_component(p, d, salt)) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(emb, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
@@ -167,10 +177,16 @@ N_IVF_CENTROIDS = 16
 IVF_PROBES = 2
 
 
-def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    e: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_IVF_CENTROIDS,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest of
     K fixed centroids (inverted file); each query probes only its
-    nearest ``IVF_PROBES`` centroid cells.
+    nearest ``probes`` centroid cells.
 
     Centroids are deterministic corpus members (vec_id < K taken from
     the corpus side), so the whole pipeline — assignment, probing,
@@ -178,13 +194,10 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     set broadcasts, corpus assignment is map-only, and the probe join
     touches ~probes/K of the corpus instead of all of it.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
     e = e.withColumn("nrm", norm(F.col("emb")))
     # deterministic "centroids": first K corpus vectors
     cent = e.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CENTROIDS)
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
     ).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )
@@ -202,14 +215,14 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, "c_id")
         )
 
-    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+    corpus = e.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
     )
-    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+    queries = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     corpus_cells = cell_rank(corpus, "n_id", "n_emb", "n_nrm", 1)
-    query_cells = cell_rank(queries, "q_id", "q_emb", "q_nrm", IVF_PROBES)
+    query_cells = cell_rank(queries, "q_id", "q_emb", "q_nrm", probes)
     candidates = (
         corpus.join(corpus_cells, "n_id")
         .join(query_cells, "c_id")
@@ -226,41 +239,78 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_load_embeddings(spark, sf_dir))
+
+
+def lsh_topk(
+    e: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    dim: int = DIM,
+) -> DataFrame:
+    """Multi-table sign-LSH approximate NN: a candidate is any corpus
+    row colliding with the query in AT LEAST ONE of ``tables``
+    independent hash tables (the standard LSH OR-construction).
+
+    A single table ANDs all its plane bits, so near neighbors that
+    disagree on one plane are lost — recall decays exponentially in
+    ``planes``.  Multiple independent tables restore recall
+    (1-(1-p^planes)^tables) while each table's bucket join stays
+    map-side cheap: the corpus emits ``tables`` keyed copies, the join
+    meets only same-(table, bucket) rows, and duplicate candidate pairs
+    collapse in the (q_id, n_id) aggregation before ranking.  Recall <1
+    by construction; the bucket join replaces the cross join, which is
+    what survives a 100 TB corpus.
+    """
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("emb"), planes, dim, salt=t).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+    ).alias("tb")
+    with_keys = e.withColumn("nrm", norm(F.col("emb"))).select(
+        "vec_id", "emb", "nrm", keys
+    ).select("vec_id", "emb", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    queries = with_keys.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "tbl", "bucket"
+    )
+    corpus = with_keys.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm"), "tbl", "bucket"
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), ["tbl", "bucket"])
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                cosine_prenormed(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
+                6,
+            ).alias("cos"),
+        )
+        # same pair may collide in several tables — collapse before ranking
+        .groupBy("q_id", "n_id")
+        .agg(F.first("cos").alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
 
 
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN: candidates share a sign-LSH bucket.
-
-    Returns per-query bucket-local top-k.  Recall < 1 by construction
-    (that is the approximation); the bucket join replaces the cross
-    join, which is what survives a 100 TB corpus.
-    """
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    with_bucket = e.withColumn("bucket", lsh_bucket(F.col("emb"))).withColumn(
-        "nrm", norm(F.col("emb"))
-    )
-    queries = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"), "bucket"
-    )
-    corpus = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm"), "bucket"
-    )
-    scored = corpus.join(F.broadcast(queries), "bucket").select(
-        "q_id",
-        "n_id",
-        F.round(
-            cosine_prenormed(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
-            6,
-        ).alias("cos"),
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
-        .orderBy("q_id", "rank")
-    )
+    return lsh_topk(_load_embeddings(spark, sf_dir))

@@ -41,3 +41,56 @@ def test_vectorized_matches_exact_topk(spark, sf_dir):
         assert abs(f_cos - cos) < 1e-6
         tied_ids = {n for c, n in by_q[key[0]] if c == cos}
         assert f_nid in tied_ids if len(tied_ids) > 1 else f_nid == n_id
+
+
+def test_ann_recall_floor_on_planted_neighbors(spark):
+    """Approximate ANN must find genuinely-near vectors: recall@5 vs
+    brute force on a corpus with PLANTED near-duplicates of each query
+    (cos≈0.95).  The sf test embeddings are unstructured random vectors
+    — there, recall mathematically equals fraction-of-corpus-touched
+    for every ANN method, so they can't distinguish a working bucketing
+    from a degenerate one.  Planted structure can: a bucketing that
+    collapses (one giant bucket) or never collides (no candidates)
+    fails this floor, which rows-only oracle checks cannot catch."""
+    import numpy as np
+
+    from cassandra_extractor_spark.operators.similarity import (
+        DIM,
+        brute_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_queries, per_q, n_decoys = 10, 5, 500
+    rows = []
+    for q in range(n_queries):
+        base = rng.standard_normal(DIM)
+        rows.append((q, base))
+        for j in range(per_q):  # planted: base + small noise -> cos≈0.95
+            rows.append((1000 + q * per_q + j, base + 0.33 * rng.standard_normal(DIM)))
+    # decoys fill ids from n_queries up so the IVF centroid window
+    # (first K corpus ids) lands on random vectors, as in the sf layout
+    for d in range(n_decoys):
+        rows.append((n_queries + d, rng.standard_normal(DIM)))
+    e = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows], "vec_id long, emb array<double>"
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["n_id"])
+        return out
+
+    exact = topk_sets(brute_topk(e, n_queries=n_queries))
+    assert len(exact) == n_queries
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        return hits / sum(len(nbrs) for nbrs in exact.values())
+
+    ivf_recall = recall(topk_sets(ivf_topk(e, n_queries=n_queries)))
+    lsh_recall = recall(topk_sets(lsh_topk(e, n_queries=n_queries)))
+    assert ivf_recall >= 0.6, f"IVF recall@5 degraded: {ivf_recall:.2f}"
+    assert lsh_recall >= 0.6, f"LSH recall@5 degraded: {lsh_recall:.2f}"
