@@ -200,7 +200,7 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh): 3-word shingles via posexplode + window lead.
+    """(doc_id, sh): word n-gram shingles via posexplode + window lead.
 
     Every step is whole-stage-codegen'd (generator → window → project);
     the array-lambda `_shingles` spelling runs interpreted and is an
@@ -213,11 +213,11 @@ def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
     leads = toks.select(
         "doc_id",
         "tok",
-        F.lead("tok", 1).over(w).alias("t1"),
-        F.lead("tok", 2).over(w).alias("t2"),
+        *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)],
     )
-    return leads.where(F.col("t2").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh")
+    return leads.where(F.col(f"t{n-1}").isNotNull()).select(
+        "doc_id",
+        F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("sh"),
     )
 
 
@@ -563,4 +563,38 @@ def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") >= 0.8)
         .orderBy("v1", "v2")
+    )
+
+
+EVAL_DOCS = 50  #: doc_id < EVAL_DOCS act as the held-out benchmark set
+DECON_NGRAM = 5  #: n-gram size for contamination detection
+
+
+def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the held-out evaluation set (doc_id < 50 plays the
+    benchmark; the rest is the training corpus).
+
+    The standard pre-training hygiene step (reference has no analogue —
+    this is part of the LLM-pipeline surface): exact n-gram collision
+    against eval benchmarks, reported as (doc_id, n_shared_grams) for
+    every contaminated training doc.
+
+    100 TB shape: benchmark n-gram sets are tiny relative to the corpus
+    (a few MB of grams for standard eval suites), so the eval side is
+    broadcast and the check is a map-side hash probe over one corpus
+    scan — no corpus shuffle.  The per-doc count aggregation shuffles
+    only the contaminated survivors.
+    """
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    grams = exploded_shingles(d, n=DECON_NGRAM)
+    eval_grams = (
+        grams.where(F.col("doc_id") < EVAL_DOCS).select("sh").distinct()
+    )
+    train_grams = grams.where(F.col("doc_id") >= EVAL_DOCS).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+        .orderBy("doc_id")
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from cassandra_extractor_spark.operators.dedup import (
     BANDS,
+    DECON_NGRAM,
+    EVAL_DOCS,
     HAMMING_MAX,
     NUM_PERM,
     SIMHASH_BITS,
@@ -412,3 +414,20 @@ NS_ORACLES["ns_corpus_stats"] = (
     "FROM q JOIN documents d ON d.doc_id = q.doc_id "
     "GROUP BY d.source, d.lang ORDER BY d.source, d.lang"
 )
+
+
+def _decon_sql() -> str:
+    n = DECON_NGRAM
+    parts = ", ".join(f"toks[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) AS sh FROM t WHERE len(toks) >= {n}), "
+        f"ev AS (SELECT DISTINCT sh FROM g WHERE doc_id < {EVAL_DOCS}), "
+        f"tr AS (SELECT DISTINCT doc_id, sh FROM g WHERE doc_id >= {EVAL_DOCS}) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams "
+        "FROM tr JOIN ev USING (sh) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_decontaminate"] = _decon_sql()

@@ -52,6 +52,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_clusters": D.ns_dedup_clusters,
     "ns_dedup_simhash": D.ns_dedup_simhash,
     "ns_neardup_embedding": D.ns_neardup_embedding,
+    "ns_decontaminate": D.ns_decontaminate,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,
