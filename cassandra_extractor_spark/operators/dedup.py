@@ -617,3 +617,70 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+N_SEM_CELLS = 16  #: cluster cells for semantic dedup
+SEM_TAU = 0.8  #: within-cell cosine threshold
+
+
+def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then drop any vector whose cosine to a LOWER-id
+    vector in the SAME cell exceeds τ.  Emits every vector with its
+    cell and verdict — the keep-list is ``dropped = false``.
+
+    Cells are assigned by nearest of ``N_SEM_CELLS`` fixed member
+    centroids (vec_id < N_SEM_CELLS, broadcast); the pairwise check
+    runs only WITHIN a cell.  100 TB shape: centroid count scales with
+    the corpus so cell population stays bounded — assignment is a
+    map-only broadcast argmax, the within-cell self-join is shuffled on
+    cell id and quadratic only in the bounded cell size, never in the
+    corpus.  Deterministic: min-id keeper, fold-order cosine, ties
+    broken by centroid id.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    cent = e.where(F.col("vec_id") < N_SEM_CELLS).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "emb", "nrm", "c_id")
+    )
+    assigned = materialize_once(assigned)  # one assignment pass, not two
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.c_id") == F.col("b.c_id")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.round(
+                cosine_prenormed(
+                    F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            )
+            >= SEM_TAU
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "c_id")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "c_id", F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"))
+        .orderBy("vec_id")
+    )

@@ -70,3 +70,67 @@ def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+MIX_BUDGET_FRAC = 0.5  #: sampled corpus targets this fraction of all tokens
+
+
+def ns_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: down-sample each source so the sampled corpus
+    hits per-source token-budget targets — the "data mixing" step that
+    turns a raw crawl into a training mixture with chosen domain
+    weights.
+
+    Weights are md5-derived per source name (deterministic,
+    non-uniform, engine-portable); each source's target is
+    ``budget × wᵢ/Σw`` tokens with ``budget = 50%`` of corpus tokens,
+    and its keep-rate is ``min(1, target/tokensᵢ)`` applied as the
+    repo's deterministic hash gate on doc_id.
+
+    100 TB shape: per-source token totals are one map-side-combined
+    aggregation to a FEW-ROW frame (one row per source/domain —
+    thousands at web scale, never corpus-sized); the rate table then
+    broadcast-joins back and the gate is a codegen'd filter in the scan
+    stage.  Two passes over the corpus, zero corpus-sized shuffles, no
+    driver collect.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    weights = per_src.select(
+        "source",
+        "src_tokens",
+        (F.lit(1) + _md5_hash64(F.col("source"), "mixw") % 4).cast("double").alias("w"),
+    )
+    totals = weights.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.sum("w").alias("wsum")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_BUDGET_FRAC)
+            * F.col("total_tokens").cast("double")
+            * F.col("w")
+            / F.col("wsum")
+            / F.col("src_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .where(
+            _md5_hash64(F.col("doc_id").cast("string"), "mix") % 1_000_000
+            < F.floor(F.col("rate") * 1_000_000)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -349,3 +349,61 @@ def lsh_topk(
 
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_load_embeddings(spark, sf_dir))
+
+
+N_KMEANS = 16  #: clusters for the Lloyd-step query
+
+
+def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means Lloyd iteration over the embedding corpus:
+    assign every vector to its nearest (cosine) of ``N_KMEANS`` fixed
+    member centroids (vec_id < N_KMEANS), then emit the per-dimension
+    mean of each cluster — (cluster_id, dim, centroid_mean, n_members).
+
+    The building block of embedding-space curation (SemDeDup cells,
+    IVF coarse quantizers, cluster-balanced sampling are all repeated
+    Lloyd steps).  100 TB shape: centroids broadcast, assignment is a
+    map-only argmax, and the mean reduction is one posexplode →
+    groupBy(cluster, dim) aggregation — map-side combined, K×dim output
+    rows regardless of corpus size.
+
+    Oracle parity: per-(cluster, dim) values are collected, SORTED, and
+    sequentially folded — double addition isn't commutative-associative
+    bit-wise, so an unordered SUM would hash-diverge between engines.
+    At production scale swap the sorted fold for a plain ``SUM``
+    (collect_list per group is bounded by cluster population here, but
+    the fold exists only for cross-engine bit-exactness).
+    """
+    e = _load_embeddings(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    cent = e.where(F.col("vec_id") < N_KMEANS).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "emb", F.col("c_id").alias("cluster_id"))
+    )
+    per_dim = assigned.select(
+        "cluster_id", F.posexplode("emb").alias("dim", "val")
+    )
+    return (
+        per_dim.groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("centroid_mean"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cluster_id", "dim")
+    )

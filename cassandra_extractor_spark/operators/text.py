@@ -307,3 +307,63 @@ def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use 0.30
+#: duplicate-line and 0.20 top-2-gram fractions; token-level analogues
+#: here since the synthetic docs are single-line)
+REP_DUP_TOKEN_MAX = 0.7
+REP_TOP_BIGRAM_MAX = 0.2
+
+
+def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher rules, token-level):
+    per document, the duplicate-token fraction (1 − distinct/total) and
+    the top-bigram fraction (most frequent bigram over total bigrams),
+    plus the keep/drop verdict at the standard thresholds.
+
+    100 TB shape: the duplicate-token fraction is a pure per-row
+    projection (codegen'd array ops, no shuffle); the top-bigram
+    fraction is one posexplode→count→max aggregation pair, map-side
+    combined, partitioned by doc_id — linear, two shuffles, no Python.
+    """
+    from cassandra_extractor_spark.operators.dedup import exploded_shingles
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(distinct_tokens(F.col("text"))).cast("long").alias("n_distinct"),
+    )
+    top_bigram = (
+        exploded_shingles(d, n=2)
+        .groupBy("doc_id", "sh")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"), 6
+    )
+    bigram_frac = F.round(
+        F.coalesce(
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        base.join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            bigram_frac.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_token_frac") <= REP_DUP_TOKEN_MAX)
+            & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX),
+        )
+        .orderBy("doc_id")
+    )

@@ -14,13 +14,16 @@ from cassandra_extractor_spark.operators.dedup import (
     DECON_NGRAM,
     EVAL_DOCS,
     HAMMING_MAX,
+    N_SEM_CELLS,
     NUM_PERM,
+    SEM_TAU,
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
 )
 from cassandra_extractor_spark.operators.similarity import (
     IVF_PROBES,
     N_IVF_CENTROIDS,
+    N_KMEANS,
     N_QUERIES,
     TOP_K,
 )
@@ -431,3 +434,78 @@ def _decon_sql() -> str:
 
 
 NS_ORACLES["ns_decontaminate"] = _decon_sql()
+
+
+NS_ORACLES["ns_repetition_filter"] = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    "base AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "len(list_distinct(toks)) AS n_distinct FROM t), "
+    "bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS sh FROM t WHERE len(toks) >= 2), "
+    "bgc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY doc_id, sh), "
+    "tb AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams "
+    "FROM bgc GROUP BY doc_id), "
+    "f AS (SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) "
+    "AS dup_token_frac, "
+    "round(COALESCE(CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0), 6) "
+    "AS top_bigram_frac "
+    "FROM base b LEFT JOIN tb USING (doc_id)) "
+    "SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, "
+    "(dup_token_frac <= 0.7 AND top_bigram_frac <= 0.2) AS keep "
+    "FROM f ORDER BY doc_id"
+)
+
+NS_ORACLES["ns_mixture_sample"] = (
+    f"WITH d AS (SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "per_src AS (SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source), "
+    "weights AS (SELECT source, src_tokens, "
+    f"CAST(1 + {_hash_sql('source', 'mixw')} % 4 AS DOUBLE) AS w FROM per_src), "
+    "totals AS (SELECT SUM(src_tokens) AS total_tokens, SUM(w) AS wsum FROM weights), "
+    "rates AS (SELECT source, least(1.0, "
+    "0.5 * CAST(total_tokens AS DOUBLE) * w / wsum / CAST(src_tokens AS DOUBLE)) "
+    "AS rate FROM weights, totals), "
+    "kept AS (SELECT d.* FROM d JOIN rates USING (source) WHERE "
+    f"{_hash_sql('CAST(doc_id AS VARCHAR)', 'mix')} % 1000000 "
+    "< CAST(floor(rate * 1000000) AS BIGINT)) "
+    "SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS kept_tokens "
+    "FROM kept GROUP BY source ORDER BY source"
+)
+
+
+def _sem_assign_sql(n_cells: int) -> str:
+    """Shared CTE prefix: embeddings with norms + nearest-centroid cell."""
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"n AS (SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM e), "
+        f"cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n "
+        f"WHERE vec_id < {n_cells}), "
+        "assigned AS (SELECT vec_id, emb, nrm, c_id FROM ("
+        "SELECT vec_id, emb, nrm, c_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM "
+        f"(SELECT vec_id, emb, nrm, c_id, {_dot_sql('emb', 'c_emb')} / (nrm * c_nrm) "
+        "AS csim FROM n, cent)) WHERE crank = 1)"
+    )
+
+
+NS_ORACLES["ns_semantic_dedup"] = (
+    "WITH " + _sem_assign_sql(N_SEM_CELLS) + ", "
+    "dropped AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b "
+    "ON a.c_id = b.c_id AND a.vec_id < b.vec_id "
+    f"WHERE round({_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm), 6) >= {SEM_TAU}) "
+    "SELECT a.vec_id, a.c_id, (d.vec_id IS NOT NULL) AS dropped "
+    "FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id ORDER BY a.vec_id"
+)
+
+NS_ORACLES["ns_kmeans_step"] = (
+    "WITH " + _sem_assign_sql(N_KMEANS) + ", "
+    "dv AS (SELECT c_id AS cluster_id, unnest(list_transform(range(len(emb)), "
+    "i -> struct_pack(dim := i, val := emb[i + 1]))) AS s FROM assigned), "
+    "per_dim AS (SELECT cluster_id, s.dim AS dim, s.val AS val FROM dv) "
+    "SELECT cluster_id, CAST(dim AS BIGINT) AS dim, "
+    "round(list_reduce(list_sort(list(val)), (a, b) -> a + b) "
+    "/ CAST(COUNT(*) AS DOUBLE), 6) AS centroid_mean, "
+    "COUNT(*) AS n_members "
+    "FROM per_dim GROUP BY cluster_id, dim ORDER BY cluster_id, dim"
+)

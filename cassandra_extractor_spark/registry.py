@@ -53,6 +53,10 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_simhash": D.ns_dedup_simhash,
     "ns_neardup_embedding": D.ns_neardup_embedding,
     "ns_decontaminate": D.ns_decontaminate,
+    "ns_semantic_dedup": D.ns_semantic_dedup,
+    "ns_repetition_filter": TX.ns_repetition_filter,
+    "ns_mixture_sample": SM.ns_mixture_sample,
+    "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,

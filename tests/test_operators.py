@@ -213,3 +213,72 @@ def test_sample_frames_fanout(spark):
     assert len(rows) > 1  # one input row fans out to many frames
     assert rows[0]["frame_idx"] == 0 and rows[1]["frame_idx"] == 30
     assert all(len(r["frame"]) == 16 for r in rows)
+
+
+def test_repetition_filter_fracs_and_verdict(spark, sf_dir):
+    from cassandra_extractor_spark.operators.text import (
+        REP_DUP_TOKEN_MAX,
+        REP_TOP_BIGRAM_MAX,
+        ns_repetition_filter,
+    )
+
+    rows = ns_repetition_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        assert r["keep"] == (
+            r["dup_token_frac"] <= REP_DUP_TOKEN_MAX
+            and r["top_bigram_frac"] <= REP_TOP_BIGRAM_MAX
+        )
+
+
+def test_mixture_sample_within_budgets(spark, sf_dir):
+    from cassandra_extractor_spark.operators.sampling import ns_mixture_sample
+    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    kept = {r["source"]: r for r in ns_mixture_sample(spark, sf_dir).collect()}
+    full = {
+        r["source"]: r["src_tokens"]
+        for r in load_table(spark, "documents", sf_dir)
+        .select("source", F.size(tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("src_tokens"))
+        .collect()
+    }
+    assert set(kept) <= set(full)
+    for src, r in kept.items():
+        assert 0 < r["kept_tokens"] <= full[src]
+    # the 50% budget means the mixture must down-sample overall
+    assert sum(r["kept_tokens"] for r in kept.values()) < sum(full.values())
+
+
+def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
+    from cassandra_extractor_spark.operators.dedup import ns_semantic_dedup
+
+    rows = ns_semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["c_id"], []).append(r)
+    for members in by_cell.values():
+        keeper = min(members, key=lambda r: r["vec_id"])
+        # the lowest id in a cell has no lower-id witness — never dropped
+        assert not keeper["dropped"]
+
+
+def test_kmeans_step_partitions_corpus(spark, sf_dir):
+    from cassandra_extractor_spark.operators.similarity import DIM, ns_kmeans_step
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    rows = ns_kmeans_step(spark, sf_dir).collect()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        assert sorted(r["dim"] for r in members) == list(range(DIM))
+        assert len({r["n_members"] for r in members}) == 1  # consistent count
+    # every vector is assigned to exactly one cluster
+    assert sum(members[0]["n_members"] for members in by_cluster.values()) == n_vecs
