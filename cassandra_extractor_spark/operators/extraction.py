@@ -98,3 +98,43 @@ def ns_tablespec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("props.k").cast("long").alias("props_k"),
     ).orderBy("id")
+
+
+SEQ_BUDGET = 512  #: tokens per packed training sequence
+
+
+def ns_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in doc_id order,
+    per source shard) into fixed ``SEQ_BUDGET``-token training
+    sequences, emitting each document's sequence id and starting
+    offset — the step that turns a curated corpus into fixed-length
+    pretraining samples.
+
+    All-integer arithmetic over one partitioned running-sum window:
+    ``seq_id = (cumulative tokens before this doc) div budget``.
+    100 TB shape: the window partitions by source shard (real
+    pipelines pack per shard/file, never globally), so this is one
+    shuffle on source and a linear in-partition scan — no global sort,
+    no Python.
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
+        (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
+    ).orderBy("doc_id")

@@ -27,6 +27,7 @@ from cassandra_extractor_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
 )
+from cassandra_extractor_spark.operators.extraction import SEQ_BUDGET
 from cassandra_extractor_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
 
 #: DuckDB spelling of the shared tokenizer
@@ -508,4 +509,16 @@ NS_ORACLES["ns_kmeans_step"] = (
     "/ CAST(COUNT(*) AS DOUBLE), 6) AS centroid_mean, "
     "COUNT(*) AS n_members "
     "FROM per_dim GROUP BY cluster_id, dim ORDER BY cluster_id, dim"
+)
+
+
+NS_ORACLES["ns_sequence_pack"] = (
+    f"WITH d AS (SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "c AS (SELECT doc_id, source, n_tokens, "
+    "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+    "FROM d) "
+    f"SELECT doc_id, source, n_tokens, start // {SEQ_BUDGET} AS seq_id, "
+    f"start % {SEQ_BUDGET} AS seq_offset FROM c ORDER BY doc_id"
 )

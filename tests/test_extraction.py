@@ -155,3 +155,20 @@ def test_kafka_source_option_compilation(spark, tmp_path):
     )
     q.awaitTermination()
     assert sum(got) == 5
+
+
+def test_sequence_pack_offsets_consistent(spark, sf_dir):
+    from cassandra_extractor_spark.operators.extraction import SEQ_BUDGET, ns_sequence_pack
+
+    rows = ns_sequence_pack(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for members in by_src.values():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            assert r["seq_id"] == cum // SEQ_BUDGET
+            assert r["seq_offset"] == cum % SEQ_BUDGET
+            cum += r["n_tokens"]
