@@ -125,3 +125,55 @@ def test_range_join_bucketing_bounds_hot_user_intermediate(spark):
     # the executed plan joins on the bucket key, not user_id alone
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "bk" in plan, plan
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The contamination probe must be a broadcast hash join (tiny eval
+    gram set), never a corpus-sized shuffle join, and must stay
+    Python-free."""
+    from cassandra_extractor_spark.operators.dedup import ns_decontaminate
+
+    plan = _executed_plan(ns_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_mixture_sample_broadcasts_rate_table(spark, sf_dir):
+    """The per-source rate table is a few rows — it must broadcast back
+    onto the corpus, and the hash gate must be a plain filter."""
+    from cassandra_extractor_spark.operators.sampling import ns_mixture_sample
+
+    plan = _executed_plan(ns_mixture_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_sequence_pack_no_global_sort_before_window(spark, sf_dir):
+    """Packing windows must partition by source — a global (empty
+    partitionBy) running-sum window would serialize the corpus through
+    one partition."""
+    from cassandra_extractor_spark.operators.extraction import ns_sequence_pack
+
+    df = ns_sequence_pack(spark, sf_dir)
+    # the window spec itself: partitionBy(source) shows up as
+    # windowspecdefinition(source, doc_id ASC ...) in the analyzed plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(source" in analyzed, analyzed
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Centroids ride along broadcast; the corpus never shuffles for
+    assignment.  (ns_semantic_dedup shares the same assignment code but
+    localCheckpoints it, so its final plan starts at a Scan ExistingRDD
+    and the broadcast is only visible here.)"""
+    from cassandra_extractor_spark.operators.similarity import ns_kmeans_step
+
+    plan = _executed_plan(ns_kmeans_step(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
