@@ -367,3 +367,55 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: hashed-vocab linear classifier: integer weight per token in
+#: [-1000, 1000], md5-derived (the hashing-trick analogue of a
+#: fasttext-style quality model — weights would come from training in
+#: production; the md5 derivation keeps this engine-portable)
+QW_SCALE = 1000
+
+
+def _token_weight(tok: Column) -> Column:
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    return (_md5_hash64(tok, "qw") % (2 * QW_SCALE + 1)) - QW_SCALE
+
+
+def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: score every document with a
+    linear classifier over the hashed token vocabulary and keep
+    docs scoring above 0.5 — the classifier-inference stage of a
+    pretraining pipeline (fasttext/logistic quality models), expressed
+    entirely JVM-side.
+
+    The logit is the mean token weight; weights are INTEGERS so the
+    per-doc sum is exact under any partitioning/order (no float
+    reduction nondeterminism), and only the final mean/sigmoid touch
+    doubles, in a fixed expression order.  100 TB shape: posexplode →
+    map-side-combined (doc_id) sum — one shuffle keyed by doc_id, no
+    Python, no model server round-trips; a real trained model ships
+    the same way (token→weight broadcast or hash function).
+    """
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        F.sum(_token_weight(F.col("tok"))).alias("wsum"),
+        F.count("*").alias("n_tokens"),
+    )
+    logit = F.col("wsum").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(QW_SCALE))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    # wsum is emitted EXACT (integer); the rounded logit was dropped —
+    # mean-weight quotients land exactly on round-half boundaries at
+    # 6 decimals (e.g. -10009/80000 = -0.1251125) where Spark's HALF_UP
+    # and DuckDB's float rounding disagree.  exp() output never sits on
+    # a decimal tie, so the rounded sigmoid is safe.
+    return sums.select(
+        "doc_id",
+        "n_tokens",
+        "wsum",
+        F.round(prob, 6).alias("prob"),
+        (F.col("wsum") >= 0).alias("keep"),
+    ).orderBy("doc_id")

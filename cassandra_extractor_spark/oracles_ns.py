@@ -522,3 +522,16 @@ NS_ORACLES["ns_sequence_pack"] = (
     f"SELECT doc_id, source, n_tokens, start // {SEQ_BUDGET} AS seq_id, "
     f"start % {SEQ_BUDGET} AS seq_offset FROM c ORDER BY doc_id"
 )
+
+
+NS_ORACLES["ns_quality_classifier"] = (
+    f"WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
+    "s AS (SELECT doc_id, "
+    f"SUM({_hash_sql('tok', 'qw')} % 2001 - 1000) AS wsum, "
+    "COUNT(*) AS n_tokens FROM tok GROUP BY doc_id), "
+    "f AS (SELECT doc_id, n_tokens, wsum, "
+    "CAST(wsum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS logit FROM s) "
+    "SELECT doc_id, n_tokens, wsum, "
+    "round(1.0 / (1.0 + exp(-logit)), 6) AS prob, "
+    "(wsum >= 0) AS keep FROM f ORDER BY doc_id"
+)

@@ -282,3 +282,15 @@ def test_kmeans_step_partitions_corpus(spark, sf_dir):
         assert len({r["n_members"] for r in members}) == 1  # consistent count
     # every vector is assigned to exactly one cluster
     assert sum(members[0]["n_members"] for members in by_cluster.values()) == n_vecs
+
+
+def test_quality_classifier_verdict_matches_sign(spark, sf_dir):
+    from cassandra_extractor_spark.operators.text import ns_quality_classifier
+
+    rows = ns_quality_classifier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["prob"] <= 1.0
+        assert r["keep"] == (r["wsum"] >= 0)
+        # sigmoid monotonicity: keep ⟺ prob >= 0.5
+        assert r["keep"] == (r["prob"] >= 0.5)
