@@ -407,3 +407,112 @@ def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "dim")
     )
+
+
+PQ_SUBS = 8  #: subspaces (DIM // PQ_SUBDIM)
+PQ_SUBDIM = 8  #: dims per subspace
+PQ_K = 16  #: codewords per subspace
+
+
+def _sub_slices(emb: Column, subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM) -> Column:
+    """array<struct<s,sub>>: the vector split into contiguous subvectors."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(emb, s * subdim + 1, subdim).alias("sub"),
+            )
+            for s in range(subs)
+        ]
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (oracle-exact order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def pq_topk(
+    e: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    subs: int = PQ_SUBS,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN: encode each corpus vector as ``subs``
+    codeword ids (nearest codeword per subspace), then score queries
+    against CODES with an asymmetric distance table instead of raw
+    vectors — the memory-bound trick behind IVF-PQ indexes (Jégou et
+    al. 2011): a 64-float vector becomes 8 bytes, and per-candidate
+    scoring is ``subs`` table lookups, not a 64-dim dot product.
+
+    Codebooks here are deterministic corpus members (the first
+    ``n_codes`` corpus vectors' sub-slices) so the whole pipeline is
+    engine-reproducible; production would k-means them (see
+    ``ns_kmeans_step``) — the plan shape is identical.
+
+    100 TB shape: the codebook (subs × n_codes tiny rows) broadcasts;
+    encoding is posexplode → broadcast join → map-side-combined
+    min(struct) agg — one corpus-linear pass, shuffled only on
+    (vec_id, s) for the argmin combine.  Query distance tables are
+    queries × codebook (tiny).  The ADC join meets codes on (s, code):
+    per candidate it moves ``subs`` ints, never the embedding.
+    Deterministic ties: min over (distance, code) structs.
+    """
+    sub = e.select("vec_id", F.explode(_sub_slices(F.col("emb"))).alias("ss")).select(
+        "vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub")
+    )
+    cb = (
+        sub.where((F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_codes))
+        .select(
+            (F.col("vec_id") - n_queries).cast("int").alias("code"),
+            "s",
+            F.col("sub").alias("cvec"),
+        )
+    )
+    corpus_sub = sub.where(F.col("vec_id") >= n_queries)
+    codes = (
+        corpus_sub.join(F.broadcast(cb), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select(F.col("vec_id").alias("n_id"), "s", F.col("best.code").alias("code"))
+    )
+    qdist = (
+        sub.where(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "s",
+            "code",
+            _l2sq(F.col("sub"), F.col("cvec")).alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("qd2")), F.lit(0.0), lambda acc, v: acc + v
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def ns_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_topk(_load_embeddings(spark, sf_dir))

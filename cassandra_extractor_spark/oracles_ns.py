@@ -535,3 +535,42 @@ NS_ORACLES["ns_quality_classifier"] = (
     "round(1.0 / (1.0 + exp(-logit)), 6) AS prob, "
     "(wsum >= 0) AS keep FROM f ORDER BY doc_id"
 )
+
+
+def _pq_sql() -> str:
+    from cassandra_extractor_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_SUBS,
+    )
+
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"sub AS (SELECT vec_id, s, list_slice(emb, s * {PQ_SUBDIM} + 1, "
+        f"s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub "
+        f"FROM e, (SELECT unnest(range({PQ_SUBS})) AS s) t), "
+        f"cb AS (SELECT CAST(vec_id - {N_QUERIES} AS INTEGER) AS code, s, sub AS cvec "
+        f"FROM sub WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}), "
+        "codes AS (SELECT vec_id AS n_id, s, code FROM ("
+        "SELECT c.vec_id, c.s, cb.code, ROW_NUMBER() OVER "
+        "(PARTITION BY c.vec_id, c.s ORDER BY " + l2.format(a="c.sub", b="cb.cvec")
+        + ", cb.code) AS rn "
+        f"FROM sub c JOIN cb ON c.s = cb.s WHERE c.vec_id >= {N_QUERIES}) WHERE rn = 1), "
+        "qdist AS (SELECT q.vec_id AS q_id, q.s AS s, cb.code AS code, "
+        + l2.format(a="q.sub", b="cb.cvec")
+        + " AS qd2 "
+        f"FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < {N_QUERIES}), "
+        "adc AS (SELECT q_id, n_id, "
+        "round(list_reduce(list_sort(list(qd2)), (x, y) -> x + y), 6) AS adist "
+        "FROM codes JOIN qdist USING (s, code) GROUP BY q_id, n_id) "
+        "SELECT q_id, n_id, adist, rank FROM (SELECT q_id, n_id, adist, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id) AS rank "
+        f"FROM adc) WHERE rank <= {TOP_K} ORDER BY q_id, rank"
+    )
+
+
+NS_ORACLES["ns_ann_pq"] = _pq_sql()

@@ -59,6 +59,7 @@ def test_ann_recall_floor_on_planted_neighbors(spark):
         brute_topk,
         ivf_topk,
         lsh_topk,
+        pq_topk,
     )
 
     rng = np.random.default_rng(7)
@@ -92,5 +93,9 @@ def test_ann_recall_floor_on_planted_neighbors(spark):
 
     ivf_recall = recall(topk_sets(ivf_topk(e, n_queries=n_queries)))
     lsh_recall = recall(topk_sets(lsh_topk(e, n_queries=n_queries)))
+    pq_recall = recall(topk_sets(pq_topk(e, n_queries=n_queries)))
     assert ivf_recall >= 0.6, f"IVF recall@5 degraded: {ivf_recall:.2f}"
     assert lsh_recall >= 0.6, f"LSH recall@5 degraded: {lsh_recall:.2f}"
+    # measured 1.0 on planted structure (member codebooks quantize the
+    # planted clusters well); 0.8 floor leaves seed headroom
+    assert pq_recall >= 0.8, f"PQ recall@5 degraded: {pq_recall:.2f}"
