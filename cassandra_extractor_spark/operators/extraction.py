@@ -138,3 +138,59 @@ def ns_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
         (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
     ).orderBy("doc_id")
+
+
+def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline, end to end: documents that pass
+    the heuristic quality gate, survive MinHash-LSH near-dup removal
+    (`ns_corpus_select`), pass the Gopher repetition filter AND the
+    hashed-vocab classifier, packed greedily into fixed-length training
+    sequences per source shard (`ns_sequence_pack` semantics over the
+    surviving set).
+
+    This is the "run the whole thing" query a pipeline user executes
+    nightly.  Every stage is the scale-shaped implementation documented
+    on its operator; the composition adds only broadcast-joinable
+    doc_id keep-lists between stages — no new corpus-sized shuffles.
+    (Each text stage scans the corpus independently here for
+    composability; a tuned 100 TB run fuses quality + repetition +
+    classifier into one pass over the token explode — same outputs,
+    three fewer scans.)
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.text import (
+        ns_quality_classifier,
+        ns_repetition_filter,
+        ns_text_quality,
+        tokens,
+    )
+
+    quality = ns_text_quality(spark, sf_dir).where(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)
+    )
+    clusters = ns_dedup_clusters(spark, sf_dir)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    rep = ns_repetition_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    clf = ns_quality_classifier(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    surv = (
+        quality.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .join(rep, "doc_id")
+        .join(clf, "doc_id")
+    )
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        .join(surv, "doc_id")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
+        (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
+    ).orderBy("doc_id")

@@ -384,38 +384,56 @@ def _token_weight(tok: Column) -> Column:
 
 def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: score every document with a
-    linear classifier over the hashed token vocabulary and keep
-    docs scoring above 0.5 — the classifier-inference stage of a
-    pretraining pipeline (fasttext/logistic quality models), expressed
-    entirely JVM-side.
+    linear classifier over the hashed token vocabulary and keep the
+    top-scoring half of the corpus — the classifier-inference +
+    percentile-cut stage of a pretraining pipeline (fasttext/logistic
+    quality models), expressed entirely JVM-side.
 
-    The logit is the mean token weight; weights are INTEGERS so the
-    per-doc sum is exact under any partitioning/order (no float
-    reduction nondeterminism), and only the final mean/sigmoid touch
-    doubles, in a fixed expression order.  100 TB shape: posexplode →
-    map-side-combined (doc_id) sum — one shuffle keyed by doc_id, no
-    Python, no model server round-trips; a real trained model ships
-    the same way (token→weight broadcast or hash function).
+    Exactness: weights and the per-token mean ``score`` (wsum·10⁶ div
+    n_tokens, truncating integer division spelled so both engines
+    agree) are INTEGERS — sums are exact under any partitioning, the
+    top-half cut has no float-interpolation ambiguity, and only the
+    reporting sigmoid touches doubles.  100 TB shape: posexplode →
+    map-side-combined (doc_id) sum, one shuffle.  The exact rank cut
+    here uses a global sort window (fine at demo scale and for the
+    oracle); the production spelling thresholds on
+    ``approx_percentile(score, 0.5)`` broadcast back — same keep set
+    up to boundary ties, no global sort.
     """
+    from pyspark.sql import Window as W
+
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     sums = tok.groupBy("doc_id").agg(
         F.sum(_token_weight(F.col("tok"))).alias("wsum"),
         F.count("*").alias("n_tokens"),
     )
+    num = F.col("wsum") * F.lit(1_000_000)
+    # truncating integer division, engine-portable: (num - num % n) / n
+    # is an exact integer-valued double (quotient ≤ 2^53)
+    score = ((num - num % F.col("n_tokens")) / F.col("n_tokens")).cast("long")
     logit = F.col("wsum").cast("double") / (
         F.col("n_tokens").cast("double") * F.lit(float(QW_SCALE))
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    # wsum is emitted EXACT (integer); the rounded logit was dropped —
-    # mean-weight quotients land exactly on round-half boundaries at
-    # 6 decimals (e.g. -10009/80000 = -0.1251125) where Spark's HALF_UP
-    # and DuckDB's float rounding disagree.  exp() output never sits on
-    # a decimal tie, so the rounded sigmoid is safe.
-    return sums.select(
+    scored = sums.select(
         "doc_id",
         "n_tokens",
         "wsum",
+        score.alias("score"),
         F.round(prob, 6).alias("prob"),
-        (F.col("wsum") >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
+    rn = F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+    total = F.count("*").over(W.partitionBy())
+    return (
+        scored.select("*", rn.alias("rn"), total.alias("total"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "wsum",
+            "score",
+            "prob",
+            (F.col("rn") * 2 <= F.col("total")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -530,10 +530,14 @@ NS_ORACLES["ns_quality_classifier"] = (
     f"SUM({_hash_sql('tok', 'qw')} % 2001 - 1000) AS wsum, "
     "COUNT(*) AS n_tokens FROM tok GROUP BY doc_id), "
     "f AS (SELECT doc_id, n_tokens, wsum, "
-    "CAST(wsum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS logit FROM s) "
-    "SELECT doc_id, n_tokens, wsum, "
+    "CAST((wsum * 1000000 - (wsum * 1000000) % n_tokens) / n_tokens AS BIGINT) AS score, "
+    "CAST(wsum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS logit FROM s), "
+    "r AS (SELECT doc_id, n_tokens, wsum, score, "
     "round(1.0 / (1.0 + exp(-logit)), 6) AS prob, "
-    "(wsum >= 0) AS keep FROM f ORDER BY doc_id"
+    "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn, "
+    "COUNT(*) OVER () AS total FROM f) "
+    "SELECT doc_id, n_tokens, wsum, score, prob, (rn * 2 <= total) AS keep "
+    "FROM r ORDER BY doc_id"
 )
 
 
@@ -574,3 +578,26 @@ def _pq_sql() -> str:
 
 
 NS_ORACLES["ns_ann_pq"] = _pq_sql()
+
+
+def _training_corpus_sql() -> str:
+    return (
+        f"WITH docs AS (SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        f"cs AS (SELECT doc_id FROM ({NS_ORACLES['ns_corpus_select']}) t), "
+        f"rep AS (SELECT doc_id FROM ({NS_ORACLES['ns_repetition_filter']}) t "
+        "WHERE keep), "
+        f"clf AS (SELECT doc_id FROM ({NS_ORACLES['ns_quality_classifier']}) t "
+        "WHERE keep), "
+        "surv AS (SELECT d.doc_id, d.source, d.n_tokens FROM docs d "
+        "JOIN cs USING (doc_id) JOIN rep USING (doc_id) JOIN clf USING (doc_id)), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+        "FROM surv) "
+        f"SELECT doc_id, source, n_tokens, start // {SEQ_BUDGET} AS seq_id, "
+        f"start % {SEQ_BUDGET} AS seq_offset FROM c ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_training_corpus"] = _training_corpus_sql()

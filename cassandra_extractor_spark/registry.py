@@ -60,6 +60,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_sequence_pack": X.ns_sequence_pack,
     "ns_quality_classifier": TX.ns_quality_classifier,
     "ns_ann_pq": S.ns_ann_pq,
+    "ns_training_corpus": X.ns_training_corpus,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,

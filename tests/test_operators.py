@@ -284,13 +284,20 @@ def test_kmeans_step_partitions_corpus(spark, sf_dir):
     assert sum(members[0]["n_members"] for members in by_cluster.values()) == n_vecs
 
 
-def test_quality_classifier_verdict_matches_sign(spark, sf_dir):
+def test_quality_classifier_keeps_top_half(spark, sf_dir):
     from cassandra_extractor_spark.operators.text import ns_quality_classifier
 
     rows = ns_quality_classifier(spark, sf_dir).collect()
     assert rows
-    for r in rows:
+    ranked = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    cut = len(rows) // 2
+    for i, r in enumerate(ranked):
         assert 0.0 <= r["prob"] <= 1.0
-        assert r["keep"] == (r["wsum"] >= 0)
-        # sigmoid monotonicity: keep ⟺ prob >= 0.5
-        assert r["keep"] == (r["prob"] >= 0.5)
+        assert r["keep"] == (i < cut), (i, r)
+    # integer score is the TRUNCATED per-token mean of wsum (SQL %
+    # follows the dividend sign, unlike Python's — so spell truncation
+    # explicitly)
+    for r in rows:
+        q, n = r["wsum"] * 1_000_000, r["n_tokens"]
+        trunc = q // n if q >= 0 else -((-q) // n)
+        assert r["score"] == trunc
