@@ -50,3 +50,20 @@ def test_sample_filter_reaches_scan(spark, tmp_path):
     df = sample_by_hash(spark.read.parquet(p), "k", 100)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_samples_are_nested(spark, sf_dir):
+    """Raising the sampling rate only ADDS rows — hash-gate samples are
+    nested (h%1000 < r1 ⊆ h%1000 < r2 for r1 <= r2).  RNG-based
+    df.sample has no such property; nestedness is what lets a pipeline
+    scale a sample up without invalidating previously computed work."""
+    from cassandra_extractor_spark.operators.sampling import sample_by_hash
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    prev: set[int] = set()
+    for rate in (50, 100, 300, 1000):
+        cur = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", rate).select("doc_id").collect()}
+        assert prev <= cur, f"rate {rate} lost rows"
+        prev = cur
+    assert prev == {r["doc_id"] for r in docs.select("doc_id").collect()}

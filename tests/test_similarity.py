@@ -99,3 +99,40 @@ def test_ann_recall_floor_on_planted_neighbors(spark):
     # measured 1.0 on planted structure (member codebooks quantize the
     # planted clusters well); 0.8 floor leaves seed headroom
     assert pq_recall >= 0.8, f"PQ recall@5 degraded: {pq_recall:.2f}"
+
+
+def test_lsh_fold_and_arrow_buckets_agree(spark):
+    """The engine-portable Column fold (`lsh_bucket`) and the Arrow
+    matmul production path (`lsh_bucket_ids`) must assign identical
+    bucket ids — they share the md5-derived plane matrix, and random
+    vectors never land within float noise of a hyperplane, so any
+    mismatch means the two spellings drifted (salt, plane order, bit
+    packing)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.similarity import (
+        DIM,
+        LSH_PLANES,
+        LSH_TABLES,
+        lsh_bucket,
+        lsh_bucket_ids,
+    )
+
+    rng = np.random.default_rng(11)
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(200)],
+        "vec_id long, emb array<double>",
+    )
+    fold = e.select(
+        "vec_id",
+        *[
+            lsh_bucket(F.col("emb"), LSH_PLANES, DIM, salt=t).alias(f"b{t}")
+            for t in range(LSH_TABLES)
+        ],
+    )
+    arrow = e.select("vec_id", lsh_bucket_ids()(F.col("emb")).alias("bks"))
+    fold_m = {r["vec_id"]: [r[f"b{t}"] for t in range(LSH_TABLES)] for r in fold.collect()}
+    arrow_m = {r["vec_id"]: list(r["bks"]) for r in arrow.collect()}
+    assert fold_m == arrow_m
