@@ -470,7 +470,7 @@ NS_ORACLES["ns_mixture_sample"] = (
     "kept AS (SELECT d.* FROM d JOIN rates USING (source) WHERE "
     f"{_hash_sql('CAST(doc_id AS VARCHAR)', 'mix')} % 1000000 "
     "< CAST(floor(rate * 1000000) AS BIGINT)) "
-    "SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS kept_tokens "
+    "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens "
     "FROM kept GROUP BY source ORDER BY source"
 )
 
@@ -516,18 +516,18 @@ NS_ORACLES["ns_sequence_pack"] = (
     f"WITH d AS (SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
     "FROM documents), "
     "c AS (SELECT doc_id, source, n_tokens, "
-    "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+    "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start "
     "FROM d) "
-    f"SELECT doc_id, source, n_tokens, start // {SEQ_BUDGET} AS seq_id, "
-    f"start % {SEQ_BUDGET} AS seq_offset FROM c ORDER BY doc_id"
+    f"SELECT doc_id, source, n_tokens, CAST(start // {SEQ_BUDGET} AS BIGINT) AS seq_id, "
+    f"CAST(start % {SEQ_BUDGET} AS BIGINT) AS seq_offset FROM c ORDER BY doc_id"
 )
 
 
 NS_ORACLES["ns_quality_classifier"] = (
     f"WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
     "s AS (SELECT doc_id, "
-    f"SUM({_hash_sql('tok', 'qw')} % 2001 - 1000) AS wsum, "
+    f"CAST(SUM({_hash_sql('tok', 'qw')} % 2001 - 1000) AS BIGINT) AS wsum, "
     "COUNT(*) AS n_tokens FROM tok GROUP BY doc_id), "
     "f AS (SELECT doc_id, n_tokens, wsum, "
     "CAST((wsum * 1000000 - (wsum * 1000000) % n_tokens) / n_tokens AS BIGINT) AS score, "
@@ -592,11 +592,11 @@ def _training_corpus_sql() -> str:
         "surv AS (SELECT d.doc_id, d.source, d.n_tokens FROM docs d "
         "JOIN cs USING (doc_id) JOIN rep USING (doc_id) JOIN clf USING (doc_id)), "
         "c AS (SELECT doc_id, source, n_tokens, "
-        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start "
         "FROM surv) "
-        f"SELECT doc_id, source, n_tokens, start // {SEQ_BUDGET} AS seq_id, "
-        f"start % {SEQ_BUDGET} AS seq_offset FROM c ORDER BY doc_id"
+        f"SELECT doc_id, source, n_tokens, CAST(start // {SEQ_BUDGET} AS BIGINT) AS seq_id, "
+        f"CAST(start % {SEQ_BUDGET} AS BIGINT) AS seq_offset FROM c ORDER BY doc_id"
     )
 
 

@@ -27,13 +27,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name → Spark DataFrame builder
 #:
-#: ORDER MATTERS for evidence: the round-1 driver artifact only recorded
-#: the first 50 entries, so the north-star (ns_*) training-data-pipeline
-#: operators lead, followed by the queries with no artifact row yet
-#: (q51+), then the round-2-changed q33 and a representative relational
-#: core; the long-green q01… tail closes the dict.  Every entry is
-#: always registered — this is prioritization, not selection.
+#: ORDER MATTERS for evidence: the driver artifact records the first
+#: ~50 entries per round, so entries with no green driver row yet lead:
+#: q63–q65 (never sampled in r01/r02), then the four oracles fixed this
+#: round (red in r02 on HUGEINT canonicalization), then new round-3
+#: operators, then the rest of the north-star set; the long-green q01…
+#: tail closes the dict.  Every entry is always registered — this is
+#: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
+    # never sampled by the driver (sat past the 50-row cap in r01+r02)
+    "q63_sliding_window": R.q63_sliding_window,
+    "q64_regression": R.q64_regression,
+    "q65_schema_evolution_union": R.q65_schema_evolution_union,
+    # red in r02 (oracle HUGEINT cast, fixed this round) — need green rows
+    "ns_mixture_sample": SM.ns_mixture_sample,
+    "ns_sequence_pack": X.ns_sequence_pack,
+    "ns_quality_classifier": TX.ns_quality_classifier,
+    "ns_training_corpus": X.ns_training_corpus,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -55,12 +65,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_decontaminate": D.ns_decontaminate,
     "ns_semantic_dedup": D.ns_semantic_dedup,
     "ns_repetition_filter": TX.ns_repetition_filter,
-    "ns_mixture_sample": SM.ns_mixture_sample,
     "ns_kmeans_step": S.ns_kmeans_step,
-    "ns_sequence_pack": X.ns_sequence_pack,
-    "ns_quality_classifier": TX.ns_quality_classifier,
     "ns_ann_pq": S.ns_ann_pq,
-    "ns_training_corpus": X.ns_training_corpus,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,
@@ -86,10 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "q60_not_exists": R.q60_not_exists,
     "q61_json_keys": R.q61_json_keys,
     "q62_histogram": R.q62_histogram,
-    "q63_sliding_window": R.q63_sliding_window,
-    "q64_regression": R.q64_regression,
-    "q65_schema_evolution_union": R.q65_schema_evolution_union,
-    # changed this round (re-planned range join) + relational core
+    # changed in round 2 (re-planned range join) + relational core
     "q33_range_join": R.q33_range_join,
     "q13_group_agg": R.q13_group_agg,
     "q19_multiway_join": R.q19_multiway_join,

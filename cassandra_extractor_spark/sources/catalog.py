@@ -54,6 +54,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # Spark timestamps are µs precision → truncate ns → µs
         # integer div: double division would lose precision on ~1.7e18 ns
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) load as
+    # TIMESTAMP_NTZ under Spark's default inferTimestampNTZ; downstream
+    # operators use unix_millis/unix_micros, which require TIMESTAMP.
+    # With the session tz pinned to UTC above, NTZ→TIMESTAMP is a pure
+    # reinterpretation of the wall time as a UTC instant — exactly how
+    # the DuckDB oracle treats the same naive values.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

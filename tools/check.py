@@ -5,6 +5,12 @@ Runs every registered query both ways at a given sf_dir, canonicalizes
 schema shape, and an order-insensitive value hash — approximating the
 driver's CORRECTNESS_r{N}.json gate so regressions surface locally.
 
+Both sides are fetched through pandas (Spark ``toPandas()``, DuckDB
+``fetchdf()``) to reproduce the driver's canonicalization exactly: a
+DuckDB HUGEINT (e.g. an uncast ``SUM(BIGINT)``) becomes float64 through
+pandas and renders ``123.0`` where Spark renders ``123`` — a hash
+mismatch the old ``fetchall()`` path silently hid (round-2 verdict).
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -16,6 +22,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,6 +30,10 @@ sys.path.insert(0, "/root/repo")
 def canon_cell(v) -> str:
     if v is None:
         return "\\N"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.generic):  # numpy scalar → native (repr differs!)
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -34,6 +45,31 @@ def canon_cell(v) -> str:
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
+
+
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows via the pandas path, dtype-sensitively rendered.
+
+    pandas renders a NULL in an int column — or a DuckDB HUGEINT — by
+    upcasting to float64; we deliberately do NOT undo that upcast (the
+    point is to fail locally when the driver would).  We DO normalize
+    ``datetime.date`` object columns (Spark ``toPandas`` of DATE) to
+    datetime64, because the driver routes both sides through the same
+    pandas pipeline where DATE becomes datetime64 on both — date-vs-
+    midnight-timestamp is not a divergence the driver sees.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            probe = pdf[c].dropna()
+            if len(probe) and isinstance(probe.iloc[0], _dt.date) and not isinstance(
+                probe.iloc[0], _dt.datetime
+            ):
+                pdf[c] = pd.to_datetime(pdf[c])
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def canon_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
@@ -70,7 +106,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
+            srows = pandas_rows(df.toPandas())
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
@@ -82,7 +118,7 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            orows = pandas_rows(res.fetchdf())
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
