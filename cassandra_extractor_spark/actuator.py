@@ -94,14 +94,19 @@ class Actuator:
         separate call, as in the reference's create-then-start flow)."""
         from cassandra_extractor_spark.config import load_properties
 
-        if table in self.jobs:
-            raise ValueError(f"table {table!r} already exists; shutdown it first")
-        if self.job_factory is None:
-            raise RuntimeError("no job factory wired; runtime create is disabled")
-        props = load_properties(raw_properties, is_text=True) if raw_properties else {}
-        job = self.job_factory(table, props)
-        job.config = {**getattr(job, "config", {}), **props}
-        self.create(job)
+        # ThreadingHTTPServer handles POSTs concurrently: the existence
+        # check and registration must be one atomic section or two
+        # simultaneous /create for the same table both pass the check
+        # and the later one silently overwrites the earlier job
+        with self._start_lock:
+            if table in self.jobs:
+                raise ValueError(f"table {table!r} already exists; shutdown it first")
+            if self.job_factory is None:
+                raise RuntimeError("no job factory wired; runtime create is disabled")
+            props = load_properties(raw_properties, is_text=True) if raw_properties else {}
+            job = self.job_factory(table, props)
+            job.config = {**getattr(job, "config", {}), **props}
+            self.create(job)
         self.metrics.inc("creates_total", table=table)
         return {"status": "created", "table": table, "state": job.state.value}
 

@@ -178,6 +178,14 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
                     raise SolrTranslationError(
                         f"{what} syntax on a bare term is not translatable: {clause}"
                     )
+            if ":" in clause:
+                # a malformed field query (e.g. field not starting with
+                # a letter: '9field:value') misses the term pattern and
+                # lands here; reject, never half-translate it as
+                # full-text containment of the literal colon
+                raise SolrTranslationError(
+                    f"malformed field query (not a bare term): {clause}"
+                )
             if neg:
                 out.append("NOT")
             out.append("(" + _contains(default_field, clause) + ")")

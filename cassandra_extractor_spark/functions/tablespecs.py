@@ -117,10 +117,20 @@ class ColumnSpec:
 @dataclass
 class TableSpec:
     columns: list[ColumnSpec] = field(default_factory=list)
+    #: opt-in for the sandboxed-Python ``template:`` fallback.  Table
+    #: specs are TRUSTED OPERATOR INPUT (the reference ``eval()``s them
+    #: outright, worker.py:149-150); the AST filter here blocks dunder
+    #: access and unknown names but is NOT a hard security boundary
+    #: (unbounded computation is trivially expressible), so the Python
+    #: tier stays off unless the spec explicitly asks for it.
+    allow_python_templates: bool = False
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
-        return cls(columns=[ColumnSpec.from_dict(c) for c in d.get("columns", [])])
+        return cls(
+            columns=[ColumnSpec.from_dict(c) for c in d.get("columns", [])],
+            allow_python_templates=bool(d.get("allowPythonTemplates", False)),
+        )
 
     @classmethod
     def from_json(cls, text: str) -> "TableSpec":
@@ -185,23 +195,38 @@ def _parse_json_value_fn(schema):
     return lambda k, v: F.from_json(v, schema)
 
 
-def _template_col(df: DataFrame, expr_src: str) -> Column:
+def _template_col(
+    df: DataFrame, expr_src: str, allow_python: bool = False
+) -> Column:
     """``template:`` compilation with a two-tier strategy (SURVEY §7.3.1).
 
     Fast path: the expression compiles AND analyzes as Spark SQL →
-    ``F.expr`` (JVM-side, whole-stage codegen).  Fallback: sandboxed
-    Python ``eval`` over the row via an Arrow-batched pandas UDF — the
-    reference's ``convertTo:"template:<pyexpr>"`` semantics
+    ``F.expr`` (JVM-side, whole-stage codegen).  Fallback (only when
+    ``allow_python``, i.e. the spec set ``allowPythonTemplates``):
+    sandboxed Python ``eval`` over the row via an Arrow-batched pandas
+    UDF — the reference's ``convertTo:"template:<pyexpr>"`` semantics
     (worker.py:149-150) for expressions SQL can't say.  The fallback is
     row-at-a-time Python inside the batch and is logged as the SLOW
     path; only the columns the expression references are shipped.
+
+    Trust model: specs are operator-supplied config, not end-user input
+    (the reference ``eval()``s them with no filter at all); the AST
+    filter is defense-in-depth, not a security boundary.  Note also
+    that the SQL tier wins for any expression valid in BOTH dialects —
+    e.g. ``a or b`` is SQL boolean OR here, never Python's
+    first-truthy-operand; write unambiguous expressions.
     """
     try:
         col = F.expr(expr_src)
         df.select(col)  # force analysis so unresolved names/functions fail here
         return col
-    except Exception:  # noqa: BLE001 - parse or analysis failure → Python path
-        pass
+    except Exception as sql_err:  # noqa: BLE001 - parse/analysis failure → Python path
+        if not allow_python:
+            raise ValueError(
+                f"template {expr_src!r} is not valid Spark SQL and the "
+                "sandboxed-Python fallback is disabled — set "
+                '"allowPythonTemplates": true in the table spec to opt in'
+            ) from sql_err
     import ast
 
     tree = ast.parse(expr_src, mode="eval")
@@ -274,7 +299,9 @@ def compile_table_spec(
         elif conv == "timestamp":
             col = _timestamp_to_epoch_millis(col, cs.timestamp_format)
         elif conv.startswith("template:"):
-            col = _template_col(df, conv[len("template:") :])
+            col = _template_col(
+                df, conv[len("template:") :], spec.allow_python_templates
+            )
         else:
             raise ValueError(f"unknown convertTo: {conv!r}")
         exprs.append(col.alias(out_name))

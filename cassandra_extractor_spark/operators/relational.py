@@ -597,6 +597,22 @@ def q44_percentile(spark, sf_dir):
     )
 
 
+def q44b_quantile_disc(spark, sf_dir):
+    """Discrete quantiles via the mergeable GK sketch
+    (``percentile_approx``) — the 100 TB spelling of q44: partial
+    sketches merge map-side, nothing buffers a whole column on one
+    reducer (the exact ``percentile()`` in q44 does, bounded only by
+    this being a single global agg).  Max accuracy makes the sketch
+    exact here (== DuckDB ``quantile_disc``, verified incl. doubles);
+    production dials accuracy down (e.g. 10⁴) for O(accuracy) memory
+    with rank error ≤ N/accuracy."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.percentile_approx("o_totalprice", 0.5, 2147483647).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 2147483647).alias("p95"),
+        F.percentile_approx("o_totalprice", 0.99, 2147483647).alias("p99"),
+    )
+
+
 def q45_stats(spark, sf_dir):
     """Statistical aggregates. Moment merges accumulate in partition
     order, so results are rounded to partition-robust precision."""

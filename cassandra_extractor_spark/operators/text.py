@@ -385,23 +385,26 @@ def _token_weight(tok: Column) -> Column:
 def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: score every document with a
     linear classifier over the hashed token vocabulary and keep the
-    top-scoring half of the corpus — the classifier-inference +
-    percentile-cut stage of a pretraining pipeline (fasttext/logistic
-    quality models), expressed entirely JVM-side.
+    documents scoring at or above the corpus median — the
+    classifier-inference + percentile-cut stage of a pretraining
+    pipeline (fasttext/logistic quality models), entirely JVM-side.
 
     Exactness: weights and the per-token mean ``score`` (wsum·10⁶ div
     n_tokens, truncating integer division spelled so both engines
-    agree) are INTEGERS — sums are exact under any partitioning, the
-    top-half cut has no float-interpolation ambiguity, and only the
-    reporting sigmoid touches doubles.  100 TB shape: posexplode →
-    map-side-combined (doc_id) sum, one shuffle.  The exact rank cut
-    here uses a global sort window (fine at demo scale and for the
-    oracle); the production spelling thresholds on
-    ``approx_percentile(score, 0.5)`` broadcast back — same keep set
-    up to boundary ties, no global sort.
-    """
-    from pyspark.sql import Window as W
+    agree) are INTEGERS — sums are exact under any partitioning, and
+    the median cut compares integers (no float interpolation: Spark's
+    ``percentile_approx`` at max accuracy returns the discrete median,
+    verified equal to DuckDB ``quantile_disc(.., 0.5)`` incl. ties and
+    even counts); only the reporting sigmoid touches doubles.
 
+    100 TB shape: posexplode → map-side-combined (doc_id) sum (one
+    shuffle), then the threshold is a one-row mergeable-sketch
+    aggregate broadcast back over the scored frame — NO global sort
+    window anywhere in the plan (`tests/test_scale.py` asserts this).
+    At production scale dial ``accuracy`` down (e.g. 10⁴) for a
+    bounded-memory GK sketch; the max-accuracy setting here makes the
+    threshold exact for oracle parity at test scale.
+    """
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     sums = tok.groupBy("doc_id").agg(
@@ -423,17 +426,18 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         F.round(prob, 6).alias("prob"),
     )
-    rn = F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
-    total = F.count("*").over(W.partitionBy())
+    thr = scored.agg(
+        F.percentile_approx("score", 0.5, 2147483647).alias("thr")
+    )
     return (
-        scored.select("*", rn.alias("rn"), total.alias("total"))
+        scored.join(F.broadcast(thr))
         .select(
             "doc_id",
             "n_tokens",
             "wsum",
             "score",
             "prob",
-            (F.col("rn") * 2 <= F.col("total")).alias("keep"),
+            (F.col("score") >= F.col("thr")).alias("keep"),
         )
         .orderBy("doc_id")
     )

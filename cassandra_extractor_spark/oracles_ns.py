@@ -533,10 +533,11 @@ NS_ORACLES["ns_quality_classifier"] = (
     "CAST((wsum * 1000000 - (wsum * 1000000) % n_tokens) / n_tokens AS BIGINT) AS score, "
     "CAST(wsum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS logit FROM s), "
     "r AS (SELECT doc_id, n_tokens, wsum, score, "
-    "round(1.0 / (1.0 + exp(-logit)), 6) AS prob, "
-    "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn, "
-    "COUNT(*) OVER () AS total FROM f) "
-    "SELECT doc_id, n_tokens, wsum, score, prob, (rn * 2 <= total) AS keep "
+    "round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM f) "
+    # discrete median threshold == Spark percentile_approx at max
+    # accuracy (verified equal incl. ties / even N); keep = score >= med
+    "SELECT doc_id, n_tokens, wsum, score, prob, "
+    "(score >= (SELECT quantile_disc(score, 0.5) FROM r)) AS keep "
     "FROM r ORDER BY doc_id"
 )
 

@@ -44,6 +44,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_sequence_pack": X.ns_sequence_pack,
     "ns_quality_classifier": TX.ns_quality_classifier,
     "ns_training_corpus": X.ns_training_corpus,
+    # new in round 3 — need first driver rows
+    "q44b_quantile_disc": R.q44b_quantile_disc,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,
@@ -360,6 +362,11 @@ ORACLES: dict[str, str] = {
         "SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
         "ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95, "
         "ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM orders"
+    ),
+    "q44b_quantile_disc": (
+        "SELECT quantile_disc(o_totalprice, 0.5) AS p50, "
+        "quantile_disc(o_totalprice, 0.95) AS p95, "
+        "quantile_disc(o_totalprice, 0.99) AS p99 FROM orders"
     ),
     "q45_stats": (
         "SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd, "

@@ -15,6 +15,7 @@ collecting it on the driver is correct, not a scalability bug.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 
@@ -42,8 +43,13 @@ def partition_ddl(table: str, partition_column: str, values: list) -> list[str]:
         safe = str(v).replace("'", "''")
         # identifier from a DATA value: whitelist, never blacklist —
         # anything outside [a-z0-9_] (quotes, semicolons, parens, dots)
-        # would otherwise flow into the DDL as raw SQL
-        part_name = f"{table}_p_{re.sub(r'[^a-z0-9_]', '_', str(v).lower())}"
+        # would otherwise flow into the DDL as raw SQL.  The hash suffix
+        # keeps sanitized collisions distinct ('v1.x' vs 'v1_x' both
+        # whitelist to v1_x; without it the second CREATE .. IF NOT
+        # EXISTS silently no-ops and its rows have no partition)
+        digest = hashlib.md5(str(v).encode()).hexdigest()[:8]
+        slug = re.sub(r"[^a-z0-9_]", "_", str(v).lower())
+        part_name = f"{table}_p_{slug}_{digest}"
         stmts.append(
             f"CREATE TABLE IF NOT EXISTS {part_name} PARTITION OF {table} "
             f"FOR VALUES IN ('{safe}')"

@@ -86,7 +86,15 @@ def _fold_key(
 
     Concatenates all chunks and sorts the union once — per-chunk sorts
     would let an out-of-order later chunk move ``end_ms`` backwards or
-    mis-split sessions.  Returns (closed sessions, open-session state).
+    mis-split sessions.  The sort only covers ONE batch, so an event in
+    a LATER micro-batch that is older than the open session's end takes
+    the merge branch; the min/max clamps there keep the state invariant
+    ``start_ms ≤ end_ms = max(seen)`` across batches (a plain
+    ``end_ms = ts_ms`` would move the session end backwards).  A late
+    event more than ``gap_ms`` older than the open session still merges
+    rather than retro-splitting it — reconcile with the batch
+    ``sessionize`` for exact event-time semantics.  Returns (closed
+    sessions, open-session state).
     """
     start_ms = end_ms = None
     n = 0
@@ -106,7 +114,9 @@ def _fold_key(
             )
             start_ms, end_ms, n = ts_ms, ts_ms, 1
         else:
-            end_ms, n = ts_ms, n + 1
+            # within-batch the sort guarantees ts_ms >= end_ms; the
+            # clamps matter only for cross-batch late arrivals
+            start_ms, end_ms, n = min(start_ms, ts_ms), max(end_ms, ts_ms), n + 1
     state = (start_ms, end_ms, n) if start_ms is not None else None
     return out, state
 

@@ -177,3 +177,15 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
 
     plan = _executed_plan(ns_kmeans_step(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+def test_quality_classifier_no_global_sort_window(spark, sf_dir):
+    """The median cut must be a one-row aggregate broadcast back over
+    the scored frame — a global ROW_NUMBER window (empty partitionBy)
+    would serialize the whole corpus through one partition."""
+    from cassandra_extractor_spark.operators.text import ns_quality_classifier
+
+    df = ns_quality_classifier(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan

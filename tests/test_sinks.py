@@ -109,7 +109,7 @@ def test_jdbc_partition_ddl_hostile_values():
     from cassandra_extractor_spark.sinks.jdbc import partition_ddl
 
     stmts = partition_ddl("t", "region", ["us-east", "x'); DROP TABLE t; --"])
-    assert stmts[0].startswith("CREATE TABLE IF NOT EXISTS t_p_us_east ")
+    assert stmts[0].startswith("CREATE TABLE IF NOT EXISTS t_p_us_east_")
     # identifier fully sanitized, literal single-quotes doubled
     assert "t_p_x____drop_table_t____" in stmts[1]
     assert "IN ('x''); DROP TABLE t; --')" in stmts[1]
@@ -118,3 +118,15 @@ def test_jdbc_partition_ddl_hostile_values():
     for s in stmts:
         ident = s.split()[5]
         assert re.fullmatch(r"[a-z0-9_]+", ident), ident
+
+
+def test_jdbc_partition_ddl_sanitized_collisions_stay_distinct():
+    """Distinct raw values whose whitelisted slugs collide ('v1.x' vs
+    'v1_x') must yield distinct partition identifiers — otherwise the
+    second CREATE .. IF NOT EXISTS silently no-ops and rows with the
+    second value have no partition at insert time."""
+    from cassandra_extractor_spark.sinks.jdbc import partition_ddl
+
+    stmts = partition_ddl("t", "region", ["v1.x", "v1_x"])
+    idents = {s.split()[5] for s in stmts}
+    assert len(idents) == 2, idents

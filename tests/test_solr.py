@@ -114,3 +114,11 @@ def test_bare_term_hard_syntax_still_rejected():
     for q in ("spark~2", "spark^3", "spar*", 'spar?', '"big data"~5'):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
+
+
+def test_malformed_field_query_rejected_not_half_translated():
+    """A token that LOOKS like a field query but misses the field
+    grammar (field not starting with a letter) must be rejected — never
+    silently become full-text containment of the literal colon text."""
+    with pytest.raises(SolrTranslationError, match="malformed field query"):
+        solr_to_sql("9field:value", default_field="text")

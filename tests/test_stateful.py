@@ -154,3 +154,22 @@ def test_fold_key_out_of_order_chunks():
     # empty batch (pure timeout path) keeps state
     out3, state3 = _fold_key(7, [], state2, gap_ms)
     assert out3 == [] and state3 == state2
+
+def test_fold_key_cross_batch_late_event_cannot_regress_end():
+    """A late event in a LATER micro-batch, older than the open
+    session's end, must merge without moving end_ms backwards (and a
+    pre-start late event extends start downwards) — the state invariant
+    is start_ms <= end_ms = max(seen)."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.stateful import _fold_key
+
+    gap_ms = 30 * 60 * 1000
+    _, state = _fold_key(7, [pd.Series([10 * 60_000, 20 * 60_000])], None, gap_ms)
+    assert state == (10 * 60_000, 20 * 60_000, 2)
+    # late event inside the open session's span: end stays, n grows
+    _, state2 = _fold_key(7, [pd.Series([15 * 60_000])], state, gap_ms)
+    assert state2 == (10 * 60_000, 20 * 60_000, 3)
+    # late event before session start but within gap of end: start moves down
+    _, state3 = _fold_key(7, [pd.Series([5 * 60_000])], state2, gap_ms)
+    assert state3 == (5 * 60_000, 20 * 60_000, 4)

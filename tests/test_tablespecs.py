@@ -144,7 +144,8 @@ def test_template_python_fallback(spark):
     out = apply_table_spec(
         df,
         {"columns": [{"name": "name",
-                      "convertTo": "template:name.split(' ')[0].upper() if name else ''"}]},
+                      "convertTo": "template:name.split(' ')[0].upper() if name else ''"}],
+         "allowPythonTemplates": True},
     )
     assert [r["name"] for r in out.orderBy("k").collect()] == ["ALICE", "BOB"]
     # SQL-expressible: must NOT use a Python UDF
@@ -156,7 +157,9 @@ def test_template_python_fallback(spark):
     assert sorted(r["k"] for r in sql_out.collect()) == [20, 30]
     # constant Python expression folds at plan time
     const = apply_table_spec(
-        df, {"columns": [{"name": "name", "convertTo": "template:str(len([1,2,3]))"}]}
+        df,
+        {"columns": [{"name": "name", "convertTo": "template:str(len([1,2,3]))"}],
+         "allowPythonTemplates": True},
     )
     assert {r["name"] for r in const.collect()} == {"3"}
 
@@ -169,5 +172,23 @@ def test_template_sandbox_rejects_unknown_names(spark):
     with pytest.raises(ValueError, match="unknown names"):
         apply_table_spec(
             df,
-            {"columns": [{"name": "name", "convertTo": "template:__import__('os').getcwd()"}]},
+            {"columns": [{"name": "name", "convertTo": "template:__import__('os').getcwd()"}],
+             "allowPythonTemplates": True},
+        )
+
+
+def test_template_python_fallback_requires_opt_in(spark):
+    """Without allowPythonTemplates the sandboxed-Python tier is OFF:
+    a non-SQL template errors with the opt-in hint instead of silently
+    executing config-supplied Python (specs are trusted operator input,
+    but the Python tier is explicit)."""
+    from cassandra_extractor_spark.functions.tablespecs import apply_table_spec
+    import pytest
+
+    df = spark.createDataFrame([("alice smith",)], "name string")
+    with pytest.raises(ValueError, match="allowPythonTemplates"):
+        apply_table_spec(
+            df,
+            {"columns": [{"name": "name",
+                          "convertTo": "template:name.split(' ')[0].upper()"}]},
         )
