@@ -88,21 +88,23 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extract_sec": extract_sec,
-                "extract_rows": n_rows,
-                "extract_rows_per_sec": round(n_rows / extract_sec) if extract_sec else None,
-                **({"mode": "profile"} if profile else {}),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_sec": extract_sec,
+        "extract_rows": n_rows,
+        "extract_rows_per_sec": round(n_rows / extract_sec) if extract_sec else None,
+        **({"mode": "profile"} if profile else {}),
+    }
+    # the driver's artifact truncates long stdout tails — persist the
+    # complete per-query table so round-over-round comparisons never
+    # lose the head of the registry (round-2 lost the dedup family)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

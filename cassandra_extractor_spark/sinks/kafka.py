@@ -87,27 +87,48 @@ def prepare_kafka_frame(df: DataFrame, cfg: KafkaSinkConfig) -> DataFrame:
     return df.select(*cols)
 
 
+def kafka_writer_options(cfg: KafkaSinkConfig) -> dict[str, str]:
+    """The exact option map handed to the Kafka writer — pure so the
+    ``producer_options`` → ``kafka.*`` pass-through (the reference's
+    flush/linger/acks policies, kafkaworker.py:85-106 → linger.ms /
+    batch.size / acks) is unit-testable without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "topic": cfg.full_topic,
+        "includeHeaders": "true",
+    }
+    for k, v in cfg.producer_options.items():
+        opts[f"kafka.{k}" if not k.startswith("kafka.") else k] = v
+    return opts
+
+
+def map_kafka_error(exc: Exception) -> Exception:
+    """Error split: only the missing-jar case gets the setup hint;
+    genuine runtime failures (auth, broker down, serialization)
+    propagate as-is."""
+    msg = str(exc)
+    if (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source" in msg
+        or "ClassNotFoundException" in msg
+    ):
+        err = RuntimeError(
+            "Kafka sink unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+            "to spark.jars.packages and point bootstrap_servers at a broker."
+        )
+        err.__cause__ = exc
+        return err
+    return exc
+
+
 def write_kafka(df: DataFrame, cfg: KafkaSinkConfig) -> None:
     """Write to Kafka via the built-in sink (requires the
     spark-sql-kafka package on the classpath)."""
     frame = prepare_kafka_frame(df, cfg)
-    writer = (
-        frame.write.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
-        .option("topic", cfg.full_topic)
-        .option("includeHeaders", "true")
-    )
-    for k, v in cfg.producer_options.items():
-        writer = writer.option(f"kafka.{k}" if not k.startswith("kafka.") else k, v)
+    writer = frame.write.format("kafka")
+    for k, v in kafka_writer_options(cfg).items():
+        writer = writer.option(k, v)
     try:
         writer.save()
-    except Exception as exc:  # pragma: no cover - kafka jar absent in tests
-        # only the missing-jar case gets the setup hint; genuine runtime
-        # failures (auth, broker down, serialization) propagate as-is
-        msg = str(exc)
-        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg or "ClassNotFoundException" in msg:
-            raise RuntimeError(
-                "Kafka sink unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
-                "to spark.jars.packages and point bootstrap_servers at a broker."
-            ) from exc
-        raise
+    except Exception as exc:
+        raise map_kafka_error(exc) from exc.__cause__

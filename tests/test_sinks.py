@@ -130,3 +130,58 @@ def test_jdbc_partition_ddl_sanitized_collisions_stay_distinct():
     stmts = partition_ddl("t", "region", ["v1.x", "v1_x"])
     idents = {s.split()[5] for s in stmts}
     assert len(idents) == 2, idents
+
+
+def test_kafka_producer_options_pass_through():
+    """producer_options map to kafka.*-prefixed writer options (the
+    reference's flush policies -> linger.ms/batch.size/acks configs);
+    already-prefixed keys are not double-prefixed."""
+    from cassandra_extractor_spark.sinks.kafka import (
+        KafkaSinkConfig,
+        kafka_writer_options,
+    )
+
+    cfg = KafkaSinkConfig(
+        bootstrap_servers="b:9092",
+        topic="t",
+        topic_prefix="pre.",
+        producer_options={
+            "linger.ms": "50",
+            "acks": "all",
+            "kafka.batch.size": "65536",
+        },
+    )
+    opts = kafka_writer_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["topic"] == "pre.t"
+    assert opts["kafka.linger.ms"] == "50"
+    assert opts["kafka.acks"] == "all"
+    assert opts["kafka.batch.size"] == "65536"
+    assert "kafka.kafka.batch.size" not in opts
+
+
+def test_kafka_error_split_missing_jar_vs_runtime():
+    """Only the missing-jar failure is rewritten to the setup hint;
+    runtime failures (auth/broker) propagate unchanged."""
+    from cassandra_extractor_spark.sinks.kafka import map_kafka_error
+
+    jar = Exception("[DATA_SOURCE_NOT_FOUND] Failed to find data source: kafka")
+    mapped = map_kafka_error(jar)
+    assert isinstance(mapped, RuntimeError) and "spark-sql-kafka" in str(mapped)
+    assert mapped.__cause__ is jar
+
+    runtime = Exception("TimeoutException: Topic t not present in metadata")
+    assert map_kafka_error(runtime) is runtime
+
+
+def test_write_kafka_missing_jar_raises_setup_hint(spark):
+    """End-to-end through write_kafka: with no kafka jar on the
+    classpath the save fails and surfaces as the setup-hint
+    RuntimeError."""
+    import pytest
+
+    from cassandra_extractor_spark.sinks.kafka import KafkaSinkConfig, write_kafka
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        write_kafka(df, KafkaSinkConfig(bootstrap_servers="b:9092", topic="t"))
