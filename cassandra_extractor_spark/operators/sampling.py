@@ -134,3 +134,34 @@ def ns_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: per-source selection size for ns_topk_per_source
+TOPK_PER_SOURCE = 10
+
+
+def ns_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-source selection: the top-k documents per source by
+    length (stand-in for any per-doc score), deterministic tie-break by
+    doc_id — the "keep the N best pages per domain" stage of a crawl
+    curation pipeline.
+
+    100 TB shape: a PARTITIONED row_number window — one hash exchange
+    on source + per-partition sort; no global ordering anywhere.  Skew
+    note: a pathological mega-domain still sorts on one partition; cap
+    it by pre-filtering with a per-source approx threshold
+    (approx_percentile broadcast back, as in ns_quality_classifier)
+    before ranking when domains exceed executor memory.
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOPK_PER_SOURCE)
+        .orderBy("source", "rk")
+    )

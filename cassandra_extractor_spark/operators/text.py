@@ -419,12 +419,20 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("double") * F.lit(float(QW_SCALE))
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    scored = sums.select(
-        "doc_id",
-        "n_tokens",
-        "wsum",
-        score.alias("score"),
-        F.round(prob, 6).alias("prob"),
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    # materialize once: the threshold aggregate and the output join both
+    # read `scored`; without this the explode+groupBy pipeline (the
+    # dominant cost) runs twice — Catalyst does not reuse the exchange
+    # across the two subplans
+    scored = materialize_once(
+        sums.select(
+            "doc_id",
+            "n_tokens",
+            "wsum",
+            score.alias("score"),
+            F.round(prob, 6).alias("prob"),
+        )
     )
     thr = scored.agg(
         F.percentile_approx("score", 0.5, 2147483647).alias("thr")
@@ -438,6 +446,98 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             "prob",
             (F.col("score") >= F.col("thr")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: vocabulary size for the OOV-rate operator (50k-ish in production;
+#: sized to the synthetic corpus' 31 distinct tokens here)
+VOCAB_SIZE = 20
+
+#: a shingle seen in >= this many distinct documents counts as
+#: boilerplate (nav bars, footers, licence blocks repeated across pages)
+BOILERPLATE_MIN_DOCS = 4
+
+
+def ns_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: build the top-V corpus vocabulary by frequency,
+    then score every document's out-of-vocabulary token count — the
+    vocabulary-coverage check run before committing a tokenizer.
+
+    100 TB shape: token counting is one map-side-combined aggregation
+    (31 distinct tokens here, ~1e6-1e8 in a real corpus — always tiny
+    next to the corpus); the top-V cut is a bounded ``orderBy().limit``
+    (TakeOrdered partial top-K per partition, never a full sort of the
+    corpus) and the resulting V-row vocabulary rides back as a
+    broadcast join.  Deterministic tie-break: (count desc, token asc).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select("doc_id", "n_tokens", "n_oov").orderBy("doc_id")
+
+
+def ns_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a 3-shingle occurring in
+    >= BOILERPLATE_MIN_DOCS distinct documents is boilerplate (repeated
+    nav/footer/licence text); each document reports its distinct-shingle
+    total, how many are boilerplate, and keep = boilerplate share
+    <= 50% — the CCNet/Gopher-style repeated-span filter at corpus
+    granularity (the within-doc variant is ns_repetition_filter).
+
+    100 TB shape: shingle doc-frequency is a map-side-combined
+    aggregation over (doc, shingle) pairs; the heavy-hitter set it
+    keeps (df >= 4) is tiny by construction (boilerplate is by
+    definition a small set of very common spans), so it broadcasts
+    back — the corpus-sized frame never joins shuffled.  Integer
+    keep rule (n_bp*2 <= n_sh) avoids float parity issues.
+    """
+    from cassandra_extractor_spark.operators.dedup import exploded_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    sh = exploded_shingles(d).distinct()  # (doc_id, sh) set semantics
+    common = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("sh", F.lit(1).alias("is_bp"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(common), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("is_bp").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_bp"),
+        )
+    )
+    # left join back to the corpus so shingle-less short docs keep=true
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+            (F.coalesce("n_bp", F.lit(0)) * 2 <= F.coalesce("n_sh", F.lit(0))).alias("keep"),
         )
         .orderBy("doc_id")
     )

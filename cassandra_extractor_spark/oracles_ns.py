@@ -602,3 +602,57 @@ def _training_corpus_sql() -> str:
 
 
 NS_ORACLES["ns_training_corpus"] = _training_corpus_sql()
+
+
+def _vocab_oov_sql() -> str:
+    from cassandra_extractor_spark.operators.text import VOCAB_SIZE
+
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
+        "vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tok "
+        f"GROUP BY tok ORDER BY cnt DESC, tok LIMIT {VOCAB_SIZE})) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+        "FROM tok t LEFT JOIN vocab v USING (tok) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_vocab_oov"] = _vocab_oov_sql()
+
+
+def _boilerplate_sql() -> str:
+    from cassandra_extractor_spark.operators.text import BOILERPLATE_MIN_DOCS
+
+    return (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh "
+        "FROM t WHERE len(toks) >= 3), "
+        "common AS (SELECT sh FROM (SELECT sh, COUNT(*) AS nd FROM g GROUP BY sh) "
+        f"WHERE nd >= {BOILERPLATE_MIN_DOCS}), "
+        "per_doc AS (SELECT doc_id, COUNT(*) AS n_sh, "
+        "CAST(SUM(CASE WHEN c.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_bp "
+        "FROM g LEFT JOIN common c USING (sh) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(p.n_sh, 0) AS n_sh, COALESCE(p.n_bp, 0) AS n_bp, "
+        "(COALESCE(p.n_bp, 0) * 2 <= COALESCE(p.n_sh, 0)) AS keep "
+        "FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+NS_ORACLES["ns_boilerplate"] = _boilerplate_sql()
+
+
+def _topk_per_source_sql() -> str:
+    from cassandra_extractor_spark.operators.sampling import TOPK_PER_SOURCE
+
+    return (
+        "SELECT doc_id, source, n_chars, rk FROM ("
+        "SELECT doc_id, source, n_chars, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk FROM documents) "
+        f"WHERE rk <= {TOPK_PER_SOURCE} ORDER BY source, rk"
+    )
+
+
+NS_ORACLES["ns_topk_per_source"] = _topk_per_source_sql()

@@ -46,6 +46,9 @@ QUERIES: dict[str, QueryFn] = {
     "ns_training_corpus": X.ns_training_corpus,
     # new in round 3 — need first driver rows
     "q44b_quantile_disc": R.q44b_quantile_disc,
+    "ns_vocab_oov": TX.ns_vocab_oov,
+    "ns_boilerplate": TX.ns_boilerplate,
+    "ns_topk_per_source": SM.ns_topk_per_source,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,

@@ -284,16 +284,21 @@ def test_kmeans_step_partitions_corpus(spark, sf_dir):
     assert sum(members[0]["n_members"] for members in by_cluster.values()) == n_vecs
 
 
-def test_quality_classifier_keeps_top_half(spark, sf_dir):
+def test_quality_classifier_keeps_at_or_above_median(spark, sf_dir):
     from cassandra_extractor_spark.operators.text import ns_quality_classifier
 
     rows = ns_quality_classifier(spark, sf_dir).collect()
     assert rows
-    ranked = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
-    cut = len(rows) // 2
-    for i, r in enumerate(ranked):
+    # keep == score >= discrete median (value at rank floor((n-1)/2)
+    # descending-exclusive form: the (n//2)-th smallest for even n,
+    # middle for odd — i.e. numpy-style lower median of the sorted list)
+    scores = sorted(r["score"] for r in rows)
+    median = scores[(len(scores) - 1) // 2]
+    kept = sum(r["keep"] for r in rows)
+    assert kept >= len(rows) // 2  # at least half survives (ties inflate)
+    for r in rows:
         assert 0.0 <= r["prob"] <= 1.0
-        assert r["keep"] == (i < cut), (i, r)
+        assert r["keep"] == (r["score"] >= median), r
     # integer score is the TRUNCATED per-token mean of wsum (SQL %
     # follows the dividend sign, unlike Python's — so spell truncation
     # explicitly)
@@ -301,3 +306,58 @@ def test_quality_classifier_keeps_top_half(spark, sf_dir):
         q, n = r["wsum"] * 1_000_000, r["n_tokens"]
         trunc = q // n if q >= 0 else -((-q) // n)
         assert r["score"] == trunc
+
+
+def test_vocab_oov_counts(spark, sf_dir):
+    """n_oov counts exactly the tokens outside the top-V vocabulary;
+    vocabulary membership is deterministic (count desc, token asc)."""
+    from cassandra_extractor_spark.operators.text import VOCAB_SIZE, ns_vocab_oov, tokens
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["doc_id"]: r for r in ns_vocab_oov(spark, sf_dir).collect()}
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    vocab = set(
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]
+    )
+    sample = toks.where(F.col("doc_id") < 20).collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in sample:
+        by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+    for doc_id, tk in by_doc.items():
+        assert rows[doc_id]["n_tokens"] == len(tk)
+        assert rows[doc_id]["n_oov"] == sum(1 for t in tk if t not in vocab)
+
+
+def test_boilerplate_keep_rule(spark, sf_dir):
+    """keep <=> boilerplate shingles are at most half of the doc's
+    distinct shingles; short docs (no shingles) always keep."""
+    from cassandra_extractor_spark.operators.text import ns_boilerplate
+
+    rows = ns_boilerplate(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["keep"] == (r["n_bp"] * 2 <= r["n_sh"]), r
+        assert 0 <= r["n_bp"] <= r["n_sh"]
+    assert any(r["n_bp"] > 0 for r in rows)  # threshold actually fires
+
+
+def test_topk_per_source(spark, sf_dir):
+    from cassandra_extractor_spark.operators.sampling import (
+        TOPK_PER_SOURCE,
+        ns_topk_per_source,
+    )
+
+    rows = ns_topk_per_source(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert len(rs) <= TOPK_PER_SOURCE
+        chars = [r["n_chars"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert chars == sorted(chars, reverse=True), (src, chars)

@@ -189,3 +189,26 @@ def test_quality_classifier_no_global_sort_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan, plan
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The top-V vocabulary is bounded rows — it must ride back as a
+    broadcast join, and the top-V cut must be TakeOrdered (partial
+    per-partition top-K), never a full global Sort of the token
+    counts."""
+    from cassandra_extractor_spark.operators.text import ns_vocab_oov
+
+    plan = _executed_plan(ns_vocab_oov(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_boilerplate_broadcasts_common_shingles(spark, sf_dir):
+    """The heavy-hitter shingle set (df >= threshold) is tiny by
+    construction; the corpus-sized shingle frame must probe it via
+    broadcast, not shuffle into a sort-merge join."""
+    from cassandra_extractor_spark.operators.text import ns_boilerplate
+
+    plan = _executed_plan(ns_boilerplate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan

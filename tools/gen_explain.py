@@ -30,6 +30,10 @@ SECTIONS = [
      "Per-source token totals reduce to a few-row frame (one row per domain); the computed keep-rates broadcast-join back onto the corpus and the md5 gate filters in the scan stage. Look for two map-side-combined HashAggregate pairs and a `BroadcastHashJoin` — zero corpus-sized shuffles, no driver collect."),
     ("ns_sequence_pack", "Packing is one partitioned window, no global sort",
      "The running token sum partitions by source shard: one hash exchange on source, an in-partition sort, a linear frame scan. A global-order packing would serialize on a single partition; per-shard packing is what real pipelines do and what scales."),
+    ("ns_quality_classifier", "Median cut is a one-row aggregate broadcast back",
+     "The percentile threshold reduces the scored corpus to ONE row (a mergeable quantile sketch: partial per partition, merged once), which rides back over the scores as a `BroadcastNestedLoopJoin` of a single row — there is NO Window operator in this plan at all. The r02 formulation ranked with an empty-partition ROW_NUMBER window, serializing the corpus through one partition; this shape scales with the corpus. Accuracy is the memory/exactness knob: max here for oracle parity, ~1e4 in production for O(accuracy) state."),
+    ("q44b_quantile_disc", "Quantiles via mergeable sketch, not a single-reducer sort",
+     "`percentile_approx` computes Greenwald-Khanna summaries partial-then-final like any algebraic aggregate — contrast exact `percentile()` (q44), which buffers every value of the column on one reducer and only survives because it is a single global aggregate. The sketch's memory is O(accuracy), independent of row count."),
     ("ns_sample_uniform", "Deterministic sampling is a scan-stage filter",
      "The md5 hash gate compiles to a codegen'd filter inside the scan stage — no RNG state, no shuffle caused by the sampling itself (the one Exchange below is the oracle contract's total ORDER BY, absent in pipeline use). At 100 TB the sample costs one pass and parallelizes perfectly; the same rows come back on any cluster size or rerun."),
 ]
