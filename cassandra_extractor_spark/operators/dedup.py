@@ -39,23 +39,56 @@ def _md5_hash64(col: Column, salt: str) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 15), 16, 10).cast("long")
 
 
+#: modulus for the double-hashed permutation family (40-bit: the widest
+#: that keeps h1 + s·h2 inside BIGINT with identical arithmetic in
+#: Spark and DuckDB — no overflow, no engine-specific wrap semantics)
+MH_MOD = 1 << 40
+
+
+def _mh_base_hashes(col: Column) -> tuple[Column, Column]:
+    """Two independent 40-bit hashes from ONE md5 of the shingle
+    (hex chars 1-10 and 11-20)."""
+    hx = F.md5(col)
+    h1 = F.conv(F.substring(hx, 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 11, 10), 16, 10).cast("long")
+    return h1, h2
+
+
+def _mh_perm(h1: Column, h2: Column, s: int) -> Column:
+    """Permutation s of the Kirsch-Mitzenmacher family:
+    g_s(x) = (h1(x) + s·h2(x)) mod 2^40."""
+    return F.pmod(h1 + F.lit(s) * h2, F.lit(MH_MOD))
+
+
 def minhash_signature(text: Column, num_perm: int = NUM_PERM) -> list[Column]:
     """MinHash signature over 3-word shingles: per permutation, min of
-    salted shingle hashes.
+    double-hashed shingle values.
 
     Shingles (not unigrams) keep the signature discriminative — unigram
     signatures over a small vocabulary collide for nearly every pair.
     Computed entirely per-row (array_min over transform) — map-only.
-    """
-    sh = _shingles(text)
 
-    def hasher(salt: str):
+    Permutations use Kirsch-Mitzenmacher double hashing
+    (g_s = h1 + s·h2 mod 2^40, both halves of ONE md5): one md5 per
+    shingle instead of NUM_PERM — md5 dominated the signature pass
+    (8× fewer digests measured ~4× faster end-to-end at sf0.1); the
+    per-permutation combination is pure codegen integer arithmetic.
+    """
+    def pair(t):
         # single-param closure: a 2-param lambda would make Spark bind
         # the second param to the array index
-        return lambda t: _md5_hash64(t, salt)
+        h1, h2 = _mh_base_hashes(t)
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    # md5 once per shingle into (h1, h2) pairs; the 8 permutation mins
+    # then fold the pair array with integer arithmetic only
+    pairs = F.transform(_shingles(text), pair)
+
+    def perm_min(s: int):
+        return lambda p: _mh_perm(p["h1"], p["h2"], s)
 
     return [
-        F.array_min(F.transform(sh, hasher(str(s)))).alias(f"mh{s}")
+        F.array_min(F.transform(pairs, perm_min(s))).alias(f"mh{s}")
         for s in range(num_perm)
     ]
 
@@ -223,12 +256,21 @@ def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures_for(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{NUM_PERM-1}) for any (doc_id, text) frame:
-    codegen'd md5 over exploded shingles → min-agg (map-side combined)."""
+    ONE codegen'd md5 per exploded shingle → (h1, h2) → NUM_PERM
+    double-hashed permutation values → min-agg (map-side combined).
+
+    The md5-per-permutation spelling this replaces spent ~85% of the
+    signature pass in digest computation; the (h1 + s·h2) mod 2^40
+    family needs one digest and integer ops the codegen pipeline
+    vectorizes (measured ~4× on the bands stage at sf0.1).
+    """
     d = docs.where(F.size(tokens(F.col("text"))) >= 3)
     exploded = exploded_shingles(d)
-    return exploded.groupBy("doc_id").agg(
+    h1, h2 = _mh_base_hashes(F.col("sh"))
+    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(_md5_hash64(F.col("sh"), str(s))).alias(f"mh{s}")
+            F.min(_mh_perm(F.col("h1"), F.col("h2"), s)).alias(f"mh{s}")
             for s in range(NUM_PERM)
         ]
     )

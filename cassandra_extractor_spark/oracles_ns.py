@@ -96,10 +96,14 @@ _DOCS_SH = (
 
 
 def _minhash_sql() -> str:
+    from cassandra_extractor_spark.operators.dedup import MH_MOD
+
     rows_per_band = NUM_PERM // BANDS
+    # Kirsch-Mitzenmacher double hashing, mirroring dedup._mh_perm:
+    # one md5 per shingle → 40-bit halves (h1, h2) → g_s = (h1 + s·h2)
+    # mod 2^40 (both operands non-negative, so % == Spark's pmod)
     sig_cols = ", ".join(
-        f"list_min(list_transform(sh, t -> {_hash_sql('t', str(s))})) AS mh{s}"
-        for s in range(NUM_PERM)
+        f"MIN((h1 + {s} * h2) % {MH_MOD}) AS mh{s}" for s in range(NUM_PERM)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat({parts}) AS sig FROM sig".format(
@@ -112,7 +116,11 @@ def _minhash_sql() -> str:
     )
     return (
         f"WITH {_DOCS_SH}, "
-        f"sig AS (SELECT doc_id, {sig_cols} FROM docs), "
+        "hashed AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(t), 1, 10)) AS BIGINT) AS h1, "
+        "CAST(concat('0x', substr(md5(t), 11, 10)) AS BIGINT) AS h2 "
+        "FROM (SELECT doc_id, unnest(sh) AS t FROM docs)), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id), "
         f"bands AS ({band_selects}) "
         "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id "
