@@ -152,18 +152,22 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     nightly.  Every stage is the scale-shaped implementation documented
     on its operator; the composition adds only broadcast-joinable
     doc_id keep-lists between stages — no new corpus-sized shuffles.
-    (Each text stage scans the corpus independently here for
-    composability; a tuned 100 TB run fuses quality + repetition +
-    classifier into one pass over the token explode — same outputs,
-    three fewer scans.)
+    The repetition filter and the classifier aggregate ONE shared
+    materialized ``token_stream`` (posexplode + lead, built once)
+    instead of exploding the corpus independently — same outputs as the
+    standalone operators, one token pipeline instead of two.
     """
     from pyspark.sql import Window as W
 
-    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        ns_dedup_clusters,
+    )
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
         ns_repetition_filter,
         ns_text_quality,
+        token_stream,
         tokens,
     )
 
@@ -172,8 +176,11 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = ns_dedup_clusters(spark, sf_dir)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    rep = ns_repetition_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
-    clf = ns_quality_classifier(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    stream = materialize_once(
+        token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    )
+    rep = ns_repetition_filter(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
+    clf = ns_quality_classifier(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
     surv = (
         quality.select("doc_id")
         .join(dropped, "doc_id", "left_anti")

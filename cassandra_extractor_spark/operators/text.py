@@ -316,7 +316,22 @@ REP_DUP_TOKEN_MAX = 0.7
 REP_TOP_BIGRAM_MAX = 0.2
 
 
-def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_stream(d: DataFrame) -> DataFrame:
+    """(doc_id, tok, nxt): ONE posexplode + per-doc lead window serving
+    every token-level gate — bigrams are (tok, nxt) rows, unigram
+    aggregates ignore ``nxt``.  ``ns_training_corpus`` materializes
+    this once and feeds it to the repetition filter AND the classifier,
+    replacing two independent explode pipelines with one."""
+    from pyspark.sql import Window as W
+
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
+
+
+def ns_repetition_filter(
+    spark: SparkSession, sf_dir: str, _stream: DataFrame | None = None
+) -> DataFrame:
     """Repetition-based quality filter (Gopher rules, token-level):
     per document, the duplicate-token fraction (1 − distinct/total) and
     the top-bigram fraction (most frequent bigram over total bigrams),
@@ -326,6 +341,8 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (codegen'd array ops, no shuffle); the top-bigram
     fraction is one posexplode→count→max aggregation pair, map-side
     combined, partitioned by doc_id — linear, two shuffles, no Python.
+    ``_stream``: a pre-built ``token_stream`` to aggregate instead of
+    exploding again (the fused-pipeline path).
     """
     from cassandra_extractor_spark.operators.dedup import exploded_shingles
 
@@ -335,9 +352,15 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.size(distinct_tokens(F.col("text"))).cast("long").alias("n_distinct"),
     )
+    bigrams = (
+        _stream.where(F.col("nxt").isNotNull()).select(
+            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("sh")
+        )
+        if _stream is not None
+        else exploded_shingles(d, n=2)
+    )
     top_bigram = (
-        exploded_shingles(d, n=2)
-        .groupBy("doc_id", "sh")
+        bigrams.groupBy("doc_id", "sh")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
@@ -382,7 +405,9 @@ def _token_weight(tok: Column) -> Column:
     return (_md5_hash64(tok, "qw") % (2 * QW_SCALE + 1)) - QW_SCALE
 
 
-def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ns_quality_classifier(
+    spark: SparkSession, sf_dir: str, _stream: DataFrame | None = None
+) -> DataFrame:
     """Model-based quality filtering: score every document with a
     linear classifier over the hashed token vocabulary and keep the
     documents scoring at or above the corpus median — the
@@ -405,8 +430,13 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-memory GK sketch; the max-accuracy setting here makes the
     threshold exact for oracle parity at test scale.
     """
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    if _stream is not None:
+        # fused path: aggregate the shared token stream (one row per
+        # token; `nxt` ignored) instead of exploding again
+        tok = _stream.select("doc_id", "tok")
+    else:
+        d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     sums = tok.groupBy("doc_id").agg(
         F.sum(_token_weight(F.col("tok"))).alias("wsum"),
         F.count("*").alias("n_tokens"),
