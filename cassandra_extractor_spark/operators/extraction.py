@@ -201,3 +201,85 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
         (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
     ).orderBy("doc_id")
+
+
+#: the "previous snapshot" horizon for ns_corpus_diff (docs below this
+#: id stand in for yesterday's crawl; a real run reads two snapshots)
+DIFF_OLD_DOCS = 400
+
+
+def ns_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the incremental-crawl bookkeeping step: which
+    documents are NEW since the previous snapshot, which CHANGED
+    (same doc_id, different content fingerprint), which are UNCHANGED.
+    Downstream stages (dedup, classifier) then run on new+changed only.
+
+    Modeled here as old = docs with doc_id < DIFF_OLD_DOCS whose text
+    is reversed when doc_id % 7 == 0 (deterministic mutation so CHANGED
+    is non-empty on synthetic data); production passes two real
+    snapshot frames.  100 TB shape: fingerprints are map-only md5s;
+    the diff is one full outer join on doc_id — shuffle on the join
+    key, or ZERO shuffle when both snapshots are bucketed by doc_id
+    (the recommended table layout for nightly diffs).
+    """
+    from cassandra_extractor_spark.operators.text import doc_fingerprint_col
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    old = d.where(F.col("doc_id") < DIFF_OLD_DOCS).select(
+        "doc_id",
+        doc_fingerprint_col(
+            F.when(F.col("doc_id") % 7 == 0, F.reverse(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("old_fp"),
+    )
+    new = d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("new_fp"))
+    return (
+        new.join(old, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .when(F.col("old_fp") != F.col("new_fp"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ns_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit table — the per-source validation report a
+    pipeline publishes before training: row counts, null/empty text,
+    metadata consistency (n_chars vs actual length), unexpected
+    language codes, and token-length extremes.
+
+    One scan, one map-side-combined aggregation per source: every
+    metric is a conditional count in the same HashAggregate — the
+    N-metrics-one-pass shape (no per-metric scans, no joins).
+    """
+    from cassandra_extractor_spark.operators.text import LANG_MARKERS, tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    known = [F.lit(code) for code in LANG_MARKERS]
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty_text"),
+            F.sum(F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_chars_mismatch"),
+            F.sum(
+                F.when(~F.col("lang").isin([c for c in LANG_MARKERS]), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unknown_lang"),
+            F.min(n_tok).cast("long").alias("min_tokens"),
+            F.max(n_tok).cast("long").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

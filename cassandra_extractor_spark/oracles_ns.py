@@ -664,3 +664,43 @@ def _topk_per_source_sql() -> str:
 
 
 NS_ORACLES["ns_topk_per_source"] = _topk_per_source_sql()
+
+
+def _corpus_diff_sql() -> str:
+    from cassandra_extractor_spark.operators.extraction import DIFF_OLD_DOCS
+
+    fp_of = lambda txt: (
+        f"substr(md5(trim(regexp_replace(regexp_replace(lower({txt}), "
+        r"'[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))), 1, 16)"
+    )
+    return (
+        f"WITH old AS (SELECT doc_id, {fp_of('CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END')} AS old_fp "
+        f"FROM documents WHERE doc_id < {DIFF_OLD_DOCS}), "
+        f"new AS (SELECT doc_id, {fp_of('text')} AS new_fp FROM documents) "
+        "SELECT COALESCE(new.doc_id, old.doc_id) AS doc_id, "
+        "CASE WHEN old_fp IS NULL THEN 'added' "
+        "WHEN new_fp IS NULL THEN 'removed' "
+        "WHEN old_fp <> new_fp THEN 'changed' ELSE 'unchanged' END AS status "
+        "FROM new FULL OUTER JOIN old USING (doc_id) ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_corpus_diff"] = _corpus_diff_sql()
+
+
+def _data_audit_sql() -> str:
+    from cassandra_extractor_spark.operators.text import LANG_MARKERS
+
+    known = ", ".join(f"'{c}'" for c in LANG_MARKERS)
+    return (
+        "SELECT source, COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text, "
+        "CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch, "
+        f"CAST(SUM(CASE WHEN lang NOT IN ({known}) THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_lang, "
+        f"CAST(MIN(len({TOKS})) AS BIGINT) AS min_tokens, "
+        f"CAST(MAX(len({TOKS})) AS BIGINT) AS max_tokens "
+        "FROM documents GROUP BY source ORDER BY source"
+    )
+
+
+NS_ORACLES["ns_data_audit"] = _data_audit_sql()

@@ -49,6 +49,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_vocab_oov": TX.ns_vocab_oov,
     "ns_boilerplate": TX.ns_boilerplate,
     "ns_topk_per_source": SM.ns_topk_per_source,
+    "ns_corpus_diff": X.ns_corpus_diff,
+    "ns_data_audit": X.ns_data_audit,
     # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
     "ns_token_count": TX.ns_token_count,
     "ns_tfidf": TX.ns_tfidf,

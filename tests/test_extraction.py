@@ -172,3 +172,41 @@ def test_sequence_pack_offsets_consistent(spark, sf_dir):
             assert r["seq_id"] == cum // SEQ_BUDGET
             assert r["seq_offset"] == cum % SEQ_BUDGET
             cum += r["n_tokens"]
+
+
+def test_corpus_diff_statuses(spark, sf_dir):
+    """Snapshot diff: docs >= horizon are added, mutated old docs are
+    changed, the rest unchanged; removed is impossible in this modeling
+    (old is a subset)."""
+    from collections import Counter
+
+    from cassandra_extractor_spark.operators.extraction import (
+        DIFF_OLD_DOCS,
+        ns_corpus_diff,
+    )
+
+    rows = ns_corpus_diff(spark, sf_dir).collect()
+    by = Counter(r["status"] for r in rows)
+    assert by["added"] == sum(1 for r in rows if r["doc_id"] >= DIFF_OLD_DOCS)
+    assert by["changed"] > 0 and by.get("removed", 0) == 0
+    for r in rows:
+        if r["doc_id"] >= DIFF_OLD_DOCS:
+            assert r["status"] == "added"
+        elif r["doc_id"] % 7 == 0:
+            # reversal may be a no-op for palindromic-normalized text,
+            # but on this corpus every multiple of 7 truly changes
+            assert r["status"] == "changed", r
+
+
+def test_data_audit_clean_corpus(spark, sf_dir):
+    """The synthetic corpus is clean: no empty text, metadata
+    consistent, all languages known — the audit must say exactly that
+    (a nonzero count here means the audit or the data broke)."""
+    from cassandra_extractor_spark.operators.extraction import ns_data_audit
+
+    rows = ns_data_audit(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_empty_text"] == 0 and r["n_chars_mismatch"] == 0
+        assert r["n_unknown_lang"] == 0
+        assert 0 < r["min_tokens"] <= r["max_tokens"]
