@@ -14,8 +14,8 @@ SECTIONS = [
      "Two `HashAggregate` nodes (partial then final) around the exchange: map-side combine shrinks the shuffle to #groups × #partitions rows regardless of input size."),
     ("ns_ann_cosine_topk", "Broadcast query side, corpus never shuffles",
      "`BroadcastNestedLoopJoin` with the tiny query set broadcast; the corpus is scanned once with no exchange before scoring. The only shuffle is the final per-query top-k window over candidates."),
-    ("ns_dedup_minhash_lsh", "Signature pipeline in codegen",
-     "posexplode → window lead → md5 → map-side-combined min-agg, then a self-join shuffled on uniform md5 band signatures. The `WholeStageCodegen` spans cover the hash computation; nothing per-row runs in Python."),
+    ("ns_dedup_minhash_lsh", "Signature pipeline in codegen, one digest per shingle",
+     "posexplode → window lead → ONE md5 per shingle split into (h1, h2) → the 8 Kirsch-Mitzenmacher permutations as codegen integer arithmetic → map-side-combined min-agg, then a self-join shuffled on uniform band signatures. The md5-per-permutation spelling this replaced spent ~85% of the pass in digests; nothing per-row runs in Python."),
     ("q34_asof_join", "As-of join as a single-pass window",
      "One exchange + sort per user_id, a running-max window, no self-join: the O(n) formulation that replaces the O(n²)-per-key naive as-of."),
     ("q51_conditional_agg", "N conditional metrics, one scan, one shuffle",
