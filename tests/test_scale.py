@@ -212,3 +212,22 @@ def test_boilerplate_broadcasts_common_shingles(spark, sf_dir):
     plan = _executed_plan(ns_boilerplate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan, plan
+
+def test_data_audit_single_aggregate_no_join(spark, sf_dir):
+    """All audit metrics compute in ONE partial/final HashAggregate
+    pair over one scan — no joins, no per-metric scans, no Python."""
+    from cassandra_extractor_spark.operators.extraction import ns_data_audit
+
+    plan = _executed_plan(ns_data_audit(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_corpus_diff_single_shuffle_join(spark, sf_dir):
+    """The snapshot diff is one join on doc_id and map-only fingerprints
+    on both sides — no Python, no extra aggregation stage."""
+    from cassandra_extractor_spark.operators.extraction import ns_corpus_diff
+
+    plan = _executed_plan(ns_corpus_diff(spark, sf_dir))
+    assert "Python" not in plan, plan
+    assert "HashAggregate" not in plan, plan
