@@ -367,12 +367,18 @@ def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(cluster, dim) aggregation — map-side combined, K×dim output
     rows regardless of corpus size.
 
-    Oracle parity: per-(cluster, dim) values are collected, SORTED, and
-    sequentially folded — double addition isn't commutative-associative
-    bit-wise, so an unordered SUM would hash-diverge between engines.
-    At production scale swap the sorted fold for a plain ``SUM``
-    (collect_list per group is bounded by cluster population here, but
-    the fold exists only for cross-engine bit-exactness).
+    Oracle parity: double addition isn't commutative-associative
+    bit-wise, so a plain double ``SUM`` would hash-diverge between
+    engines under different partitionings.  The sum therefore goes
+    through DECIMAL(38,18) — the double→decimal cast rounds each value
+    to the same fixed-point representation in both engines, decimal
+    addition is exact (order-independent), and the final cast back to
+    double before the divide is correctly rounded everywhere.  This is
+    the ``ns_corpus_stats`` trick, and unlike the earlier
+    collect_list+sorted-fold spelling it is constant-memory per
+    aggregation buffer: a billion-member cluster streams through the
+    map-side combine instead of materializing in one executor.  A
+    unit test pins decimal-sum == sorted-fold on the test corpus.
     """
     e = _load_embeddings(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
     cent = e.where(F.col("vec_id") < N_KMEANS).select(
@@ -397,9 +403,7 @@ def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim.groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
         .agg(
             F.round(
-                F.aggregate(
-                    F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
-                )
+                F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
                 / F.count("*").cast("double"),
                 6,
             ).alias("centroid_mean"),

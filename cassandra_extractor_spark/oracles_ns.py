@@ -512,8 +512,10 @@ NS_ORACLES["ns_kmeans_step"] = (
     "dv AS (SELECT c_id AS cluster_id, unnest(list_transform(range(len(emb)), "
     "i -> struct_pack(dim := i, val := emb[i + 1]))) AS s FROM assigned), "
     "per_dim AS (SELECT cluster_id, s.dim AS dim, s.val AS val FROM dv) "
+    # decimal(38,18) sum: order-independent exact addition, mirrored by
+    # the Spark operator (see ns_kmeans_step docstring)
     "SELECT cluster_id, CAST(dim AS BIGINT) AS dim, "
-    "round(list_reduce(list_sort(list(val)), (a, b) -> a + b) "
+    "round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) "
     "/ CAST(COUNT(*) AS DOUBLE), 6) AS centroid_mean, "
     "COUNT(*) AS n_members "
     "FROM per_dim GROUP BY cluster_id, dim ORDER BY cluster_id, dim"

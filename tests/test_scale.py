@@ -178,6 +178,19 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     plan = _executed_plan(ns_kmeans_step(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
+
+def test_kmeans_mean_is_streaming_aggregate(spark, sf_dir):
+    """The per-(cluster, dim) mean must be a constant-memory decimal
+    SUM — the old collect_list+sorted-fold spelling buffered every
+    member value of a group in one aggregation buffer, which OOMs on a
+    billion-member cluster.  ObjectHashAggregate is the executor-side
+    symptom of a buffering agg; HashAggregate is the streaming one."""
+    from cassandra_extractor_spark.operators.similarity import ns_kmeans_step
+
+    plan = _executed_plan(ns_kmeans_step(spark, sf_dir))
+    assert "collect_list" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+
 def test_quality_classifier_no_global_sort_window(spark, sf_dir):
     """The median cut must be a one-row aggregate broadcast back over
     the scored frame — a global ROW_NUMBER window (empty partitionBy)

@@ -136,3 +136,66 @@ def test_lsh_fold_and_arrow_buckets_agree(spark):
     fold_m = {r["vec_id"]: [r[f"b{t}"] for t in range(LSH_TABLES)] for r in fold.collect()}
     arrow_m = {r["vec_id"]: list(r["bks"]) for r in arrow.collect()}
     assert fold_m == arrow_m
+
+
+def test_kmeans_decimal_sum_equals_sorted_fold(spark, sf_dir):
+    """The shipped ns_kmeans_step mean is a constant-memory
+    DECIMAL(38,18) SUM; this pins it against the collect_list +
+    sorted-sequential-fold spelling (the old oracle-exactness crutch,
+    now test-only) so the decimal path provably loses nothing on the
+    test corpus.  Exact equality of the rounded means — not approx —
+    because decimal addition is exact and both spellings round once."""
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.similarity import ns_kmeans_step
+
+    shipped = {
+        (r["cluster_id"], r["dim"]): (r["centroid_mean"], r["n_members"])
+        for r in ns_kmeans_step(spark, sf_dir).collect()
+    }
+    # rebuild the aggregation input exactly as the operator does, then
+    # fold it the old way
+    df = ns_kmeans_step(spark, sf_dir)  # noqa: F841 — shape reference
+    from cassandra_extractor_spark.operators.similarity import (
+        N_KMEANS,
+        _load_embeddings,
+        cosine_prenormed,
+    )
+    from cassandra_extractor_spark.operators.dedup import norm
+    from pyspark.sql import Window as W
+
+    e = _load_embeddings(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    cent = e.where(F.col("vec_id") < N_KMEANS).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "emb", F.col("c_id").alias("cluster_id"))
+    )
+    folded = (
+        assigned.select("cluster_id", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("centroid_mean"),
+            F.count("*").alias("n_members"),
+        )
+    )
+    fold = {
+        (r["cluster_id"], r["dim"]): (r["centroid_mean"], r["n_members"])
+        for r in folded.collect()
+    }
+    assert shipped == fold
