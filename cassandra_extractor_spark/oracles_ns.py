@@ -591,6 +591,53 @@ def _pq_sql() -> str:
 NS_ORACLES["ns_ann_pq"] = _pq_sql()
 
 
+def _lsh_sql() -> str:
+    """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
+    hyperplanes are emitted as literal DOUBLE[] rows (repr() is the
+    shortest round-tripping decimal, so DuckDB parses back the exact
+    IEEE double Spark uses), bucket ids fold the same sign-bit packing,
+    and candidates are same-(table, bucket) collisions — the identical
+    OR-construction.  The Spark side assigns buckets via one numpy
+    matmul (``lsh_bucket_ids``); its summation order differs from this
+    sequential fold, so a sign — hence the candidate set — could in
+    principle diverge for a dot product within float rounding of zero
+    (documented caveat; |dot| is O(1) on real data, so the probability
+    is ~1e-13 per decision and the fold==matmul unit test pins the
+    spellings on random vectors)."""
+    from cassandra_extractor_spark.operators.similarity import (
+        DIM,
+        LSH_PLANES,
+        LSH_TABLES,
+        _projection_component,
+    )
+
+    rows = []
+    for t in range(LSH_TABLES):
+        for p in range(LSH_PLANES):
+            comps = ", ".join(repr(_projection_component(p, d, t)) for d in range(DIM))
+            rows.append(f"({t}, {p}, [{comps}])")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "pl(tbl, p, plane) AS (VALUES " + ", ".join(rows) + "), "
+        "keys AS (SELECT e.vec_id, pl.tbl, "
+        "CAST(SUM(CASE WHEN " + _dot_sql("e.emb", "pl.plane") + " > 0 "
+        "THEN (CAST(1 AS BIGINT) << pl.p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket "
+        "FROM e, pl GROUP BY e.vec_id, pl.tbl), "
+        "pairs AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id "
+        "FROM keys c JOIN keys q ON c.tbl = q.tbl AND c.bucket = q.bucket "
+        f"WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}), "
+        "scored AS (SELECT p.q_id, p.n_id, "
+        f"round({_cos_sql('qe.emb', 'ne.emb')}, 6) AS cos "
+        "FROM pairs p JOIN e qe ON qe.vec_id = p.q_id JOIN e ne ON ne.vec_id = p.n_id) "
+        "SELECT q_id, n_id, cos, rank FROM (SELECT q_id, n_id, cos, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank "
+        f"FROM scored) WHERE rank <= {TOP_K} ORDER BY q_id, rank"
+    )
+
+
+NS_ORACLES["ns_ann_lsh_bucketed"] = _lsh_sql()
+
+
 def _training_corpus_sql() -> str:
     return (
         f"WITH docs AS (SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) "

@@ -77,7 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,
-    "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,  # approximate: rows-only check
+    "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_multimodal_meta": M.ns_multimodal_meta,
     "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
     "ns_corpus_select": X.ns_corpus_select,
@@ -527,7 +527,7 @@ ORACLES: dict[str, str] = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
         "ORDER BY o_custkey, o_orderkey"
     ),
-    # north-star oracles (ns_ann_lsh_bucketed intentionally absent:
-    # approximate operator → rows-only check)
+    # north-star oracles (every entry oracle-checked, incl. the
+    # LSH bucketing via literal md5-derived planes — see _lsh_sql)
     **NS_ORACLES,
 }
