@@ -261,7 +261,11 @@ def ns_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.operators.text import LANG_MARKERS, tokens
 
     d = load_table(spark, "documents", sf_dir)
-    n_tok = F.size(tokens(F.col("text")))
+    # NULL text must stay NULL (excluded from min/max on both engines):
+    # bare F.size() yields -1 for NULL input under Spark's legacy
+    # sizeOfNull default, while the oracle's MIN(len(...)) skips NULLs —
+    # a latent divergence if a future corpus carries NULL text
+    n_tok = F.when(F.col("text").isNotNull(), F.size(tokens(F.col("text"))))
     known = [F.lit(code) for code in LANG_MARKERS]
     return (
         d.groupBy("source")

@@ -37,6 +37,17 @@ def partition_ddl(table: str, partition_column: str, values: list) -> list[str]:
     rdsdatabase.py:93-119's CREATE TABLE ... PARTITION OF).
 
     Pure function → unit-testable without a database.
+
+    Naming scheme: ``{table}_p_{slug≤40}_{md5[:8]}``.  The slug is
+    truncated BEFORE the digest is appended so the digest always
+    survives Postgres's 63-char identifier limit — silent truncation
+    after the digest would cut it off and reintroduce the
+    sanitized-collision bug the digest exists to prevent.  NOTE: the
+    truncation changed partition names for values whose slug exceeded
+    40 chars; databases partitioned under the pre-truncation names need
+    a one-time ALTER ... RENAME before this DDL runs against them
+    (a new CREATE for the same value would raise 'partition would
+    overlap').
     """
     stmts = []
     for v in values:
@@ -48,7 +59,7 @@ def partition_ddl(table: str, partition_column: str, values: list) -> list[str]:
         # whitelist to v1_x; without it the second CREATE .. IF NOT
         # EXISTS silently no-ops and its rows have no partition)
         digest = hashlib.md5(str(v).encode()).hexdigest()[:8]
-        slug = re.sub(r"[^a-z0-9_]", "_", str(v).lower())
+        slug = re.sub(r"[^a-z0-9_]", "_", str(v).lower())[:40]
         part_name = f"{table}_p_{slug}_{digest}"
         stmts.append(
             f"CREATE TABLE IF NOT EXISTS {part_name} PARTITION OF {table} "

@@ -131,4 +131,9 @@ def write_kafka(df: DataFrame, cfg: KafkaSinkConfig) -> None:
     try:
         writer.save()
     except Exception as exc:
-        raise map_kafka_error(exc) from exc.__cause__
+        # keep the real Kafka failure on the cause chain: the old
+        # `from exc.__cause__` overwrote the mapped error's cause with
+        # the original exception's own (usually None) and dropped it;
+        # pass-through errors keep their own cause (no self-cycle)
+        mapped = map_kafka_error(exc)
+        raise mapped from (exc if mapped is not exc else exc.__cause__)

@@ -361,3 +361,36 @@ def test_topk_per_source(spark, sf_dir):
         assert len(rs) <= TOPK_PER_SOURCE
         chars = [r["n_chars"] for r in sorted(rs, key=lambda r: r["rk"])]
         assert chars == sorted(chars, reverse=True), (src, chars)
+
+
+def test_classifier_median_threshold_matches_quantile_disc(spark):
+    """Pin the classifier's threshold equivalence independently of the
+    test corpus: Spark ``percentile_approx(score, 0.5, max_accuracy)``
+    must equal DuckDB ``quantile_disc(score, 0.5)`` on hostile tie
+    structures — even N (no interpolation allowed), heavy tie runs
+    straddling the median, negative values, and a singleton.  The
+    ns_quality_classifier oracle relies on this equality; the current
+    500-doc corpus exercises only one tie structure."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        [1, 2, 3, 4],                      # even N, distinct: discrete lower-middle
+        [-5, -5, 0, 0, 0, 0, 3, 7],        # even N, tie run at the median
+        [-10, -4, -4, -2, 2, 8],           # even N, negatives
+        [7, 7, 7, 7],                      # all tied
+        [3],                               # singleton
+        [-1, -1, -1, 5, 5, 6],             # even N, majority-tie below
+        [0, 0, 1, 1],                      # boundary pair tie
+        [-3, -2, -1, 0, 1, 2, 4],          # odd N, negatives
+    ]
+    for values in cases:
+        df = spark.createDataFrame([(v,) for v in values], "score long")
+        spark_thr = df.agg(
+            F.percentile_approx("score", 0.5, 2147483647).alias("t")
+        ).collect()[0]["t"]
+        duck_thr = duckdb.sql(
+            "SELECT quantile_disc(score, 0.5) FROM (SELECT unnest(?) AS score)",
+            params=[values],
+        ).fetchone()[0]
+        assert spark_thr == duck_thr, (values, spark_thr, duck_thr)

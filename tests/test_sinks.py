@@ -132,6 +132,20 @@ def test_jdbc_partition_ddl_sanitized_collisions_stay_distinct():
     assert len(idents) == 2, idents
 
 
+def test_jdbc_partition_ddl_long_values_keep_digest_within_63_chars():
+    """Long values: the slug is truncated before the digest so the
+    identifier fits Postgres's 63-char limit WITH the digest intact —
+    otherwise silent server-side truncation cuts the digest off and
+    long values whose first 63 chars agree collide again."""
+    from cassandra_extractor_spark.sinks.jdbc import partition_ddl
+
+    base = "tenant-" + "x" * 80
+    stmts = partition_ddl("t", "region", [base + "-alpha", base + "-beta"])
+    idents = [s.split()[5] for s in stmts]
+    assert all(len(i) <= 63 for i in idents), idents
+    assert len(set(idents)) == 2, idents  # digest survives, keeps them distinct
+
+
 def test_kafka_producer_options_pass_through():
     """producer_options map to kafka.*-prefixed writer options (the
     reference's flush policies -> linger.ms/batch.size/acks configs);
@@ -183,5 +197,10 @@ def test_write_kafka_missing_jar_raises_setup_hint(spark):
     from cassandra_extractor_spark.sinks.kafka import KafkaSinkConfig, write_kafka
 
     df = spark.createDataFrame([("a", 1)], "k string, v int")
-    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka") as ei:
         write_kafka(df, KafkaSinkConfig(bootstrap_servers="b:9092", topic="t"))
+    # the actual Spark failure must survive on the cause chain — a
+    # regression here drops the real Kafka error from tracebacks
+    cause = ei.value.__cause__
+    assert cause is not None and cause is not ei.value
+    assert "kafka" in str(cause).lower() or "DATA_SOURCE" in str(cause)
