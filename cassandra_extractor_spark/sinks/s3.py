@@ -9,8 +9,9 @@ anti-pattern (S3 request costs dominate), so:
   one object per partition, full throughput;
 - compat = per-record mode via ``foreachPartition`` + boto3 (executor-
   side, no driver collect), for consumers that require the reference's
-  exact key-per-record layout.  boto3 is import-gated: absent in this
-  container.
+  exact key-per-record layout.  ``endpoint_url``/credential fields
+  target S3-compatible stores (MinIO, moto in tests); boto3 stays
+  import-gated so environments without it fail with a clear hint.
 """
 
 from __future__ import annotations
@@ -29,6 +30,12 @@ class S3SinkConfig:
     body_template: str | None = None  # default: row as JSON
     per_record: bool = False
     inject_default_id: bool = True  # T9, s3worker.py:72-73
+    # S3-compatible endpoint targeting (MinIO, on-prem gateways, moto
+    # in tests); None values fall back to the ambient AWS config chain
+    endpoint_url: str | None = None
+    region: str | None = None
+    access_key: str | None = None
+    secret_key: str | None = None
 
 
 def prepare_s3_frame(df: DataFrame, cfg: S3SinkConfig) -> DataFrame:
@@ -54,13 +61,27 @@ def write_s3(df: DataFrame, cfg: S3SinkConfig, path_prefix: str | None = None) -
 
     frame = prepare_s3_frame(df, cfg)
     bucket = cfg.bucket
+    # plain values (not the dataclass) so the closure ships a few
+    # strings to executors, never the DataFrame-bearing config object
+    client_kwargs = {
+        k: v
+        for k, v in {
+            "endpoint_url": cfg.endpoint_url,
+            "region_name": cfg.region,
+            "aws_access_key_id": cfg.access_key,
+            "aws_secret_access_key": cfg.secret_key,
+        }.items()
+        if v is not None
+    }
 
-    def put_partition(rows) -> None:  # pragma: no cover - boto3 absent here
+    def put_partition(rows) -> None:
         try:
             import boto3
         except ImportError as exc:
             raise RuntimeError("per-record S3 mode requires boto3 on executors") from exc
-        client = boto3.client("s3")
+        # one client per partition — NOT per row; connection reuse is
+        # what keeps per-record mode viable at all
+        client = boto3.client("s3", **client_kwargs)
         for row in rows:
             client.put_object(Bucket=bucket, Key=row["key"], Body=row["body"].encode())
 
