@@ -2,10 +2,13 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct.
 The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas`` UDFs,
-partition-sized batches) is real and tested; the actual codec calls are
-STUBBED behind deterministic fakes because no image/audio libraries
-exist in this container — each stub is clearly marked and raises
-``NotImplementedError`` when ``real=True`` is requested.
+partition-sized batches) is real and tested.  Image decode has a REAL
+path: ``decode_png`` is a pure-stdlib PNG decoder (inflate + unfilter +
+palette expansion, written from the public spec) driven by
+``decode_images(real=True)``.  JPEG/video/audio codecs don't exist in
+this container, so those ``real=True`` paths raise
+``NotImplementedError``; each is paired with a clearly-marked
+deterministic fake that exercises the identical plumbing.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` receives Arrow record batches; batch size is governed by
@@ -70,16 +73,134 @@ def attach_media_metadata(df: DataFrame, binary_col: str, out: str = "meta") -> 
     )
 
 
+#: PNG color type → channel count (palette expands to RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int, stride: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth).  ``raw`` is the inflated IDAT stream: height scanlines of
+    1 filter byte + ``stride`` pixel bytes."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out += line
+        prev = line
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode → (width, height, channels, pixel bytes).
+
+    A REAL decoder (zlib inflate + per-scanline unfilter + palette
+    expansion), not a header sniff — implemented from the public PNG
+    spec because no image library exists in this container.  Supports
+    the common subset: 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced.  Pixel bytes are row-major, ``channels`` per pixel
+    (palette images expand to RGB, 3 channels).
+    """
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    width = height = depth = ctype = interlace = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if ctag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctag == b"PLTE":
+            plte = body
+        elif ctag == b"IDAT":
+            idat.append(body)
+        elif ctag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG subset: 8-bit non-interlaced types 0/2/3/4/6 "
+            f"(got depth={depth} type={ctype} interlace={interlace})"
+        )
+    bpp = _PNG_CHANNELS[ctype]
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG: IDAT size does not match dimensions")
+    pixels = _png_unfilter(raw, width, height, bpp, stride)
+    if ctype == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pixels = bytearray(b for idx in pixels for b in plte[idx * 3 : idx * 3 + 3])
+        bpp = 3
+    return width, height, bpp, bytes(pixels)
+
+
 def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
     """Decode image payloads → (id, width, height, channels).
 
-    ``real=True`` would call an image codec — NOT IMPLEMENTED in this
-    container.  The default is a clearly-marked deterministic fake
-    (dimensions derived from payload length) so the Arrow/mapInPandas
-    plumbing — schema, batching, column wiring — is exercised for real.
+    ``real=True`` runs the in-repo stdlib PNG decoder (``decode_png``)
+    — actual inflate + unfilter, real dimensions and channel counts;
+    non-PNG formats raise ``NotImplementedError`` (no JPEG/etc codec in
+    this container).  The default remains the clearly-marked
+    deterministic fake (dimensions derived from payload length) whose
+    job is exercising the Arrow/mapInPandas plumbing — schema,
+    batching, column wiring — identically to the real path.
     """
     if real:
-        raise NotImplementedError("image codecs are not available in this environment")
+
+        def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, ws, hs, cs = [], [], [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                    w, h, c, _px = decode_png(bytes(payload))
+                    ids.append(doc_id)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "channels": pd.Series(cs, dtype="int32"),
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            real_decode, schema=DECODED_IMAGE_SCHEMA
+        )
 
     def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
