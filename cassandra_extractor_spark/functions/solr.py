@@ -27,8 +27,17 @@ substring containment, not analyzer-tokenized scoring — exact parity
 with Solr's text analysis is impossible without Solr; containment is
 the documented approximation.
 
-Everything else (fuzzy ``~``, boosts ``^``, proximity ``"a b"~5``,
-ranges over text analyzers) raises ``SolrTranslationError``.
+Proximity phrases ``"a b"~N`` (bare with a ``default_field``, or
+field-qualified) translate to an ordered-token regex: each adjacent
+token pair may be separated by at most N intervening words
+(``RLIKE '(?i)\\btok1\\b(?:\\W+\\w+){0,N}\\W+tok2\\b'``).  This is the
+documented approximation of Lucene slop: ordered matching with a
+per-adjacent-pair gap budget, not Lucene's total-edit-distance slop
+(which also permits transpositions at cost 2) and not
+analyzer-tokenized — same caveat as the CONTAINS mapping.
+
+Everything else (fuzzy ``~``, boosts ``^``, ranges over text
+analyzers) raises ``SolrTranslationError``.
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ _TOKEN = re.compile(
         (?P<rparen>\)) |
         (?P<op>AND\b|OR\b|NOT\b) |
         (?P<range>[+-]?[A-Za-z_][\w.]*:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
-        (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*") |
+        (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*"(?:~\d+)?) |
         (?P<term>[+-]?[A-Za-z_][\w.]*:[^\s()]+) |
         (?P<star>\*:\*) |
         (?P<bare_phrase>[+-]?"[^"]*"(?:~\d+)?) |
@@ -80,6 +89,21 @@ def _sql_string(value: str) -> str:
     # the predicate is consumed by Spark SQL, whose string literals
     # treat backslash as an escape — double it, then double quotes
     return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _proximity(field: str, text: str, slop: int) -> str:
+    """``"a b"~N`` → ordered-token regex: tokens in phrase order, at
+    most ``slop`` intervening words between each adjacent pair.  Case
+    folds via ``(?i)``; tokens are regex-escaped (RLIKE compiles Java
+    regex, which accepts escaped punctuation)."""
+    toks = text.split()
+    if not toks:
+        raise SolrTranslationError("empty proximity phrase")
+    pat = r"(?i)\b" + re.escape(toks[0])
+    for t in toks[1:]:
+        pat += r"\b(?:\W+\w+){0,%d}\W+" % slop + re.escape(t)
+    pat += r"\b"
+    return f"{field} RLIKE {_sql_string(pat)}"
 
 
 def _contains(default_field: str | None, text: str) -> str:
@@ -153,7 +177,13 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
             if neg:
                 out.append("NOT")
             field, value = clause.split(":", 1)
-            out.append(f"{field} = {_sql_literal(value[1:-1])}")
+            prox = re.fullmatch(r'"(?P<text>[^"]*)"~(?P<slop>\d+)', value)
+            if prox:
+                out.append(
+                    "(" + _proximity(field, prox.group("text"), int(prox.group("slop"))) + ")"
+                )
+            else:
+                out.append(f"{field} = {_sql_literal(value[1:-1])}")
         elif m.group("term"):
             neg, clause = _strip_prefix(m.group("term"))
             if neg:
@@ -164,13 +194,22 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
             out.append("TRUE")
         elif m.group("bare_phrase"):
             neg, clause = _strip_prefix(m.group("bare_phrase"))
-            if not clause.endswith('"'):
-                raise SolrTranslationError(
-                    f"proximity syntax not supported: {m.group('bare_phrase')}"
-                )
             if neg:
                 out.append("NOT")
-            out.append("(" + _contains(default_field, clause[1:-1]) + ")")
+            prox = re.fullmatch(r'"(?P<text>[^"]*)"~(?P<slop>\d+)', clause)
+            if prox:
+                if default_field is None:
+                    raise SolrTranslationError(
+                        f"bare proximity phrase {clause!r} has no field: pass "
+                        "default_field= to map it to a regex on a text column"
+                    )
+                out.append(
+                    "("
+                    + _proximity(default_field, prox.group("text"), int(prox.group("slop")))
+                    + ")"
+                )
+            else:
+                out.append("(" + _contains(default_field, clause[1:-1]) + ")")
         else:
             neg, clause = _strip_prefix(m.group("other"))
             for bad, what in (("~", "fuzzy"), ("^", "boost"), ("*", "wildcard"), ("?", "wildcard")):

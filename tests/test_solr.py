@@ -111,9 +111,72 @@ def test_bare_terms_rejected_without_default_field():
 
 
 def test_bare_term_hard_syntax_still_rejected():
-    for q in ("spark~2", "spark^3", "spar*", 'spar?', '"big data"~5'):
+    for q in ("spark~2", "spark^3", "spar*", "spar?"):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
+
+
+def test_proximity_translation_shape():
+    """``"a b"~N`` → ordered-token RLIKE with a {0,N} word gap; bare
+    form needs default_field, fielded form does not."""
+    sql = solr_to_sql('"big data"~2', default_field="text")
+    assert sql == "(text RLIKE '(?i)\\\\bbig\\\\b(?:\\\\W+\\\\w+){0,2}\\\\W+data\\\\b')"
+    assert (
+        solr_to_sql('title:"big data"~1')
+        == "(title RLIKE '(?i)\\\\bbig\\\\b(?:\\\\W+\\\\w+){0,1}\\\\W+data\\\\b')"
+    )
+    with pytest.raises(SolrTranslationError, match="default_field"):
+        solr_to_sql('"big data"~2')
+    # composes with booleans and the prohibit prefix
+    sql = solr_to_sql('lang:en AND -"big data"~1', default_field="text")
+    assert sql.startswith("lang = 'en' AND NOT (text RLIKE")
+
+
+def test_proximity_semantics_in_spark(spark):
+    """Executed semantics: ordered, at most N intervening words."""
+    rows = [
+        (0, "big data wins"),            # adjacent
+        (1, "big shiny data"),           # 1 intervening
+        (2, "big very shiny data"),      # 2 intervening
+        (3, "data big"),                 # wrong order
+        (4, "Big ugly DATA"),            # case-insensitive, 1 gap
+        (5, "bigger data"),              # word boundary: 'bigger' != 'big'
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def ids(q):
+        return {r["id"] for r in df.where(solr_to_sql(q, default_field="text")).collect()}
+
+    assert ids('"big data"~0') == {0}
+    assert ids('"big data"~1') == {0, 1, 4}
+    assert ids('"big data"~2') == {0, 1, 2, 4}
+
+
+def test_proximity_gap_property():
+    """Property: for text 'tok1 f1 .. fk tok2', the translated
+    predicate matches iff k <= slop (ordered-gap semantics).  Validated
+    with Python re on the emitted pattern — \\b/\\W/\\w/(?i) agree
+    between Java and Python regex for ASCII, which is what RLIKE
+    compiles."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        gap=st.integers(min_value=0, max_value=6),
+        slop=st.integers(min_value=0, max_value=6),
+        fill=st.sampled_from(["pad", "zz", "q9"]),
+    )
+    def check(gap, slop, fill):
+        sql = solr_to_sql(f'"alpha omega"~{slop}', default_field="text")
+        m = _re.search(r"RLIKE '(.*)'\)$", sql)
+        pattern = m.group(1).replace("\\\\", "\\").replace("''", "'")
+        text = "alpha " + " ".join([fill] * gap) + (" " if gap else "") + "omega"
+        assert bool(_re.search(pattern, text)) == (gap <= slop), (text, pattern)
+
+    check()
 
 
 def test_malformed_field_query_rejected_not_half_translated():
