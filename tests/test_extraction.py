@@ -210,3 +210,65 @@ def test_data_audit_clean_corpus(spark, sf_dir):
         assert r["n_empty_text"] == 0 and r["n_chars_mismatch"] == 0
         assert r["n_unknown_lang"] == 0
         assert 0 < r["min_tokens"] <= r["max_tokens"]
+
+
+def test_streaming_mid_batch_failure_replays_batch_no_dup_no_gap(spark, sf_dir, tmp_path):
+    """Chaos resume: the sink dies MID-BATCH (after partially writing),
+    the query fails, and a restart from the same checkpoint must replay
+    the SAME batch id so an idempotent overwrite-by-batch-id sink ends
+    with no duplicates and no gaps — the streaming mirror of the
+    reference's page-offset resume under failure (worker.py:164-201),
+    not just a clean restart.  This is the documented contract:
+    exactly-once source tracking, at-least-once sinks, idempotence keyed
+    on batchId."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "chaos_src")
+    ckpt = str(tmp_path / "chaos_ckpt")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = str(tmp_path / "chaos_stage")
+    events.limit(400).write.parquet(stage)
+    for i, f in enumerate(glob.glob(f"{stage}/part-*.parquet")):
+        shutil.copy(f, f"{src}/p1_{i}.parquet")
+    schema = spark.read.parquet(src).schema
+    expected = {r["event_id"] for r in spark.read.parquet(src).select("event_id").collect()}
+
+    attempts: list[tuple[int, int]] = []  # (batch_id, n_rows seen)
+    committed: dict[int, frozenset] = {}  # batch_id -> ids (idempotent overwrite)
+    armed = {"fail": True}
+
+    def sink(df, batch_id):
+        ids = [r["event_id"] for r in df.select("event_id").collect()]
+        attempts.append((batch_id, len(ids)))
+        if armed["fail"]:
+            armed["fail"] = False
+            # crash AFTER a partial external write — the half-written
+            # state is what the replay must repair
+            committed[batch_id] = frozenset(ids[: len(ids) // 2])
+            raise RuntimeError("chaos: sink died mid-batch")
+        committed[batch_id] = frozenset(ids)
+
+    q = stream_extract(spark, src, schema, {"s": sink}, ckpt)
+    failed = False
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except Exception:
+        failed = True
+    assert failed, "query should fail when the sink dies mid-batch"
+    # partial state visible: the half-write persisted
+    assert sum(len(v) for v in committed.values()) < len(expected)
+
+    q2 = stream_extract(spark, src, schema, {"s": sink}, ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    # the retry processed the SAME batch id (no offset skip)
+    assert attempts[0][0] == attempts[1][0], attempts
+    # idempotent overwrite repaired the partial write: no dup, no gap
+    got = frozenset().union(*committed.values())
+    assert got == expected
+    assert sum(len(v) for v in committed.values()) == len(expected)
