@@ -81,9 +81,15 @@ def main() -> None:
     try:
         df = spec.build(spark, sf_dir)
         n_rows = df.count()
-        t0 = time.time()
-        write_jsonl(df, out_dir)
-        extract_sec = round(time.time() - t0, 3)
+        # best-of-N, same protocol as the queries above: the first JSON
+        # write pays one-time JVM JIT/classloading (~2x on this box),
+        # which is startup cost, not steady-state throughput
+        extract_sec = -1.0
+        for _ in range(runs):
+            t0 = time.time()
+            write_jsonl(df, out_dir)
+            elapsed = round(time.time() - t0, 3)
+            extract_sec = elapsed if extract_sec < 0 else min(extract_sec, elapsed)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
