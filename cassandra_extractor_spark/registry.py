@@ -28,68 +28,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name → Spark DataFrame builder
 #:
 #: ORDER MATTERS for evidence: the driver artifact records the first
-#: ~50 entries per round, so entries with no green driver row yet lead:
-#: q63–q65 (never sampled in r01/r02), then the four oracles fixed this
-#: round (red in r02 on HUGEINT canonicalization), then new round-3
-#: operators, then the rest of the north-star set; the long-green q01…
-#: tail closes the dict.  Every entry is always registered — this is
+#: ~50 entries per round, so entries needing fresh rows lead: the
+#: round-4 changed queries, then everything whose last driver row
+#: predates the round-3 testdata regeneration; the r03-sampled set
+#: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
-    # never sampled by the driver (sat past the 50-row cap in r01+r02)
-    "q63_sliding_window": R.q63_sliding_window,
-    "q64_regression": R.q64_regression,
-    "q65_schema_evolution_union": R.q65_schema_evolution_union,
-    # red in r02 (oracle HUGEINT cast, fixed this round) — need green rows
-    "ns_mixture_sample": SM.ns_mixture_sample,
-    "ns_sequence_pack": X.ns_sequence_pack,
-    "ns_quality_classifier": TX.ns_quality_classifier,
-    "ns_training_corpus": X.ns_training_corpus,
-    # new in round 3 — need first driver rows
-    "q44b_quantile_disc": R.q44b_quantile_disc,
-    "ns_vocab_oov": TX.ns_vocab_oov,
-    "ns_boilerplate": TX.ns_boilerplate,
-    "ns_topk_per_source": SM.ns_topk_per_source,
-    "ns_corpus_diff": X.ns_corpus_diff,
-    "ns_data_audit": X.ns_data_audit,
-    # north-star training-data-pipeline operators (SURVEY §2.5/§7.1 M7)
-    "ns_token_count": TX.ns_token_count,
-    "ns_tfidf": TX.ns_tfidf,
-    "ns_doc_fingerprint": TX.ns_doc_fingerprint,
-    "ns_lang_id": TX.ns_lang_id,
-    "ns_pii_scrub": TX.ns_pii_scrub,
-    "ns_ngram_pmi": TX.ns_ngram_pmi,
-    "ns_text_quality": TX.ns_text_quality,
-    "ns_doc_chunk": TX.ns_doc_chunk,
-    "ns_top_terms": TX.ns_top_terms,
-    "ns_dedup_exact": D.ns_dedup_exact,
-    "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
-    "ns_dedup_jaccard": D.ns_dedup_jaccard,
-    "ns_dedup_containment": D.ns_dedup_containment,
-    "ns_dedup_minhash_lsh": D.ns_dedup_minhash_lsh,
-    "ns_dedup_clusters": D.ns_dedup_clusters,
-    "ns_dedup_simhash": D.ns_dedup_simhash,
-    "ns_neardup_embedding": D.ns_neardup_embedding,
-    "ns_decontaminate": D.ns_decontaminate,
-    "ns_semantic_dedup": D.ns_semantic_dedup,
-    "ns_repetition_filter": TX.ns_repetition_filter,
+    # changed in round 4 (new decimal-sum kmeans, new LSH oracle,
+    # NULL-text audit guard, solr-translated filters) — need fresh rows
     "ns_kmeans_step": S.ns_kmeans_step,
-    "ns_ann_pq": S.ns_ann_pq,
-    "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
-    "ns_ann_ivf": S.ns_ann_ivf,
-    "ns_embedding_quantize": S.ns_embedding_quantize,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
-    "ns_multimodal_meta": M.ns_multimodal_meta,
-    "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
-    "ns_corpus_select": X.ns_corpus_select,
-    "ns_corpus_stats": X.ns_corpus_stats,
-    "ns_sessionize": _ns_sessionize,
-    "ns_sample_uniform": SM.ns_sample_uniform,
-    "ns_sample_stratified": SM.ns_sample_stratified,
-    "ns_split_assign": SM.ns_split_assign,
-    # no artifact row in round 1 (registry positions 51+)
-    "q51_conditional_agg": R.q51_conditional_agg,
-    "q52_string_agg": R.q52_string_agg,
-    "q53_ntile": R.q53_ntile,
+    "ns_data_audit": X.ns_data_audit,
+    "q02_filter": R.q02_filter,
+    "q03_string_filter": R.q03_string_filter,
+    # stale after the round-3 testdata regeneration: no driver row
+    # at the current parquet yet (the driver samples ~50/round;
+    # rotating these to the front closes the gap within two rounds)
     "q54_date_arith": R.q54_date_arith,
     "q55_range_frame": R.q55_range_frame,
     "q56_first_last": R.q56_first_last,
@@ -99,17 +53,13 @@ QUERIES: dict[str, QueryFn] = {
     "q60_not_exists": R.q60_not_exists,
     "q61_json_keys": R.q61_json_keys,
     "q62_histogram": R.q62_histogram,
-    # changed in round 2 (re-planned range join) + relational core
     "q33_range_join": R.q33_range_join,
     "q13_group_agg": R.q13_group_agg,
     "q19_multiway_join": R.q19_multiway_join,
     "q22_window_rank": R.q22_window_rank,
     "q42_pivot": R.q42_pivot,
     "q46_recursive_cte": R.q46_recursive_cte,
-    # long-green relational tail (all green in CORRECTNESS_r01)
     "q01_projection": R.q01_projection,
-    "q02_filter": R.q02_filter,
-    "q03_string_filter": R.q03_string_filter,
     "q04_count": R.q04_count,
     "q05_filtered_count": R.q05_filtered_count,
     "q06_sort_limit": R.q06_sort_limit,
@@ -140,7 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "q35_time_bucket": R.q35_time_bucket,
     "q36_cube": R.q36_cube,
     "q37_grouping_sets": R.q37_grouping_sets,
-    "q38_approx_distinct": R.q38_approx_distinct,  # sketch: rows-only check
+    "q38_approx_distinct": R.q38_approx_distinct,
     "q39_exists_subquery": R.q39_exists_subquery,
     "q40_scalar_subquery": R.q40_scalar_subquery,
     "q41_cte": R.q41_cte,
@@ -151,6 +101,54 @@ QUERIES: dict[str, QueryFn] = {
     "q48_null_funcs": R.q48_null_funcs,
     "q49_intersect": R.q49_intersect,
     "q50_lag_lead": R.q50_lag_lead,
+    # sampled green in CORRECTNESS_r03 (post-regeneration rows)
+    "q63_sliding_window": R.q63_sliding_window,
+    "q64_regression": R.q64_regression,
+    "q65_schema_evolution_union": R.q65_schema_evolution_union,
+    "ns_mixture_sample": SM.ns_mixture_sample,
+    "ns_sequence_pack": X.ns_sequence_pack,
+    "ns_quality_classifier": TX.ns_quality_classifier,
+    "ns_training_corpus": X.ns_training_corpus,
+    "q44b_quantile_disc": R.q44b_quantile_disc,
+    "ns_vocab_oov": TX.ns_vocab_oov,
+    "ns_boilerplate": TX.ns_boilerplate,
+    "ns_topk_per_source": SM.ns_topk_per_source,
+    "ns_corpus_diff": X.ns_corpus_diff,
+    "ns_token_count": TX.ns_token_count,
+    "ns_tfidf": TX.ns_tfidf,
+    "ns_doc_fingerprint": TX.ns_doc_fingerprint,
+    "ns_lang_id": TX.ns_lang_id,
+    "ns_pii_scrub": TX.ns_pii_scrub,
+    "ns_ngram_pmi": TX.ns_ngram_pmi,
+    "ns_text_quality": TX.ns_text_quality,
+    "ns_doc_chunk": TX.ns_doc_chunk,
+    "ns_top_terms": TX.ns_top_terms,
+    "ns_dedup_exact": D.ns_dedup_exact,
+    "ns_dedup_fingerprint": D.ns_dedup_fingerprint,
+    "ns_dedup_jaccard": D.ns_dedup_jaccard,
+    "ns_dedup_containment": D.ns_dedup_containment,
+    "ns_dedup_minhash_lsh": D.ns_dedup_minhash_lsh,
+    "ns_dedup_clusters": D.ns_dedup_clusters,
+    "ns_dedup_simhash": D.ns_dedup_simhash,
+    "ns_neardup_embedding": D.ns_neardup_embedding,
+    "ns_decontaminate": D.ns_decontaminate,
+    "ns_semantic_dedup": D.ns_semantic_dedup,
+    "ns_repetition_filter": TX.ns_repetition_filter,
+    "ns_ann_pq": S.ns_ann_pq,
+    "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
+    "ns_ann_ivf": S.ns_ann_ivf,
+    "ns_embedding_quantize": S.ns_embedding_quantize,
+    "ns_multimodal_meta": M.ns_multimodal_meta,
+    "ns_tablespec_pipeline": X.ns_tablespec_pipeline,
+    "ns_corpus_select": X.ns_corpus_select,
+    "ns_corpus_stats": X.ns_corpus_stats,
+    "ns_sessionize": _ns_sessionize,
+    "ns_sample_uniform": SM.ns_sample_uniform,
+    "ns_sample_stratified": SM.ns_sample_stratified,
+    "ns_split_assign": SM.ns_split_assign,
+    "q51_conditional_agg": R.q51_conditional_agg,
+    "q52_string_agg": R.q52_string_agg,
+    "q53_ntile": R.q53_ntile,
 }
 
 #: name → equivalent ANSI SQL for the DuckDB oracle

@@ -6,7 +6,7 @@ records a weaker rows-only check for those, SURVEY §2.9)."""
 from cassandra_extractor_spark.registry import ORACLES, QUERIES
 
 #: approximate-by-design operators where no exact SQL oracle exists
-ROWS_ONLY = {"q38_approx_distinct", "ns_ann_lsh_bucketed"}
+ROWS_ONLY = {"q38_approx_distinct"}  # HLL sketch: inherently engine-specific
 # (deterministic hash sampling IS oracle-checked — the portable md5
 # hash makes both engines pick identical rows)
 
