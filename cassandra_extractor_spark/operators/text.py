@@ -571,3 +571,81 @@ def ns_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ns_lm_fluency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM bucketing: score every document against a bigram
+    language model trained on the corpus itself, then split the corpus
+    into head/middle/tail terciles — the perplexity-bucket curation
+    step of a pretraining pipeline (Wenzek et al., CCNet).
+
+    Engine-portable exactness: production CCNet uses KenLM perplexity
+    (log-space floats); here the score is the mean scaled bigram
+    transition probability — ``fluency = Σ n_occ·p_int div Σ n_occ``
+    with ``p_int = 10⁶·c(w1,w2) div c(w1·)`` — a monotone fluency
+    proxy in PURE INTEGER arithmetic (``div`` here, ``//`` in the
+    oracle; all operands non-negative), so the driver hash is stable
+    under any partitioning and any libm.  Higher = more fluent:
+    head ≥ t2/3 > middle ≥ t1/3 > tail.
+
+    100 TB shape: bigram extraction is a per-doc window (partitioned by
+    doc_id — map-local, no global sort); the doc side pre-aggregates
+    per (doc_id, bigram) before joining the model (map-side combine +
+    skew damping for stop-bigrams); the model is two hash aggregations;
+    tercile thresholds are a one-row percentile_approx broadcast (the
+    quality-classifier trick — equality with DuckDB ``quantile_disc``
+    at 1/3, 2/3 is pinned by a tie-structure unit test).  Docs with <2
+    tokens have no bigrams and are excluded (documented; the oracle
+    filters identically).
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w"))
+    w_next = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", "w", F.lead("w", 1).over(w_next).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    # the bigram stream feeds the model aggregates AND the doc scores —
+    # materialize once or the tokenize+window pipeline runs three times
+    bi = materialize_once(bi)
+    doc_bi = bi.groupBy("doc_id", "w", "w2").agg(F.count("*").alias("n_occ"))
+    c12 = bi.groupBy("w", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w").agg(F.count("*").alias("c1"))
+    model = c12.join(c1, "w").select(
+        "w", "w2", F.expr("c12 * 1000000 div c1").alias("p_int")
+    )
+    scored = (
+        doc_bi.join(model, ["w", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("p_int")).alias("num"),
+        )
+        .select(
+            "doc_id", "n_bigrams", F.expr("num div n_bigrams").alias("fluency")
+        )
+    )
+    scored = materialize_once(scored)
+    thr = scored.agg(
+        F.percentile_approx("fluency", F.lit(1.0) / F.lit(3.0), F.lit(2147483647)).alias("t1"),
+        F.percentile_approx("fluency", F.lit(2.0) / F.lit(3.0), F.lit(2147483647)).alias("t2"),
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "fluency",
+            F.when(F.col("fluency") >= F.col("t2"), F.lit("head"))
+            .when(F.col("fluency") >= F.col("t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

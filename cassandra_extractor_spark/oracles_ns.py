@@ -591,6 +591,34 @@ def _pq_sql() -> str:
 NS_ORACLES["ns_ann_pq"] = _pq_sql()
 
 
+NS_ORACLES["ns_lm_fluency_bucket"] = (
+    # pure-integer bigram-LM fluency terciles (see ns_lm_fluency_bucket
+    # docstring); `//` mirrors Spark's `div`, SUMs cast off HUGEINT
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    "bi AS (SELECT doc_id, s.w AS w, s.w2 AS w2 FROM ("
+    "SELECT doc_id, unnest(list_transform(range(len(toks) - 1), "
+    "i -> struct_pack(w := toks[i+1], w2 := toks[i+2]))) AS s "
+    "FROM t WHERE len(toks) >= 2)), "
+    "doc_bi AS (SELECT doc_id, w, w2, COUNT(*) AS n_occ FROM bi "
+    "GROUP BY doc_id, w, w2), "
+    "cxy AS (SELECT w, w2, COUNT(*) AS c12 FROM bi GROUP BY w, w2), "
+    "cx AS (SELECT w, COUNT(*) AS c1 FROM bi GROUP BY w), "
+    "model AS (SELECT cxy.w, cxy.w2, (cxy.c12 * 1000000) // cx.c1 AS p_int "
+    "FROM cxy JOIN cx ON cxy.w = cx.w), "
+    "scored AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(n_occ * p_int) AS BIGINT) AS num "
+    "FROM doc_bi JOIN model USING (w, w2) GROUP BY doc_id), "
+    "s2 AS (SELECT doc_id, n_bigrams, CAST(num // n_bigrams AS BIGINT) AS fluency "
+    "FROM scored), "
+    "thr AS (SELECT quantile_disc(fluency, 1.0/3.0) AS t1, "
+    "quantile_disc(fluency, 2.0/3.0) AS t2 FROM s2) "
+    "SELECT doc_id, n_bigrams, fluency, "
+    "CASE WHEN fluency >= t2 THEN 'head' WHEN fluency >= t1 THEN 'middle' "
+    "ELSE 'tail' END AS bucket "
+    "FROM s2, thr ORDER BY doc_id"
+)
+
+
 def _lsh_sql() -> str:
     """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
     hyperplanes are emitted as literal DOUBLE[] rows (repr() is the

@@ -34,8 +34,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
-    # changed in round 4 (new decimal-sum kmeans, new LSH oracle,
-    # NULL-text audit guard, solr-translated filters) — need fresh rows
+    # new in round 4 + changed in round 4 — need fresh rows
+    "ns_lm_fluency_bucket": TX.ns_lm_fluency_bucket,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,

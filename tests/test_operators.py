@@ -474,11 +474,14 @@ def test_classifier_median_threshold_matches_quantile_disc(spark):
     ]
     for values in cases:
         df = spark.createDataFrame([(v,) for v in values], "score long")
-        spark_thr = df.agg(
-            F.percentile_approx("score", 0.5, 2147483647).alias("t")
-        ).collect()[0]["t"]
-        duck_thr = duckdb.sql(
-            "SELECT quantile_disc(score, 0.5) FROM (SELECT unnest(?) AS score)",
-            params=[values],
-        ).fetchone()[0]
-        assert spark_thr == duck_thr, (values, spark_thr, duck_thr)
+        # 0.5 backs the classifier median; 1/3 and 2/3 back the
+        # ns_lm_fluency_bucket terciles
+        for p_ in (0.5, 1.0 / 3.0, 2.0 / 3.0):
+            spark_thr = df.agg(
+                F.percentile_approx("score", p_, 2147483647).alias("t")
+            ).collect()[0]["t"]
+            duck_thr = duckdb.sql(
+                "SELECT quantile_disc(score, ?) FROM (SELECT unnest(?) AS score)",
+                params=[p_, values],
+            ).fetchone()[0]
+            assert spark_thr == duck_thr, (values, p_, spark_thr, duck_thr)

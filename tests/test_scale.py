@@ -244,3 +244,25 @@ def test_corpus_diff_single_shuffle_join(spark, sf_dir):
     plan = _executed_plan(ns_corpus_diff(spark, sf_dir))
     assert "Python" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_lm_fluency_bucket_scale_shape(spark, sf_dir):
+    """Tercile thresholds must be a one-row broadcast (no global sort
+    window over the corpus) and the whole pipeline stays JVM-side."""
+    from cassandra_extractor_spark.operators.text import ns_lm_fluency_bucket
+
+    df = ns_lm_fluency_bucket(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Python" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # (the per-doc bigram lead window sits above a localCheckpoint, so
+    # the analyzed plan starts at a LogicalRDD and can't show its
+    # partitionBy — same situation as ns_semantic_dedup's broadcast)
+    rows = df.collect()
+    buckets = {r["bucket"] for r in rows}
+    assert buckets == {"head", "middle", "tail"}
+    # terciles: each bucket holds roughly a third
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in rows)
+    assert max(c.values()) - min(c.values()) < len(rows) * 0.4
