@@ -160,3 +160,36 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
         outputMode="append",
         timeoutConf="ProcessingTimeTimeout",
     )
+
+
+def stream_dedup(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Streaming cross-batch exact dedup: emit each fingerprint's FIRST
+    occurrence across the whole stream, suppress every later one — the
+    streaming counterpart of ``ns_dedup_exact`` for continuously-
+    ingested corpora (state = seen fingerprint set, maintained by
+    Spark's streaming aggregation state store, persisted in the
+    checkpoint so dedup survives restarts).
+
+    Spark-first: this is the built-in ``dropDuplicates`` on an
+    unbounded stream — no custom state code; the state store shards by
+    fingerprint hash, so it scales horizontally like any keyed state.
+    UNBOUNDED state caveat: without a watermark the seen-set grows
+    forever.  For corpus dedup that is the SEMANTICS (a year-old dup is
+    still a dup); bound memory by fingerprinting (16-byte md5 keys),
+    RocksDB state store at production scale, or pass an event-time
+    ``watermark``-ed stream and use ``within_watermark=True`` to dedup
+    only within the lateness horizon (bounded state, the CDC shape).
+    """
+    return stream.dropDuplicates([fp_col])
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, fp_col: str = "fp", ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state variant: dedup only among rows whose event times
+    fall within the watermark horizon (``dropDuplicatesWithinWatermark``
+    — state for a fingerprint is dropped once the watermark passes it).
+    The right shape when duplicates are caused by at-least-once
+    delivery (CDC replays, producer retries) rather than true content
+    duplication: state is O(horizon), not O(corpus)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([fp_col])

@@ -173,3 +173,63 @@ def test_fold_key_cross_batch_late_event_cannot_regress_end():
     # late event before session start but within gap of end: start moves down
     _, state3 = _fold_key(7, [pd.Series([5 * 60_000])], state2, gap_ms)
     assert state3 == (5 * 60_000, 20 * 60_000, 4)
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path, sf_dir):
+    """Packaged stream_dedup: the seen-fingerprint state lives in the
+    checkpoint, so a RESTARTED query suppresses duplicates of rows it
+    emitted in its previous life — cross-batch AND cross-restart exact
+    dedup (the continuously-ingested-corpus contract)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from cassandra_extractor_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "sd_src")
+    ckpt = str(tmp_path / "sd_ckpt")
+    ev = load_table(spark, "events", sf_dir)
+
+    def stage(df, tag):
+        d = str(tmp_path / f"sd_stage_{tag}")
+        df.write.parquet(d)
+        for i, f in enumerate(glob.glob(f"{d}/part-*.parquet")):
+            shutil.copy(f, f"{src}/{tag}_{i}.parquet")
+
+    import os
+
+    os.makedirs(src)
+    first = ev.where(F.col("event_id") < 150)
+    stage(first, "b1")
+    stage(first.where(F.col("event_id") < 50), "b1dup")  # in-run duplicates
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        # foreachBatch sink: supports checkpoint recovery (the memory
+        # sink does not)
+        got: list[int] = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream, "event_id")
+            .writeStream.foreachBatch(
+                lambda df, _bid: got.extend(r["event_id"] for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return got
+
+    out1 = run()
+    assert sorted(out1) == list(range(150))  # 200 staged rows, 150 unique
+
+    # second life: re-deliver 100 already-seen rows + 80 new ones
+    stage(ev.where(F.col("event_id") < 100), "b2dup")
+    stage(ev.where((F.col("event_id") >= 150) & (F.col("event_id") < 230)), "b2new")
+    out2 = run()
+    assert sorted(out2) == list(range(150, 230)), "restart must emit ONLY never-seen rows"
