@@ -34,6 +34,10 @@ SECTIONS = [
      "The percentile threshold reduces the scored corpus to ONE row (a mergeable quantile sketch: partial per partition, merged once), which rides back over the scores as a `BroadcastNestedLoopJoin` of a single row — there is NO Window operator in this plan at all. The r02 formulation ranked with an empty-partition ROW_NUMBER window, serializing the corpus through one partition; this shape scales with the corpus. Accuracy is the memory/exactness knob: max here for oracle parity, ~1e4 in production for O(accuracy) state."),
     ("q44b_quantile_disc", "Quantiles via mergeable sketch, not a single-reducer sort",
      "`percentile_approx` computes Greenwald-Khanna summaries partial-then-final like any algebraic aggregate — contrast exact `percentile()` (q44), which buffers every value of the column on one reducer and only survives because it is a single global aggregate. The sketch's memory is O(accuracy), independent of row count."),
+    ("ns_kmeans_step", "Lloyd-step mean is a streaming decimal-sum aggregate",
+     "Centroids broadcast (BroadcastNestedLoopJoin of 16 rows), assignment is a map-side argmax window keyed by vec_id, and the per-(cluster, dim) mean is a plain HashAggregate over DECIMAL(38,18) sums — exact, order-independent, CONSTANT memory per aggregation buffer. The r03 spelling used collect_list+sorted-fold for oracle parity, which buffers a whole cluster's values in one ObjectHashAggregate buffer; the decimal trick gets bit-stable cross-engine hashing from a streaming aggregate instead (asserted: no ObjectHashAggregate in this plan)."),
+    ("ns_lm_fluency_bucket", "Corpus LM scoring with broadcast tercile thresholds",
+     "The bigram stream is materialized once and feeds three hash aggregations (doc-side pre-agg, bigram counts, prefix counts); the doc-model join happens AFTER per-(doc, bigram) combination so stop-bigram skew multiplies against counts, not raw occurrences. All arithmetic is integer `div` — no libm in the plan, so the driver hash is partition-order-proof. The head/middle/tail cut is the classifier trick: two one-row percentile_approx sketches broadcast back; no global sort window anywhere."),
     ("ns_sample_uniform", "Deterministic sampling is a scan-stage filter",
      "The md5 hash gate compiles to a codegen'd filter inside the scan stage — no RNG state, no shuffle caused by the sampling itself (the one Exchange below is the oracle contract's total ORDER BY, absent in pipeline use). At 100 TB the sample costs one pass and parallelizes perfectly; the same rows come back on any cluster size or rerun."),
 ]
