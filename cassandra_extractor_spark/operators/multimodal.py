@@ -2,13 +2,14 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct.
 The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas`` UDFs,
-partition-sized batches) is real and tested.  Image decode has a REAL
-path: ``decode_png`` is a pure-stdlib PNG decoder (inflate + unfilter +
-palette expansion, written from the public spec) driven by
-``decode_images(real=True)``.  JPEG/video/audio codecs don't exist in
-this container, so those ``real=True`` paths raise
-``NotImplementedError``; each is paired with a clearly-marked
-deterministic fake that exercises the identical plumbing.
+partition-sized batches) is real and tested.  REAL ``real=True`` paths,
+all pure-stdlib: PNG decode (``decode_png``: inflate + unfilter +
+palette expansion, written from the public spec), PNG nearest-neighbor
+resize (``decode_png`` → ``resize_nearest`` → ``encode_png``), and
+RIFF/WAV audio features (stdlib ``wave``: true rate/frames/RMS).
+JPEG and video codecs don't exist in this container, so those paths
+raise ``NotImplementedError``; every operator is paired with a
+clearly-marked deterministic fake exercising the identical plumbing.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` receives Arrow record batches; batch size is governed by
@@ -167,6 +168,61 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, bpp, bytes(pixels)
 
 
+#: channel count → PNG color type for encoding
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit, filter 0 on every scanline) —
+    the inverse of ``decode_png`` for the supported subset; used by the
+    real resize path so resized payloads stay self-describing PNGs."""
+    import struct
+    import zlib
+
+    if channels not in _PNG_CTYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PNG_CTYPE[channels], 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    width: int, height: int, channels: int, pixels: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major 8-bit pixel buffer
+    (``src = floor(dst · src_dim / dst_dim)`` — the standard mapping)."""
+    out = bytearray(out_w * out_h * channels)
+    stride = width * channels
+    pos = 0
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = sy * stride
+        for x in range(out_w):
+            sx = (x * width // out_w) * channels
+            out[pos : pos + channels] = pixels[row + sx : row + sx + channels]
+            pos += channels
+    return bytes(out)
+
+
 def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
     """Decode image payloads → (id, width, height, channels).
 
@@ -271,16 +327,31 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (width, height) → (id, resized binary).
 
-    Same stub contract as ``decode_images``: the real codec path raises
-    NotImplementedError; the deterministic fake emits a payload of
-    exactly width*height bytes derived from the input (so downstream
-    batch-shape/size logic is exercised for real).
+    ``real=True``: PNG in → nearest-neighbor resample (``decode_png`` →
+    ``resize_nearest`` → ``encode_png``) → PNG out; non-PNG payloads
+    fail loudly (no other codec here).  The deterministic fake emits a
+    payload of exactly width*height bytes derived from the input (so
+    downstream batch-shape/size logic is exercised identically).
     """
-    if real:
-        raise NotImplementedError("image codecs are not available in this environment")
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
     )
+    if real:
+
+        def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, payloads = [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                    w, h, c, px = decode_png(bytes(payload))
+                    ids.append(int(doc_id))
+                    payloads.append(
+                        encode_png(width, height, c, resize_nearest(w, h, c, px, width, height))
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(ids, dtype="int64"), "resized": payloads}
+                )
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(real_resize, schema)
     n_out = width * height
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,14 +381,61 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(
     df: DataFrame, id_col: str, binary_col: str, sample_rate: int = 16_000, real: bool = False
 ) -> DataFrame:
-    """Audio feature extraction stub → (id, duration, rms, n_frames).
+    """Audio feature extraction → (id, duration, rms, n_frames).
 
-    Real decode is NotImplemented (no audio libs here); the fake derives
-    deterministic features from the byte content so schema/batching is
-    tested for real.
+    ``real=True`` parses RIFF/WAV PCM via the stdlib ``wave`` module —
+    true sample rate, frame count, duration, and RMS over the decoded
+    samples (8/16/32-bit int PCM; channels averaged into the RMS).
+    Compressed formats (mp3/ogg/flac) have no codec here and raise.
+    The fake path derives deterministic features from byte content so
+    schema/batching is tested identically.
     """
     if real:
-        raise NotImplementedError("audio codecs are not available in this environment")
+
+        def real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import array
+            import io
+            import math
+            import wave
+
+            width_code = {1: "b", 2: "h", 4: "i"}
+            for pdf in batches:
+                rows = []
+                for i, b in zip(pdf[id_col], pdf[binary_col]):
+                    with wave.open(io.BytesIO(bytes(b))) as w:
+                        rate, n_fr = w.getframerate(), w.getnframes()
+                        sw = w.getsampwidth()
+                        pcm = w.readframes(n_fr)
+                    if sw not in width_code:
+                        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+                    samples = array.array(width_code[sw], pcm)
+                    rms = (
+                        math.sqrt(sum(s * s for s in samples) / len(samples))
+                        if samples
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "duration_s": n_fr / rate if rate else 0.0,
+                            "rms": rms,
+                            "n_frames": n_fr,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "duration_s", "rms", "n_frames"]
+                ).astype(
+                    {
+                        "doc_id": "int64",
+                        "duration_s": "float64",
+                        "rms": "float64",
+                        "n_frames": "int32",
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            real_features, AUDIO_FEATURES_SCHEMA
+        )
 
     def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -288,10 +288,64 @@ def test_resize_and_audio_stubs(spark):
     feats = {r["doc_id"]: r for r in extract_audio_features(df, "doc_id", "payload").collect()}
     assert feats[1]["duration_s"] > 0 and feats[2]["duration_s"] == 0.0
     assert feats[1]["n_frames"] == 0  # 300 bytes < one 512-byte frame
-    with pytest.raises(NotImplementedError):
-        resize_images(df, "doc_id", "payload", real=True)
-    with pytest.raises(NotImplementedError):
-        extract_audio_features(df, "doc_id", "payload", real=True)
+    # real paths exist now but reject non-PNG / non-WAV payloads loudly
+    with pytest.raises(Exception):
+        resize_images(df, "doc_id", "payload", real=True).collect()
+    with pytest.raises(Exception):
+        extract_audio_features(df, "doc_id", "payload", real=True).collect()
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """real=True resize: decode → nearest-neighbor resample → re-encode;
+    output is a valid PNG of the target dimensions with pixels matching
+    the hand-computed nearest-neighbor mapping."""
+    import os
+
+    from cassandra_extractor_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    # synthetic 2x2 gray: upscale 2x2 -> 4x4 duplicates each pixel 2x2
+    px = bytes([10, 20, 30, 40])
+    src = encode_png(2, 2, 1, px)
+    df = spark.createDataFrame([Row(doc_id=1, payload=src)])
+    out = {r["doc_id"]: r["resized"] for r in
+           resize_images(df, "doc_id", "payload", 4, 4, real=True).collect()}
+    w, h, c, rpx = decode_png(bytes(out[1]))
+    assert (w, h, c) == (4, 4, 1)
+    assert list(rpx) == [10, 10, 20, 20, 10, 10, 20, 20,
+                         30, 30, 40, 40, 30, 30, 40, 40]
+    # real fixture: RGBA 32x32 -> 8x8 keeps channels, halves to target
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "rgba_32x32.png")
+    df2 = spark.createDataFrame([Row(doc_id=2, payload=open(fx, "rb").read())])
+    out2 = resize_images(df2, "doc_id", "payload", 8, 8, real=True).collect()[0]["resized"]
+    w2, h2, c2, rpx2 = decode_png(bytes(out2))
+    assert (w2, h2, c2) == (8, 8, 4) and len(rpx2) == 8 * 8 * 4
+
+
+def test_extract_audio_features_real_wav(spark):
+    """real=True audio: a stdlib-generated 16-bit PCM WAV with known
+    constant amplitude decodes to exact duration, frame count, and
+    RMS == |amplitude|."""
+    import io
+    import wave
+
+    from cassandra_extractor_spark.operators.multimodal import extract_audio_features
+
+    buf = io.BytesIO()
+    rate, n = 8000, 4000  # 0.5 s
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join((1000).to_bytes(2, "little", signed=True) for _ in range(n)))
+    df = spark.createDataFrame([Row(doc_id=1, payload=buf.getvalue())])
+    r = extract_audio_features(df, "doc_id", "payload", real=True).collect()[0]
+    assert r["n_frames"] == n
+    assert abs(r["duration_s"] - 0.5) < 1e-12
+    assert abs(r["rms"] - 1000.0) < 1e-9
 
 
 def test_sample_frames_fanout(spark):
