@@ -110,3 +110,24 @@ def test_solr_grammar_always_translates(q):
     assert ":" not in sql.replace("':'", "")  # no untranslated field:value
     assert sql.strip()
     # every generated query is inside the supported subset → never raises
+
+
+@given(
+    width=st.integers(min_value=1, max_value=12),
+    height=st.integers(min_value=1, max_value=12),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_round_trip(width, height, channels, data):
+    """Property: encode_png → decode_png is the identity on any 8-bit
+    pixel buffer, for every supported channel count."""
+    from cassandra_extractor_spark.operators.multimodal import decode_png, encode_png
+
+    n = width * height * channels
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    w, h, c, out = decode_png(encode_png(width, height, channels, pixels))
+    assert (w, h, c) == (width, height, channels)
+    assert out == pixels
