@@ -611,12 +611,15 @@ def ns_lm_fluency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cassandra_extractor_spark.operators.dedup import materialize_once
 
-    # the bigram stream feeds the model aggregates AND the doc scores —
-    # materialize once or the tokenize+window pipeline runs three times
-    bi = materialize_once(bi)
-    doc_bi = bi.groupBy("doc_id", "w", "w2").agg(F.count("*").alias("n_occ"))
-    c12 = bi.groupBy("w", "w2").agg(F.count("*").alias("c12"))
-    c1 = bi.groupBy("w").agg(F.count("*").alias("c1"))
+    # per-(doc, bigram) pre-agg is the ONLY consumer of the raw bigram
+    # stream; the model counts then derive from it (c12 = Σ_doc n_occ,
+    # c1 = Σ_w2 c12) — each later shuffle moves pre-combined counts,
+    # never raw occurrences, and the tokenize+window pipeline runs once
+    doc_bi = materialize_once(
+        bi.groupBy("doc_id", "w", "w2").agg(F.count("*").alias("n_occ"))
+    )
+    c12 = doc_bi.groupBy("w", "w2").agg(F.sum("n_occ").cast("long").alias("c12"))
+    c1 = c12.groupBy("w").agg(F.sum("c12").cast("long").alias("c1"))
     model = c12.join(c1, "w").select(
         "w", "w2", F.expr("c12 * 1000000 div c1").alias("p_int")
     )
