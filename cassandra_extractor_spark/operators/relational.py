@@ -1017,3 +1017,47 @@ def q56_first_last(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+def q66_grouped_median(spark, sf_dir):
+    """Per-group discrete median (mergeable sketch, max accuracy):
+    the grouped counterpart of q44b.  percentile_approx at maximum
+    accuracy returns an exact order statistic — equality with DuckDB
+    ``quantile_disc`` is pinned by the tie-structure unit test — and
+    the sketch merges partial-then-final like any algebraic aggregate,
+    so the plan is one map-side-combined HashAggregate (no per-group
+    sort, no value buffering)."""
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(2147483647)).alias(
+                "median_qty"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q67_grouped_mode(spark, sf_dir):
+    """Deterministic grouped mode: most frequent o_orderstatus per
+    o_orderpriority, ties broken by the smallest status value (Spark's
+    built-in ``mode()`` is non-deterministic on ties, so the portable
+    spelling is count + ROW_NUMBER — two map-side-combined shuffles on
+    bounded-cardinality keys)."""
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), "o_orderstatus")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"), "n")
+        .orderBy("o_orderpriority")
+    )

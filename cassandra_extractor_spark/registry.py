@@ -36,6 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "ns_lm_fluency_bucket": TX.ns_lm_fluency_bucket,
+    "q66_grouped_median": R.q66_grouped_median,
+    "q67_grouped_mode": R.q67_grouped_mode,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,
@@ -515,6 +517,19 @@ ORACLES: dict[str, str] = {
         "ROUND(CAST(embedding[CAST(gs AS INTEGER)] AS DOUBLE), 6) AS val "
         "FROM embeddings, generate_series(1, 3) AS t(gs) "
         "WHERE vec_id <= 20 AND gs <= len(embedding) ORDER BY vec_id, dim"
+    ),
+    "q66_grouped_median": (
+        "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "q67_grouped_mode": (
+        "WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderpriority, o_orderstatus), "
+        "r AS (SELECT o_orderpriority, o_orderstatus AS mode_status, n, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY n DESC, o_orderstatus) AS rk FROM c) "
+        "SELECT o_orderpriority, mode_status, n FROM r WHERE rk = 1 "
+        "ORDER BY o_orderpriority"
     ),
     "q56_first_last": (
         "SELECT o_custkey, o_orderkey, "
