@@ -36,7 +36,14 @@ per-adjacent-pair gap budget, not Lucene's total-edit-distance slop
 (which also permits transpositions at cost 2) and not
 analyzer-tokenized — same caveat as the CONTAINS mapping.
 
-Everything else (fuzzy ``~``, boosts ``^``, ranges over text
+Fielded fuzzy terms ``field:term~N`` (N ≤ 2, Lucene's maximum; bare
+``~`` = 2) translate to ``levenshtein(field, term) <= N`` — plain edit
+distance, not Lucene's Damerau-Levenshtein (a transposition costs 2
+here, 1 there), documented as the approximation.  Bare full-text fuzzy
+stays rejected: term-level fuzzing inside analyzed text has no sane
+predicate-only translation.
+
+Everything else (boosts ``^``, fuzzy distance > 2, ranges over text
 analyzers) raises ``SolrTranslationError``.
 """
 
@@ -132,9 +139,25 @@ def _translate_range(m: re.Match) -> str:
 
 
 def _translate_term(field: str, value: str) -> str:
-    for bad, what in (("~", "fuzzy"), ("^", "boost")):
-        if bad in value:
-            raise SolrTranslationError(f"{what} syntax not supported: {field}:{value}")
+    fuzzy = re.fullmatch(r"(?P<term>[^~^]+)~(?P<dist>\d*)", value)
+    if fuzzy:
+        # field:term~N → edit-distance predicate on the whole field
+        # value (consistent with the exact mapping field:term →
+        # equality).  Approximation caveat: Lucene fuzzy is
+        # Damerau-Levenshtein (transposition costs 1); SQL levenshtein
+        # is plain edit distance (transposition costs 2), so a~N may
+        # miss transposed matches Lucene would accept.  Lucene's
+        # default (bare ~) and maximum distance is 2.
+        dist = int(fuzzy.group("dist") or 2)
+        if dist > 2:
+            raise SolrTranslationError(
+                f"fuzzy distance > 2 not supported (Lucene max): {field}:{value}"
+            )
+        return f"levenshtein({field}, {_sql_string(fuzzy.group('term'))}) <= {dist}"
+    if "~" in value or "^" in value:
+        raise SolrTranslationError(
+            f"{'boost' if '^' in value else 'fuzzy'} syntax not supported: {field}:{value}"
+        )
     if "*" in value or "?" in value:
         like = value.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
         return f"{field} LIKE {_sql_literal(like)}"

@@ -1061,3 +1061,31 @@ def q67_grouped_mode(spark, sf_dir):
         .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"), "n")
         .orderBy("o_orderpriority")
     )
+
+
+def q68_fuzzy_join(spark, sf_dir):
+    """Edit-distance fuzzy self-join: customer-name pairs within
+    levenshtein distance 2 (the relational counterpart of the Solr
+    ``field:term~N`` mapping in functions/solr.py — same function, same
+    integer semantics on both engines).
+
+    Scale note: the bounded key range here makes the verification
+    cross join small (broadcast); a production fuzzy join NEVER runs
+    all-pairs — block first (length/prefix buckets or this repo's LSH
+    candidates), then apply levenshtein only within blocks."""
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    a = c.select(F.col("c_custkey").alias("k1"), F.col("c_name").alias("n1"))
+    b = c.select(F.col("c_custkey").alias("k2"), F.col("c_name").alias("n2"))
+    dist = F.levenshtein(F.col("n1"), F.col("n2"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where((F.col("k1") < F.col("k2")) & (dist <= 2))
+        .select("k1", "k2", dist.cast("long").alias("dist"))
+        .orderBy("k1", "k2")
+    )

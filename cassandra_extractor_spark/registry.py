@@ -38,6 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_lm_fluency_bucket": TX.ns_lm_fluency_bucket,
     "q66_grouped_median": R.q66_grouped_median,
     "q67_grouped_mode": R.q67_grouped_mode,
+    "q68_fuzzy_join": R.q68_fuzzy_join,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,
@@ -517,6 +518,13 @@ ORACLES: dict[str, str] = {
         "ROUND(CAST(embedding[CAST(gs AS INTEGER)] AS DOUBLE), 6) AS val "
         "FROM embeddings, generate_series(1, 3) AS t(gs) "
         "WHERE vec_id <= 20 AND gs <= len(embedding) ORDER BY vec_id, dim"
+    ),
+    "q68_fuzzy_join": (
+        "WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) "
+        "SELECT a.c_custkey AS k1, b.c_custkey AS k2, "
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+        "FROM c a, c b WHERE a.c_custkey < b.c_custkey "
+        "AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY k1, k2"
     ),
     "q66_grouped_median": (
         "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "

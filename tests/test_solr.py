@@ -50,7 +50,7 @@ def test_prohibit_and_require_prefixes():
 @pytest.mark.parametrize(
     "bad",
     [
-        "name:rob~2",
+        "name:rob~5",  # fuzzy beyond Lucene's max distance
         "title:spark^4",
         "bare_fulltext",
         "a:1 b:2",
@@ -114,6 +114,26 @@ def test_bare_term_hard_syntax_still_rejected():
     for q in ("spark~2", "spark^3", "spar*", "spar?"):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
+
+
+def test_fuzzy_term_translation_and_semantics(spark):
+    """``field:term~N`` → levenshtein predicate; bare ``~`` = 2
+    (Lucene's default); executed semantics over real rows."""
+    assert solr_to_sql("name:rob~1") == "levenshtein(name, 'rob') <= 1"
+    assert solr_to_sql("name:rob~") == "levenshtein(name, 'rob') <= 2"
+    assert (
+        solr_to_sql("lang:en AND name:rob~1")
+        == "lang = 'en' AND levenshtein(name, 'rob') <= 1"
+    )
+    df = spark.createDataFrame(
+        [(0, "rob"), (1, "rab"), (2, "robb"), (3, "bert"), (4, "orb")],
+        "id long, name string",
+    )
+    ids = {r["id"] for r in df.where(solr_to_sql("name:rob~1")).collect()}
+    assert ids == {0, 1, 2}  # edit distance <= 1 ('orb' is a transposition: 2 here)
+    # bare full-text fuzzy stays rejected even with default_field
+    with pytest.raises(SolrTranslationError):
+        solr_to_sql("rob~1", default_field="text")
 
 
 def test_proximity_translation_shape():
