@@ -43,8 +43,13 @@ here, 1 there), documented as the approximation.  Bare full-text fuzzy
 stays rejected: term-level fuzzing inside analyzed text has no sane
 predicate-only translation.
 
-Everything else (boosts ``^``, fuzzy distance > 2, ranges over text
-analyzers) raises ``SolrTranslationError``.
+Boosts ``^N`` are STRIPPED exactly: they reorder Solr's ranked
+results but never change which documents match, and a predicate
+translation has no ranking — so ``title:spark^4`` filters identically
+to ``title:spark``.
+
+Everything else (fuzzy distance > 2, bare full-text fuzzy, ranges over
+text analyzers) raises ``SolrTranslationError``.
 """
 
 from __future__ import annotations
@@ -62,10 +67,10 @@ _TOKEN = re.compile(
         (?P<rparen>\)) |
         (?P<op>AND\b|OR\b|NOT\b) |
         (?P<range>[+-]?[A-Za-z_][\w.]*:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
-        (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*"(?:~\d+)?) |
+        (?P<phrase>[+-]?[A-Za-z_][\w.]*:"[^"]*"(?:~\d+)?(?:\^[\d.]+)?) |
         (?P<term>[+-]?[A-Za-z_][\w.]*:[^\s()]+) |
         (?P<star>\*:\*) |
-        (?P<bare_phrase>[+-]?"[^"]*"(?:~\d+)?) |
+        (?P<bare_phrase>[+-]?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?) |
         (?P<other>[^\s()]+)
     )""",
     re.VERBOSE,
@@ -74,6 +79,17 @@ _TOKEN = re.compile(
 _RANGE = re.compile(
     r"(?P<field>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\]}]*?)\s+TO\s+(?P<hi>[^\]}]*?)(?P<rb>[\]}])"
 )
+
+
+_BOOST = re.compile(r"\^\d+(\.\d+)?$")
+
+
+def _strip_boost(clause: str) -> str:
+    """Drop a trailing ``^boost``.  Boosts reorder Solr's ranked
+    results but never change WHICH documents match — and a predicate
+    translation has no ranking — so stripping is exact, not a
+    half-translation."""
+    return _BOOST.sub("", clause)
 
 
 def _strip_prefix(clause: str) -> tuple[bool, str]:
@@ -139,6 +155,7 @@ def _translate_range(m: re.Match) -> str:
 
 
 def _translate_term(field: str, value: str) -> str:
+    value = _strip_boost(value)
     fuzzy = re.fullmatch(r"(?P<term>[^~^]+)~(?P<dist>\d*)", value)
     if fuzzy:
         # field:term~N → edit-distance predicate on the whole field
@@ -200,6 +217,7 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
             if neg:
                 out.append("NOT")
             field, value = clause.split(":", 1)
+            value = _strip_boost(value)
             prox = re.fullmatch(r'"(?P<text>[^"]*)"~(?P<slop>\d+)', value)
             if prox:
                 out.append(
@@ -219,6 +237,7 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
             neg, clause = _strip_prefix(m.group("bare_phrase"))
             if neg:
                 out.append("NOT")
+            clause = _strip_boost(clause)
             prox = re.fullmatch(r'"(?P<text>[^"]*)"~(?P<slop>\d+)', clause)
             if prox:
                 if default_field is None:
@@ -235,6 +254,7 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
                 out.append("(" + _contains(default_field, clause[1:-1]) + ")")
         else:
             neg, clause = _strip_prefix(m.group("other"))
+            clause = _strip_boost(clause)
             for bad, what in (("~", "fuzzy"), ("^", "boost"), ("*", "wildcard"), ("?", "wildcard")):
                 if bad in clause:
                     raise SolrTranslationError(

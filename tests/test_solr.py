@@ -51,7 +51,7 @@ def test_prohibit_and_require_prefixes():
     "bad",
     [
         "name:rob~5",  # fuzzy beyond Lucene's max distance
-        "title:spark^4",
+        "title:spa^rk4",  # boost not at end of token: malformed
         "bare_fulltext",
         "a:1 b:2",
         "(a:1",
@@ -111,9 +111,25 @@ def test_bare_terms_rejected_without_default_field():
 
 
 def test_bare_term_hard_syntax_still_rejected():
-    for q in ("spark~2", "spark^3", "spar*", "spar?"):
+    # bare fuzzy (term-level fuzzing inside analyzed text) and
+    # wildcards stay rejected; boosts now strip (see the boost test)
+    for q in ("spark~2", "spar*", "spar?"):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
+
+
+def test_boosts_stripped_exactly():
+    """``^N`` reorders ranked results but never changes the match set;
+    with no ranking in a predicate translation, stripping is exact."""
+    assert solr_to_sql("title:spark^4") == "title = 'spark'"
+    assert solr_to_sql("title:spark^0.5") == "title = 'spark'"
+    assert solr_to_sql('t:"big data"^2') == "t = 'big data'"
+    assert solr_to_sql("name:rob~1^3") == "levenshtein(name, 'rob') <= 1"
+    assert solr_to_sql("pizza^2", default_field="text") == "(INSTR(LOWER(text), 'pizza') > 0)"
+    assert (
+        solr_to_sql('"big data"~1^2', default_field="text")
+        == solr_to_sql('"big data"~1', default_field="text")
+    )
 
 
 def test_fuzzy_term_translation_and_semantics(spark):
