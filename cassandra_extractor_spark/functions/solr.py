@@ -48,8 +48,14 @@ results but never change which documents match, and a predicate
 translation has no ranking — so ``title:spark^4`` filters identically
 to ``title:spark``.
 
-Everything else (fuzzy distance > 2, bare full-text fuzzy, ranges over
-text analyzers) raises ``SolrTranslationError``.
+Bare wildcard terms (``spar*``, ``h?t``) translate with a
+``default_field`` to a word-bounded token regex (``*`` → ``\\w*``,
+``?`` → ``\\w``) — Lucene wildcards match within a token, so the
+substring-LIKE spelling used for fielded wildcards would be wrong
+here.
+
+Everything else (fuzzy distance > 2, bare full-text fuzzy, ranges
+over text analyzers) raises ``SolrTranslationError``.
 """
 
 from __future__ import annotations
@@ -127,6 +133,26 @@ def _proximity(field: str, text: str, slop: int) -> str:
         pat += r"\b(?:\W+\w+){0,%d}\W+" % slop + re.escape(t)
     pat += r"\b"
     return f"{field} RLIKE {_sql_string(pat)}"
+
+
+def _token_wildcard(default_field: str | None, text: str) -> str:
+    """Bare wildcard term → token-level regex on the default field:
+    Lucene's ``spar*`` matches any TOKEN starting with ``spar``, so the
+    containment analog is a word-bounded regex (``*`` → ``\\w*``,
+    ``?`` → ``\\w``), not a substring LIKE."""
+    if default_field is None:
+        raise SolrTranslationError(
+            f"bare wildcard term {text!r} has no field: pass default_field="
+        )
+    if set(text) <= {"*", "?"}:
+        raise SolrTranslationError(f"wildcard-only term is not translatable: {text!r}")
+    pat = "".join(
+        r"\w*" if p == "*" else (r"\w" if p == "?" else re.escape(p))
+        for p in re.split(r"([*?])", text)
+        if p
+    )
+    full = "(?i)\\b" + pat + "\\b"
+    return f"{default_field} RLIKE {_sql_string(full)}"
 
 
 def _contains(default_field: str | None, text: str) -> str:
@@ -255,7 +281,7 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
         else:
             neg, clause = _strip_prefix(m.group("other"))
             clause = _strip_boost(clause)
-            for bad, what in (("~", "fuzzy"), ("^", "boost"), ("*", "wildcard"), ("?", "wildcard")):
+            for bad, what in (("~", "fuzzy"), ("^", "boost")):
                 if bad in clause:
                     raise SolrTranslationError(
                         f"{what} syntax on a bare term is not translatable: {clause}"
@@ -270,7 +296,10 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
                 )
             if neg:
                 out.append("NOT")
-            out.append("(" + _contains(default_field, clause) + ")")
+            if "*" in clause or "?" in clause:
+                out.append("(" + _token_wildcard(default_field, clause) + ")")
+            else:
+                out.append("(" + _contains(default_field, clause) + ")")
     if depth != 0:
         raise SolrTranslationError("unbalanced parentheses")
     if not out:

@@ -111,11 +111,34 @@ def test_bare_terms_rejected_without_default_field():
 
 
 def test_bare_term_hard_syntax_still_rejected():
-    # bare fuzzy (term-level fuzzing inside analyzed text) and
-    # wildcards stay rejected; boosts now strip (see the boost test)
-    for q in ("spark~2", "spar*", "spar?"):
+    # bare fuzzy (term-level fuzzing inside analyzed text) stays
+    # rejected; boosts strip, wildcards translate (see their tests)
+    for q in ("spark~2", "*", "?*"):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
+
+
+def test_bare_wildcard_terms_token_regex(spark):
+    """Bare ``spar*`` matches any TOKEN starting with spar — a
+    word-bounded regex on the default field, not substring LIKE."""
+    assert (
+        solr_to_sql("spar*", default_field="text")
+        == "(text RLIKE '(?i)\\\\bspar\\\\w*\\\\b')"
+    )
+    assert (
+        solr_to_sql("h?t", default_field="text")
+        == "(text RLIKE '(?i)\\\\bh\\\\wt\\\\b')"
+    )
+    with pytest.raises(SolrTranslationError, match="default_field"):
+        solr_to_sql("spar*")
+    df = spark.createDataFrame(
+        [(0, "sparkling water"), (1, "spar fights"), (2, "no match"), (3, "spartan")],
+        "id long, text string",
+    )
+    ids = {r["id"] for r in df.where(solr_to_sql("spar*", default_field="text")).collect()}
+    assert ids == {0, 1, 3}
+    ids_q = {r["id"] for r in df.where(solr_to_sql("spa?", default_field="text")).collect()}
+    assert ids_q == {1}  # exactly one extra word char: 'spar' only
 
 
 def test_boosts_stripped_exactly():
