@@ -652,3 +652,45 @@ def ns_lm_fluency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CDC_MOD = 16  #: expected content-defined chunk length in tokens
+
+
+def ns_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries where a per-token
+    rolling fingerprint hits ``hash(tok) % CDC_MOD == 0`` — the
+    shift-resistant alternative to fixed windows (``ns_doc_chunk``).
+    Insert one word near the front of a document and fixed windows
+    re-cut every downstream chunk; content-defined boundaries re-align
+    at the next hash-selected token, so dedup/caching keyed on chunks
+    stays stable — the rsync/LBFS trick applied to token streams.
+
+    Engine-portable: the boundary predicate uses the shared 60-bit md5
+    token hash (salt ``cdc``), chunk ids are a per-doc running sum of
+    boundary flags (window partitioned by doc_id — map-local, no
+    global sort), and the output is pure integers.  One explode, one
+    per-doc window, one map-side-combined aggregation at any corpus
+    size; bounded to doc_id <= 200 only to keep the oracle cheap
+    (same bound as ``ns_doc_chunk``).
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") <= 200)
+    tok = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    boundary = F.when(
+        (F.col("pos") == 0) | (_md5_hash64(F.col("tok"), "cdc") % CDC_MOD == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select("doc_id", "pos", F.sum(boundary).over(w).alias("chunk_id"))
+        .groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"))
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -619,6 +619,24 @@ NS_ORACLES["ns_lm_fluency_bucket"] = (
 )
 
 
+NS_ORACLES["ns_cdc_chunk"] = (
+    # content-defined chunking: same md5 boundary predicate, per-doc
+    # running-sum chunk ids (see ns_cdc_chunk docstring)
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <= 200), "
+    "tok AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM ("
+    "SELECT doc_id, unnest(list_transform(range(len(toks)), "
+    "i -> struct_pack(pos := i, tok := toks[i+1]))) AS s FROM t)), "
+    "b AS (SELECT doc_id, pos, CASE WHEN pos = 0 OR "
+    + _hash_sql("tok", "cdc")
+    + " % 16 = 0 THEN 1 ELSE 0 END AS nb FROM tok), "
+    "c AS (SELECT doc_id, pos, CAST(SUM(nb) OVER (PARTITION BY doc_id "
+    "ORDER BY pos) AS BIGINT) AS chunk_id FROM b) "
+    "SELECT doc_id, chunk_id, CAST(MIN(pos) AS BIGINT) AS start_pos, "
+    "COUNT(*) AS n_tokens FROM c GROUP BY doc_id, chunk_id "
+    "ORDER BY doc_id, chunk_id"
+)
+
+
 def _lsh_sql() -> str:
     """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
     hyperplanes are emitted as literal DOUBLE[] rows (repr() is the
