@@ -674,23 +674,31 @@ def ns_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; bounded to doc_id <= 200 only to keep the oracle cheap
     (same bound as ``ns_doc_chunk``).
     """
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") <= 200)
+    return cdc_chunks(d, "doc_id", "text").orderBy("doc_id", "chunk_id")
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str, mod: int = CDC_MOD) -> DataFrame:
+    """Core of ``ns_cdc_chunk`` (reusable): (id, chunk_id, start_pos,
+    n_tokens) with hash-selected boundaries."""
     from pyspark.sql import Window as W
 
     from cassandra_extractor_spark.operators.dedup import _md5_hash64
 
-    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") <= 200)
-    tok = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
     boundary = F.when(
-        (F.col("pos") == 0) | (_md5_hash64(F.col("tok"), "cdc") % CDC_MOD == 0),
+        (F.col("pos") == 0) | (_md5_hash64(F.col("tok"), "cdc") % mod == 0),
         F.lit(1),
     ).otherwise(F.lit(0))
     w = W.partitionBy("doc_id").orderBy("pos")
     return (
-        tok.select("doc_id", "pos", F.sum(boundary).over(w).alias("chunk_id"))
+        tok.select("doc_id", "pos", "tok", F.sum(boundary).over(w).alias("chunk_id"))
         .groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"))
         .agg(
             F.min("pos").cast("long").alias("start_pos"),
             F.count("*").alias("n_tokens"),
         )
-        .orderBy("doc_id", "chunk_id")
     )

@@ -539,3 +539,35 @@ def test_classifier_median_threshold_matches_quantile_disc(spark):
                 params=[p_, values],
             ).fetchone()[0]
             assert spark_thr == duck_thr, (values, p_, spark_thr, duck_thr)
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """The content-defined chunking property: prepending one token
+    shifts every boundary position by exactly one but RE-ALIGNS on the
+    same boundary tokens — downstream chunk-keyed dedup sees identical
+    chunks after the first.  A fixed-window chunker re-cuts
+    everything."""
+    import random
+
+    from cassandra_extractor_spark.operators.text import cdc_chunks
+
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    base = " ".join(words)
+    shifted = "inserted " + base
+    df = spark.createDataFrame([(0, base), (1, shifted)], "doc_id long, text string")
+    chunks = {0: [], 1: []}
+    for r in cdc_chunks(df, "doc_id", "text").collect():
+        chunks[r["doc_id"]].append((r["start_pos"], r["n_tokens"]))
+    for v in chunks.values():
+        v.sort()
+    assert len(chunks[0]) > 5  # the doc actually splits
+    # every base boundary reappears shifted by exactly one token
+    base_starts = {s for s, _ in chunks[0]}
+    shifted_starts = {s for s, _ in chunks[1]}
+    realigned = {s + 1 for s in base_starts if s != 0}
+    assert realigned <= shifted_starts
+    # chunk shapes after the perturbation point are identical
+    base_sizes = [n for s, n in chunks[0] if s != 0]
+    shifted_sizes = [n for s, n in chunks[1] if s - 1 in base_starts and s != 1]
+    assert base_sizes[-3:] == shifted_sizes[-3:]
