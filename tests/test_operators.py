@@ -571,3 +571,29 @@ def test_cdc_chunks_shift_resistant(spark):
     base_sizes = [n for s, n in chunks[0] if s != 0]
     shifted_sizes = [n for s, n in chunks[1] if s - 1 in base_starts and s != 1]
     assert base_sizes[-3:] == shifted_sizes[-3:]
+
+
+def test_timestamp_queries_survive_hostile_session_timezone(spark):
+    """load_table force-sets spark.sql.session.timeZone=UTC because the
+    driver's vanilla session inherits the host timezone; a hostile
+    default must not change any timestamp-derived result.  Pins the
+    UTC-forcing against regressions (it is load-bearing for every
+    epoch/bucket/date query)."""
+    from cassandra_extractor_spark.operators.relational import (
+        q10_epoch_millis,
+        q35_time_bucket,
+        q54_date_arith,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    baseline = {
+        fn.__name__: [tuple(r) for r in fn(spark, sf).collect()]
+        for fn in (q10_epoch_millis, q35_time_bucket, q54_date_arith)
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for fn in (q10_epoch_millis, q35_time_bucket, q54_date_arith):
+            hostile = [tuple(r) for r in fn(spark, sf).collect()]
+            assert hostile == baseline[fn.__name__], fn.__name__
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
