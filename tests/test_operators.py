@@ -597,3 +597,16 @@ def test_timestamp_queries_survive_hostile_session_timezone(spark):
             assert hostile == baseline[fn.__name__], fn.__name__
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """q38 is the single rows-only registry entry (HLL sketches are
+    engine-specific); this pins its ACCURACY instead: Spark's default
+    rsd is 5%, so the estimate must sit within a conservative 3-sigma
+    band of the exact distinct count."""
+    from cassandra_extractor_spark.operators.relational import q38_approx_distinct
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    approx = q38_approx_distinct(spark, sf_dir).collect()[0]["approx_cd"]
+    exact = load_table(spark, "orders", sf_dir).select("o_custkey").distinct().count()
+    assert abs(approx - exact) <= max(3 * 0.05 * exact, 3), (approx, exact)
