@@ -287,3 +287,56 @@ def ns_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the nightly check that a new crawl
+    snapshot hasn't shifted the corpus mix before it reaches training:
+    per-language token-mass shares for the old vs new snapshot and each
+    language's contribution to KL(new ‖ old).  A spike in ``kl_term``
+    flags the language driving the drift; Σ kl_term is the headline
+    drift number a pipeline alerts on.
+
+    Modeling: old = doc_id < DIFF_OLD_DOCS (the ``ns_corpus_diff``
+    snapshot convention); production passes two real snapshot frames.
+    Laplace +1 smoothing keeps both distributions strictly positive, so
+    the log is total.  100 TB shape: two map-side-combined aggregations
+    over (lang) — output is languages × 1 rows; the arithmetic is
+    integer counts → one fixed-order double expression, rounded at 6
+    (the ``ns_ngram_pmi`` precedent for cross-engine ln parity).
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    counts = (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < DIFF_OLD_DOCS, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tok_old"),
+            F.sum("n_tok").cast("long").alias("tok_new"),
+        )
+    )
+    # Laplace-smoothed totals are plan-time scalars: languages × 1 rows
+    # upstream, so the two driver-side sums read a handful of rows
+    tot = counts.agg(
+        F.sum("tok_old").cast("long").alias("to"),
+        F.sum("tok_new").cast("long").alias("tn"),
+        F.count("*").cast("long").alias("k"),
+    ).first()
+    tot_old, tot_new, k = int(tot["to"]), int(tot["tn"]), int(tot["k"])
+    p_old = (F.col("tok_old") + 1).cast("double") / F.lit(float(tot_old + k))
+    p_new = (F.col("tok_new") + 1).cast("double") / F.lit(float(tot_new + k))
+    return (
+        counts.select(
+            "lang",
+            "tok_old",
+            "tok_new",
+            F.round(p_old, 6).alias("p_old"),
+            F.round(p_new, 6).alias("p_new"),
+            F.round(p_new * F.log(p_new / p_old), 6).alias("kl_term"),
+        )
+        .orderBy("lang")
+    )

@@ -637,6 +637,30 @@ NS_ORACLES["ns_cdc_chunk"] = (
 )
 
 
+def _drift_sql() -> str:
+    from cassandra_extractor_spark.operators.extraction import DIFF_OLD_DOCS
+
+    return (
+        f"WITH d AS (SELECT doc_id, lang, CAST(len({TOKS}) AS BIGINT) AS n_tok "
+        "FROM documents), "
+        "counts AS (SELECT lang, "
+        f"CAST(SUM(CASE WHEN doc_id < {DIFF_OLD_DOCS} THEN n_tok ELSE 0 END) AS BIGINT) AS tok_old, "
+        "CAST(SUM(n_tok) AS BIGINT) AS tok_new FROM d GROUP BY lang), "
+        "tot AS (SELECT CAST(SUM(tok_old) AS BIGINT) AS t_old, "
+        "CAST(SUM(tok_new) AS BIGINT) AS t_new, COUNT(*) AS k FROM counts) "
+        "SELECT lang, tok_old, tok_new, "
+        "round(CAST(tok_old + 1 AS DOUBLE) / CAST(t_old + k AS DOUBLE), 6) AS p_old, "
+        "round(CAST(tok_new + 1 AS DOUBLE) / CAST(t_new + k AS DOUBLE), 6) AS p_new, "
+        "round((CAST(tok_new + 1 AS DOUBLE) / CAST(t_new + k AS DOUBLE)) * "
+        "ln((CAST(tok_new + 1 AS DOUBLE) / CAST(t_new + k AS DOUBLE)) / "
+        "(CAST(tok_old + 1 AS DOUBLE) / CAST(t_old + k AS DOUBLE))), 6) AS kl_term "
+        "FROM counts, tot ORDER BY lang"
+    )
+
+
+NS_ORACLES["ns_corpus_drift"] = _drift_sql()
+
+
 def _lsh_sql() -> str:
     """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
     hyperplanes are emitted as literal DOUBLE[] rows (repr() is the

@@ -40,6 +40,7 @@ QUERIES: dict[str, QueryFn] = {
     "q67_grouped_mode": R.q67_grouped_mode,
     "q68_fuzzy_join": R.q68_fuzzy_join,
     "ns_cdc_chunk": TX.ns_cdc_chunk,
+    "ns_corpus_drift": X.ns_corpus_drift,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,
