@@ -38,6 +38,10 @@ SECTIONS = [
      "Centroids broadcast (BroadcastNestedLoopJoin of 16 rows), assignment is a map-side argmax window keyed by vec_id, and the per-(cluster, dim) mean is a plain HashAggregate over DECIMAL(38,18) sums — exact, order-independent, CONSTANT memory per aggregation buffer. The r03 spelling used collect_list+sorted-fold for oracle parity, which buffers a whole cluster's values in one ObjectHashAggregate buffer; the decimal trick gets bit-stable cross-engine hashing from a streaming aggregate instead (asserted: no ObjectHashAggregate in this plan)."),
     ("ns_lm_fluency_bucket", "Corpus LM scoring with broadcast tercile thresholds",
      "The bigram stream is materialized once and feeds three hash aggregations (doc-side pre-agg, bigram counts, prefix counts); the doc-model join happens AFTER per-(doc, bigram) combination so stop-bigram skew multiplies against counts, not raw occurrences. All arithmetic is integer `div` — no libm in the plan, so the driver hash is partition-order-proof. The head/middle/tail cut is the classifier trick: two one-row percentile_approx sketches broadcast back; no global sort window anywhere."),
+    ("ns_cdc_chunk", "Content-defined chunking is one explode + one per-doc window",
+     "Boundary selection is a codegen'd md5 predicate on each token; chunk ids are a running sum over a window PARTITIONED BY doc_id (map-local after the explode — never a global sort), and the chunk rollup is a map-side-combined HashAggregate. One corpus pass end to end; the chunking is shift-resistant (see the behavior test), which is what makes chunk-keyed dedup stable under document edits."),
+    ("ns_corpus_drift", "Drift monitor: two aggregations, languages-sized output",
+     "Per-language token masses for both snapshots come out of ONE map-side-combined aggregation (the old-snapshot mass is a conditional sum in the same HashAggregate, not a second scan); the smoothed totals are a languages-sized driver scalar, and the KL terms are a fixed-order double expression rounded at 6 — the engine-parity discipline every float op here follows. Output is K rows regardless of corpus size."),
     ("ns_sample_uniform", "Deterministic sampling is a scan-stage filter",
      "The md5 hash gate compiles to a codegen'd filter inside the scan stage — no RNG state, no shuffle caused by the sampling itself (the one Exchange below is the oracle contract's total ORDER BY, absent in pipeline use). At 100 TB the sample costs one pass and parallelizes perfectly; the same rows come back on any cluster size or rerun."),
 ]
