@@ -1089,3 +1089,58 @@ def q68_fuzzy_join(spark, sf_dir):
         .select("k1", "k2", dist.cast("long").alias("dist"))
         .orderBy("k1", "k2")
     )
+
+
+def q69_median_abs_dev(spark, sf_dir):
+    """Robust dispersion: MAD = median(|x - median(x)|) — two chained
+    discrete medians, each a mergeable percentile_approx sketch at max
+    accuracy (exact order statistic; equality with DuckDB
+    ``quantile_disc`` pinned by the tie-structure test).  The inner
+    median broadcasts as one row; no sort, no value buffering."""
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_quantity")
+    med = li.agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(2147483647)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med))
+        .agg(
+            F.first("med").alias("median_qty"),
+            F.percentile_approx(
+                F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5), F.lit(2147483647)
+            ).alias("mad"),
+        )
+    )
+
+
+def q70_equidepth_hist(spark, sf_dir):
+    """Equi-depth (decile) histogram: boundaries from ONE mergeable
+    percentile sketch (broadcast as a single row), bucket assignment is
+    a codegen'd comparison fold — never the ntile/global-sort spelling,
+    which serializes the corpus through one partition.  Decile equality
+    with DuckDB ``quantile_disc`` is pinned by the tie-structure test."""
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_totalprice")
+    ps = [i / 10.0 for i in range(1, 10)]
+    th = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in ps]), F.lit(2147483647)
+        ).alias("th")
+    )
+    bucket = sum(
+        F.when(F.col("o_totalprice") > F.element_at("th", i + 1), 1).otherwise(0)
+        for i in range(9)
+    )
+    return (
+        o.join(F.broadcast(th))
+        .select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -41,6 +41,8 @@ QUERIES: dict[str, QueryFn] = {
     "q68_fuzzy_join": R.q68_fuzzy_join,
     "ns_cdc_chunk": TX.ns_cdc_chunk,
     "ns_corpus_drift": X.ns_corpus_drift,
+    "q69_median_abs_dev": R.q69_median_abs_dev,
+    "q70_equidepth_hist": R.q70_equidepth_hist,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,
@@ -527,6 +529,23 @@ ORACLES: dict[str, str] = {
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
         "FROM c a, c b WHERE a.c_custkey < b.c_custkey "
         "AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY k1, k2"
+    ),
+    "q69_median_abs_dev": (
+        "WITH m AS (SELECT quantile_disc(l_quantity, 0.5) AS med FROM lineitem) "
+        "SELECT ANY_VALUE(med) AS median_qty, "
+        "quantile_disc(abs(l_quantity - med), 0.5) AS mad FROM lineitem, m"
+    ),
+    "q70_equidepth_hist": (
+        "WITH th AS (SELECT quantile_disc(o_totalprice, "
+        "[" + ", ".join(str(i / 10.0) for i in range(1, 10)) + "]) AS th FROM orders), "
+        "b AS (SELECT ("
+        + " + ".join(
+            f"CASE WHEN o_totalprice > th[{i}] THEN 1 ELSE 0 END" for i in range(1, 10)
+        )
+        + ") AS bucket, o_totalprice FROM orders, th) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, "
+        "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
+        "FROM b GROUP BY bucket ORDER BY bucket"
     ),
     "q66_grouped_median": (
         "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "

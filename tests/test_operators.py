@@ -528,9 +528,10 @@ def test_classifier_median_threshold_matches_quantile_disc(spark):
     ]
     for values in cases:
         df = spark.createDataFrame([(v,) for v in values], "score long")
-        # 0.5 backs the classifier median; 1/3 and 2/3 back the
-        # ns_lm_fluency_bucket terciles
-        for p_ in (0.5, 1.0 / 3.0, 2.0 / 3.0):
+        # 0.5 backs the classifier median and q69's MAD; 1/3 and 2/3
+        # back the ns_lm_fluency_bucket terciles; the deciles back
+        # q70's equi-depth histogram boundaries
+        for p_ in (0.5, 1.0 / 3.0, 2.0 / 3.0, *[i / 10.0 for i in range(1, 10)]):
             spark_thr = df.agg(
                 F.percentile_approx("score", p_, 2147483647).alias("t")
             ).collect()[0]["t"]
