@@ -726,3 +726,65 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "c_id", F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"))
         .orderBy("vec_id")
     )
+
+
+PR_SCALE = 1_000_000_000_000  #: PageRank probability unit (1e-12)
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  #: damping 0.85 as a ratio
+
+
+def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — the iterative-algorithm shape
+    (label propagation's weighted cousin): rank documents by their
+    connectivity in the MinHash-LSH candidate graph, e.g. to pick the
+    most-central canonical per duplicate neighborhood instead of
+    min-doc_id.
+
+    ALL-INTEGER arithmetic (probabilities in 1e-12 units, truncating
+    ``div`` — DuckDB ``//``), so even the 5-iteration fixpoint is
+    bit-identical cross-engine and this registers with an EXACT oracle
+    — iterative algorithms usually get a rows-only waiver; integer
+    units remove the float accumulation that forces it.
+
+    100 TB shape: each iteration is one join (contributions along
+    edges, pre-divided by degree) + one map-side-combined sum — the
+    standard distributed PageRank; the edge list is the LSH candidate
+    graph (bucketed, never all-pairs), materialized once across all
+    iterations.  Dangling mass is not redistributed (isolated docs
+    aren't in the graph; symmetric edges mean every node has degree
+    >= 1), matching the oracle exactly.
+    """
+    pairs = materialize_once(
+        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    )
+    edges = materialize_once(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg")
+    n_nodes = nodes.count()  # driver-side scalar: one number, plan-time
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n_nodes
+    p = nodes.select("doc_id", F.lit(PR_SCALE // n_nodes).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(p, edges.src == p.doc_id)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        p = (
+            nodes.join(inflow, nodes.doc_id == inflow.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+        p = materialize_once(p)  # cut the lineage: 5 chained joins otherwise
+    return p.orderBy("doc_id")

@@ -661,6 +661,44 @@ def _drift_sql() -> str:
 NS_ORACLES["ns_corpus_drift"] = _drift_sql()
 
 
+def _pagerank_sql() -> str:
+    from cassandra_extractor_spark.operators.dedup import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    iters = []
+    prev = "p0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"p{k} AS (SELECT n.doc_id, CAST((SELECT b FROM consts) + "
+            f"({PR_DAMP_NUM} * COALESCE(i.inflow, 0)) // {PR_DAMP_DEN} AS BIGINT) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst, SUM(p.pr // d.deg) AS inflow "
+            f"FROM edges e JOIN {prev} p ON e.src = p.doc_id "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst) i ON n.doc_id = i.dst)"
+        )
+        prev = f"p{k}"
+    return (
+        "WITH pairs AS (" + _minhash_sql() + "), "
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM pairs "
+        "UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT src AS doc_id, deg FROM deg), "
+        f"consts AS (SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM} // {PR_DAMP_DEN}) "
+        "// COUNT(*) AS b, "
+        f"{PR_SCALE} // COUNT(*) AS pinit FROM nodes), "
+        "p0 AS (SELECT doc_id, CAST((SELECT pinit FROM consts) AS BIGINT) AS pr FROM nodes), "
+        + ", ".join(iters)
+        + f" SELECT doc_id, pr FROM p{PR_ITERS} ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_pagerank"] = _pagerank_sql()
+
+
 def _lsh_sql() -> str:
     """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
     hyperplanes are emitted as literal DOUBLE[] rows (repr() is the

@@ -43,6 +43,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_corpus_drift": X.ns_corpus_drift,
     "q69_median_abs_dev": R.q69_median_abs_dev,
     "q70_equidepth_hist": R.q70_equidepth_hist,
+    "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
     "ns_data_audit": X.ns_data_audit,

