@@ -788,3 +788,96 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         p = materialize_once(p)  # cut the lineage: 5 chained joins otherwise
     return p.orderBy("doc_id")
+
+
+SUBSTR_K = 10  #: k-gram size for span-level (substring) dedup
+
+
+def ns_substring_dedup(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> DataFrame:
+    """Span-level (substring) duplication: the fraction of each
+    document's tokens covered by a k-gram that occurs more than once in
+    the corpus — the measurement half of exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), which removes repeated spans rather than whole
+    near-duplicate documents (reference has no analogue; this is
+    north-star training-pipeline surface like the MinHash family).
+
+    Suffix arrays are the single-node spelling; the distributed
+    spelling is a hashed k-gram inverted index, which is exact for
+    duplicated spans >= k tokens and embarrassingly parallel:
+
+    1. one posexplode emits (doc_id, pos, md5-hash of the k-gram) —
+       map-only, O(corpus tokens);
+    2. one map-side-combined groupBy counts gram occurrences; grams
+       seen >1 time anywhere (same doc or another) are duplicated;
+    3. join back on the uniform md5 key (no skew) recovers each doc's
+       duplicated-span start positions;
+    4. per-doc interval union via gaps-and-islands windows (running
+       max(end) over preceding rows starts a new island on a gap) —
+       partition-parallel on doc_id, never a global sort.
+
+    Output: (doc_id, n_tok, dup_tok, dup_frac) for every document.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    docs = d.select(
+        "doc_id",
+        "toks",
+        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
+    )
+    # sequence(0, negative) counts DOWN in Spark — gate short docs out
+    positions = F.when(
+        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = materialize_once(  # counts + join-back both read this once
+        docs.select("doc_id", "toks", F.explode(positions).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            _md5_hash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k)), "ss"
+            ).alias("gh"),
+        )
+    )
+    dup_hashes = grams.groupBy("gh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    spans = grams.join(dup_hashes.select("gh"), "gh").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
+    )
+    w_prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    prev_end = F.max("e").over(w_prev)
+    flagged = spans.select(
+        "doc_id",
+        "pos",
+        "e",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0).alias("ni"),
+    )
+    islands = flagged.select(
+        "doc_id", "pos", "e", F.sum("ni").over(w_run).alias("island")
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("pos") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").alias("dup_tok"))
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.coalesce(F.col("dup_tok"), F.lit(0)).cast("long").alias("dup_tok"),
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    F.coalesce(F.col("dup_tok"), F.lit(0)).cast("double") / F.col("n_tok"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1144,3 +1144,35 @@ def q70_equidepth_hist(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+def q71_fill_forward(spark, sf_dir):
+    """Gap-fill / forward-fill: carry the last known non-NULL reading
+    forward within each user's event timeline — the standard telemetry
+    repair for intermittent sensors (here: ``value`` is treated as
+    missing on error events).
+
+    Spark spelling is ``last(ignorenulls=True)`` over a running ROWS
+    frame — a single per-user window, so the work is partition-parallel
+    on user_id with no global sort; at 100 TB this is one shuffle on
+    the fill key, the same shape as any sessionization pass.  DuckDB
+    mirrors it with ``last_value(... IGNORE NULLS)``.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            v.alias("v_raw"),
+            F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("event_id")
+    )

@@ -861,3 +861,49 @@ def _data_audit_sql() -> str:
 
 
 NS_ORACLES["ns_data_audit"] = _data_audit_sql()
+
+
+def _substring_sql() -> str:
+    """Mirror of ``ns_substring_dedup``: same md5 k-gram hash (salt
+    'ss'), same >1-occurrences duplicated-gram rule, same
+    gaps-and-islands interval union."""
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K
+
+    k = SUBSTR_K
+    gram = (
+        f"array_to_string(toks[CAST(pos + 1 AS INTEGER):CAST(pos + {k} AS INTEGER)], ' ')"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "dd AS (SELECT doc_id, toks, COALESCE(len(toks), 0) AS n_tok FROM d), "
+        # generate_series can't take lateral column bounds in DuckDB:
+        # unnest a per-row range() list instead (and gate short docs so
+        # the range is never negative)
+        f"dk AS (SELECT * FROM dd WHERE n_tok >= {k}), "
+        f"gp AS (SELECT doc_id, toks, "
+        f"unnest(range(0, n_tok - {k} + 1)) AS pos FROM dk), "
+        "g AS (SELECT doc_id, pos, "
+        + _hash_sql(gram, "ss")
+        + " AS gh FROM gp), "
+        "c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1), "
+        f"dup AS (SELECT g.doc_id, g.pos, g.pos + {k} - 1 AS e FROM g JOIN c USING (gh)), "
+        "isl AS (SELECT doc_id, pos, e, CASE WHEN "
+        "max(e) OVER w IS NULL OR pos > max(e) OVER w THEN 1 ELSE 0 END AS ni "
+        "FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "isl2 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+        "FROM isl), "
+        "cov AS (SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS cv "
+        "FROM isl2 GROUP BY doc_id, island), "
+        "per_doc AS (SELECT doc_id, SUM(cv) AS dup_tok FROM cov GROUP BY doc_id) "
+        "SELECT dd.doc_id, CAST(dd.n_tok AS BIGINT) AS n_tok, "
+        "CAST(COALESCE(per_doc.dup_tok, 0) AS BIGINT) AS dup_tok, "
+        "ROUND(CASE WHEN dd.n_tok > 0 THEN "
+        "CAST(COALESCE(per_doc.dup_tok, 0) AS DOUBLE) / dd.n_tok ELSE 0.0 END, 6) "
+        "AS dup_frac "
+        "FROM dd LEFT JOIN per_doc USING (doc_id) ORDER BY dd.doc_id"
+    )
+
+
+NS_ORACLES["ns_substring_dedup"] = _substring_sql()

@@ -43,6 +43,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_corpus_drift": X.ns_corpus_drift,
     "q69_median_abs_dev": R.q69_median_abs_dev,
     "q70_equidepth_hist": R.q70_equidepth_hist,
+    "q71_fill_forward": R.q71_fill_forward,
+    "ns_substring_dedup": D.ns_substring_dedup,
     "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
@@ -547,6 +549,15 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, "
         "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
         "FROM b GROUP BY bucket ORDER BY bucket"
+    ),
+    "q71_fill_forward": (
+        "WITH v AS (SELECT event_id, ts, user_id, "
+        "CASE WHEN event_type <> 'error' THEN value END AS v_raw FROM events) "
+        "SELECT event_id, user_id, v_raw, "
+        "last_value(v_raw IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled "
+        "FROM v ORDER BY event_id"
     ),
     "q66_grouped_median": (
         "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "
