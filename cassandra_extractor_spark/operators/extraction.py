@@ -340,3 +340,57 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+N_SHARDS = 16  #: output shards for the writer-layout query
+
+
+def shard_assignment(key, n_shards: int = N_SHARDS):
+    """Deterministic shard id for a row key: the repo's portable md5
+    hash mod ``n_shards`` — stable across engines, reruns, and cluster
+    sizes (unlike ``spark_partition_id`` or round-robin repartition).
+    Feed it to ``df.repartition(n_shards, shard_col)`` +
+    ``partitionBy``/``bucketBy`` so re-runs land rows in the same
+    output files (idempotent overwrite, diff-able exports)."""
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    return _md5_hash64(key.cast("string"), "shard") % n_shards
+
+
+def ns_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer shard layout report: size and token balance of the
+    ``N_SHARDS`` deterministic output shards the corpus writer would
+    produce — the pre-flight check before a 100 TB export (a skewed
+    shard means a straggler task and an oversized output file).
+
+    ``balance`` is each shard's token share relative to perfect
+    uniformity (1.0 = exactly even); md5 keys keep it tight at any
+    scale.  One map-side-combined aggregation to ``N_SHARDS`` rows; the
+    totals join is a broadcast of one row.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_shard = (
+        d.select(shard_assignment(F.col("doc_id")).alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
+    totals = per_shard.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return (
+        per_shard.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "shard_tokens",
+            F.round(
+                F.col("shard_tokens").cast("double")
+                * N_SHARDS
+                / F.col("total_tokens"),
+                6,
+            ).alias("balance"),
+        )
+        .orderBy("shard")
+    )

@@ -165,3 +165,165 @@ def ns_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOPK_PER_SOURCE)
         .orderBy("source", "rk")
     )
+
+
+TEMP_BUDGET_FRAC = 0.5  #: temperature-sampled corpus targets this token share
+TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt) so the power is IEEE-exact on every engine"
+
+
+def ns_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-LM
+    mixing rule, XLM-R §3.1): sample language ``l`` with probability
+    ``q_l ∝ p_l^alpha`` where ``p_l`` is its natural token share —
+    alpha < 1 up-weights low-resource languages without discarding the
+    head.  ``alpha = 0.5`` here: the power becomes ``sqrt``, which IEEE
+    754 requires to be correctly rounded, so Spark and DuckDB produce
+    bit-identical mixture weights (general ``pow`` is not guaranteed
+    correctly rounded and could diverge in the last ulp).
+
+    Per language: natural share ``p``, mixture weight ``q``, keep-rate
+    ``min(1, q·budget/tokens)``, and the realized sample (docs kept by
+    the deterministic md5 gate on doc_id — reproducible on any engine,
+    partitioning, or rerun).
+
+    100 TB shape: language token totals are one map-side-combined agg
+    to a few rows; the rate table broadcast-joins back; the gate is a
+    codegen'd filter.  Two corpus passes, zero corpus-sized shuffles.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("lang_tokens")
+    )
+    # Σ√ accumulates doubles across languages: go through DECIMAL(38,18)
+    # so the sum is order-independent (the ns_corpus_stats trick) and
+    # both engines agree bit-for-bit
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("lang_tokens").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sq_sum_raw"),
+    )
+    # q = sqrt(p)/Σsqrt(p) = sqrt(n_l)/Σsqrt(n_m): the total cancels, so
+    # fold it once here rather than dividing before the sqrt (fewer
+    # rounding steps shared identically by the oracle)
+    rated = per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        (F.col("lang_tokens").cast("double") / F.col("total_tokens")).alias("p"),
+        (F.sqrt(F.col("lang_tokens").cast("double")) / F.col("sq_sum_raw")).alias("q"),
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_BUDGET_FRAC)
+            * F.col("total_tokens").cast("double")
+            * (F.sqrt(F.col("lang_tokens").cast("double")) / F.col("sq_sum_raw"))
+            / F.col("lang_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    kept = d.join(F.broadcast(rated.select("lang", "rate")), "lang").where(
+        _md5_hash64(F.col("doc_id").cast("string"), "temp") % 1_000_000
+        < F.floor(F.col("rate") * 1_000_000)
+    )
+    kept_stats = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
+    )
+    return (
+        rated.join(kept_stats, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DSIR_BUCKETS = 1024  #: hashed-bigram feature space for DSIR
+DSIR_TARGET_LANG = "en"  #: the target domain the selector steers toward
+
+
+def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a hashed-bigram unigram model of the
+    TARGET domain (here: ``lang = 'en'`` documents) against the RAW
+    corpus model, with Laplace smoothing — positive log-weight means
+    "looks more like the target than like the average of the crawl".
+
+    Feature space is ``DSIR_BUCKETS`` md5-hashed bigram buckets (the
+    hashing trick), so both count tables are FIXED-SIZE (1024 rows)
+    regardless of corpus size: the per-bucket log-ratio table computes
+    once and broadcast-joins back to the feature stream.  Per-doc
+    summation goes through DECIMAL(38,18) (order-independent — the
+    ns_corpus_stats trick) so the driver hash is partition-stable; each
+    bucket's term uses correctly-rounded double ops and ONE ``ln``,
+    mirrored operation-for-operation in the oracle.
+
+    100 TB shape: one bigram explode (per-doc window, map-local), one
+    map-side-combined count to 1024 rows per distribution, one
+    broadcast join, one per-doc aggregation.  No corpus-sized shuffle
+    except the final groupBy(doc_id) — same key the explode started
+    partitioned on.
+    """
+    from cassandra_extractor_spark.operators.text import token_stream
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    b = DSIR_BUCKETS
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    feats = (
+        token_stream(d)
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            (
+                _md5_hash64(F.concat_ws(" ", F.col("tok"), F.col("nxt")), "dsir") % b
+            ).alias("f"),
+        )
+    )
+    target_ids = d.where(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+    raw_counts = feats.groupBy("f").agg(F.count("*").alias("c_r"))
+    tgt_counts = (
+        feats.join(F.broadcast(target_ids), "doc_id")
+        .groupBy("f")
+        .agg(F.count("*").alias("c_t"))
+    )
+    # target ⊆ raw, so the raw table covers every occupied bucket
+    counts = raw_counts.join(tgt_counts, "f", "left").select(
+        "f", "c_r", F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t")
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t")
+    )
+    term = F.log(
+        ((F.col("c_t") + 1).cast("double") / (F.col("tot_t") + b).cast("double"))
+        / ((F.col("c_r") + 1).cast("double") / (F.col("tot_r") + b).cast("double"))
+    )
+    bucket_table = counts.crossJoin(F.broadcast(totals)).select("f", term.alias("term"))
+    per_doc = (
+        feats.join(F.broadcast(bucket_table), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum(F.col("term").cast("decimal(38,18)")).cast("double").alias("logw_raw"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.round(F.coalesce(F.col("logw_raw"), F.lit(0.0)), 6).alias("logw"),
+            (F.coalesce(F.col("logw_raw"), F.lit(0.0)) > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -907,3 +907,89 @@ def _substring_sql() -> str:
 
 
 NS_ORACLES["ns_substring_dedup"] = _substring_sql()
+
+
+NS_ORACLES["ns_temperature_sample"] = (
+    # alpha=0.5 temperature mixing: sqrt is correctly rounded per IEEE
+    # 754 (unlike pow), and the Σ√ goes through DECIMAL(38,18) so the
+    # few-row double sum is order-independent — both mirrored in the
+    # Spark builder
+    f"WITH d AS (SELECT doc_id, lang, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "pl AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS lang_tokens "
+    "FROM d GROUP BY lang), "
+    "t AS (SELECT SUM(lang_tokens) AS total_tokens, "
+    "CAST(SUM(CAST(sqrt(CAST(lang_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) "
+    "AS sq_sum_raw FROM pl), "
+    "r AS (SELECT lang, n_docs, lang_tokens, "
+    "CAST(lang_tokens AS DOUBLE) / total_tokens AS p, "
+    "sqrt(CAST(lang_tokens AS DOUBLE)) / sq_sum_raw AS q, "
+    "least(1.0, 0.5 * CAST(total_tokens AS DOUBLE) "
+    "* (sqrt(CAST(lang_tokens AS DOUBLE)) / sq_sum_raw) "
+    "/ CAST(lang_tokens AS DOUBLE)) AS rate FROM pl, t), "
+    "k AS (SELECT d.lang, COUNT(*) AS n_kept, SUM(d.n_tokens) AS kept_tokens "
+    "FROM d JOIN r USING (lang) WHERE "
+    + _hash_sql("CAST(doc_id AS VARCHAR)", "temp")
+    + " % 1000000 < CAST(floor(rate * 1000000) AS BIGINT) GROUP BY d.lang) "
+    "SELECT r.lang, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(lang_tokens AS BIGINT) AS lang_tokens, "
+    "ROUND(p, 6) AS p, ROUND(q, 6) AS q, ROUND(rate, 6) AS rate, "
+    "CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, "
+    "CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens "
+    "FROM r LEFT JOIN k USING (lang) ORDER BY r.lang"
+)
+
+
+from cassandra_extractor_spark.operators.extraction import N_SHARDS
+
+NS_ORACLES["ns_shard_layout"] = (
+    f"WITH d AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "ps AS (SELECT "
+    + _hash_sql("CAST(doc_id AS VARCHAR)", "shard")
+    + f" % {N_SHARDS} AS shard, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens "
+    "FROM d GROUP BY 1), "
+    "t AS (SELECT SUM(shard_tokens) AS total_tokens FROM ps) "
+    "SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(shard_tokens AS BIGINT) AS shard_tokens, "
+    f"ROUND(CAST(shard_tokens AS DOUBLE) * {N_SHARDS} / total_tokens, 6) AS balance "
+    "FROM ps, t ORDER BY shard"
+)
+
+
+def _dsir_sql() -> str:
+    """Mirror of ``ns_dsir_select``: same md5 bucket hash, Laplace
+    smoothing, single-``ln`` per-bucket term, per-doc DECIMAL(38,18)
+    sum."""
+    from cassandra_extractor_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    b = DSIR_BUCKETS
+    bigram = "concat_ws(' ', toks[i+1], toks[i+2])"
+    return (
+        f"WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), "
+        f"i -> {bigram})) AS g FROM d WHERE len(toks) >= 2), "
+        f"fe AS (SELECT doc_id, {_hash_sql('g', 'dsir')} % {b} AS f FROM bg), "
+        "rc AS (SELECT f, COUNT(*) AS c_r FROM fe GROUP BY f), "
+        "tc AS (SELECT f, COUNT(*) AS c_t FROM fe JOIN "
+        f"(SELECT doc_id FROM d WHERE lang = '{DSIR_TARGET_LANG}') USING (doc_id) "
+        "GROUP BY f), "
+        "c AS (SELECT rc.f, c_r, COALESCE(c_t, 0) AS c_t FROM rc LEFT JOIN tc USING (f)), "
+        "t AS (SELECT SUM(c_r) AS tot_r, SUM(c_t) AS tot_t FROM c), "
+        "bt AS (SELECT f, ln("
+        f"(CAST(c_t + 1 AS DOUBLE) / CAST(tot_t + {b} AS DOUBLE)) / "
+        f"(CAST(c_r + 1 AS DOUBLE) / CAST(tot_r + {b} AS DOUBLE))) AS term FROM c, t), "
+        "pd AS (SELECT doc_id, COUNT(*) AS n_feats, "
+        "CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS logw_raw "
+        "FROM fe JOIN bt USING (f) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats, "
+        "ROUND(COALESCE(logw_raw, 0.0), 6) AS logw, "
+        "COALESCE(logw_raw, 0.0) > 0 AS keep "
+        "FROM (SELECT doc_id FROM d) d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+NS_ORACLES["ns_dsir_select"] = _dsir_sql()

@@ -45,6 +45,9 @@ QUERIES: dict[str, QueryFn] = {
     "q70_equidepth_hist": R.q70_equidepth_hist,
     "q71_fill_forward": R.q71_fill_forward,
     "ns_substring_dedup": D.ns_substring_dedup,
+    "ns_temperature_sample": SM.ns_temperature_sample,
+    "ns_shard_layout": X.ns_shard_layout,
+    "ns_dsir_select": SM.ns_dsir_select,
     "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,

@@ -627,3 +627,72 @@ def test_pagerank_mass_conservation_and_positivity(spark, sf_dir):
     # truncating div loses < 1 unit per node per term; 5 iterations of
     # two truncations over |V| nodes is far below 1% of the mass
     assert 0.9 * PR_SCALE <= total <= PR_SCALE
+
+
+def test_substring_dedup_known_spans(spark, tmp_path):
+    """Controlled corpus: an exact pair is fully covered, a unique doc
+    is untouched, an internal self-repeat counts, short docs are 0."""
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K, ns_substring_dedup
+
+    assert SUBSTR_K == 10
+    copy = " ".join(f"c{i}" for i in range(20))          # two identical docs
+    uniq = " ".join(f"u{i}" for i in range(20))          # no repeated 10-gram
+    block = " ".join(f"r{i}" for i in range(10))
+    selfrep = block + " " + block                        # internal repeat
+    short = "a b c"                                      # < k tokens
+    rows = [
+        (0, copy), (1, copy), (2, uniq), (3, selfrep), (4, short),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in ns_substring_dedup(spark, str(tmp_path)).collect()}
+    assert out[0].dup_frac == 1.0 and out[1].dup_frac == 1.0
+    assert out[2].dup_tok == 0
+    assert out[3].dup_frac == 1.0  # both halves covered by the repeated gram
+    assert out[4].n_tok == 3 and out[4].dup_tok == 0
+    for r in out.values():  # coverage never exceeds the doc
+        assert 0 <= r.dup_tok <= r.n_tok
+
+
+def test_shard_layout_partitions_corpus(spark, sf_dir):
+    from cassandra_extractor_spark.operators.extraction import N_SHARDS, ns_shard_layout
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    rows = ns_shard_layout(spark, sf_dir).collect()
+    assert len(rows) == N_SHARDS
+    assert sum(r.n_docs for r in rows) == load_table(spark, "documents", sf_dir).count()
+    for r in rows:  # md5 keys keep token balance loose but bounded
+        assert 0.2 < r.balance < 3.0
+
+
+def test_fill_forward_semantics(spark, sf_dir):
+    from cassandra_extractor_spark.operators.relational import q71_fill_forward
+
+    out = q71_fill_forward(spark, sf_dir)
+    # where a raw reading exists the fill is the identity
+    assert out.where(
+        F.col("v_raw").isNotNull() & (F.col("v_filled") != F.col("v_raw"))
+    ).count() == 0
+    # filling only ever removes NULLs
+    assert (
+        out.where(F.col("v_filled").isNull()).count()
+        <= out.where(F.col("v_raw").isNull()).count()
+    )
+    # a filled gap equals the user's most recent prior non-error value
+    sample = out.where(F.col("v_raw").isNull() & F.col("v_filled").isNotNull()).first()
+    if sample is not None:
+        from cassandra_extractor_spark.sources.catalog import load_table
+
+        ev = load_table(spark, "events", sf_dir)
+        ts = ev.where(F.col("event_id") == sample.event_id).first().ts
+        prior = (
+            ev.where(
+                (F.col("user_id") == sample.user_id)
+                & (F.col("event_type") != "error")
+                & (F.col("ts") <= ts)
+            )
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .first()
+        )
+        assert prior is not None and prior.value == sample.v_filled

@@ -67,3 +67,35 @@ def test_hash_samples_are_nested(spark, sf_dir):
         assert prev <= cur, f"rate {rate} lost rows"
         prev = cur
     assert prev == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_temperature_sample_flattens_the_mixture(spark, sf_dir):
+    """alpha<1 must up-weight below-average languages and down-weight
+    the head — the defining property of temperature sampling."""
+    from cassandra_extractor_spark.operators.sampling import ns_temperature_sample
+
+    rows = ns_temperature_sample(spark, sf_dir).collect()
+    assert rows and abs(sum(r.q for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.lang_tokens)
+    largest = max(rows, key=lambda r: r.lang_tokens)
+    assert smallest.q >= smallest.p  # tail up-weighted
+    assert largest.q <= largest.p    # head down-weighted
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0 and r.n_kept <= r.n_docs
+
+
+def test_dsir_steers_toward_target_domain(spark, sf_dir):
+    """Mean log-importance-weight of target-language docs must exceed
+    the rest — otherwise the selector isn't selecting."""
+    from cassandra_extractor_spark.operators.sampling import (
+        DSIR_TARGET_LANG,
+        ns_dsir_select,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    out = ns_dsir_select(spark, sf_dir).join(d, "doc_id")
+    tgt = out.where(F.col("lang") == DSIR_TARGET_LANG).agg(F.avg("logw")).first()[0]
+    rest = out.where(F.col("lang") != DSIR_TARGET_LANG).agg(F.avg("logw")).first()[0]
+    assert tgt > rest
+    assert out.count() == d.count()  # every doc scored, none dropped
