@@ -1176,3 +1176,84 @@ def q71_fill_forward(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+def q72_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts at step N only with an event strictly AFTER their step-N-1
+    time — the product-analytics staple that a bare per-type count
+    gets wrong (unordered events inflate conversion).
+
+    Scale shape: each step is a filtered min-aggregation on user_id
+    joined to the previous step's row — all shuffles share the
+    user_id key, so AQE coalesces them into one exchange lineage; no
+    windows over the full event stream, no collect.  Step counts are
+    three one-row aggregates unioned.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    e = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    u1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    u2 = (
+        e.where(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(n, name, df):
+        return df.agg(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    return (
+        step(1, "view", u1)
+        .unionAll(step(2, "click_after_view", u2))
+        .unionAll(step(3, "purchase_after_click", u3))
+        .orderBy("step")
+    )
+
+
+RETENTION_MAX_OFFSET = 7  #: days tracked after a user's first activity
+
+
+def q73_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity date; for each
+    cohort and day offset 0..7, how many distinct users were active —
+    the triangle chart behind every retention dashboard.
+
+    Scale shape: the cohort map is one min-aggregation on user_id; the
+    activity join shares that key; the final distinct-count groups on
+    (cohort_day, offset) — tiny output (days × 8 rows) with partial
+    aggregation all the way down.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("offset"),
+        )
+        .where(F.col("offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_day", "offset")
+    )

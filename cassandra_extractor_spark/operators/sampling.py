@@ -232,7 +232,9 @@ def ns_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
     )
     return (
-        rated.join(kept_stats, "lang", "left")
+        # both sides are per-language (a handful of rows at any corpus
+        # size): broadcast, or the planner picks a sort-merge join
+        rated.join(F.broadcast(kept_stats), "lang", "left")
         .select(
             "lang",
             "n_docs",

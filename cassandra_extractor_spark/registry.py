@@ -48,6 +48,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_temperature_sample": SM.ns_temperature_sample,
     "ns_shard_layout": X.ns_shard_layout,
     "ns_dsir_select": SM.ns_dsir_select,
+    "q72_funnel": R.q72_funnel,
+    "q73_retention_cohorts": R.q73_retention_cohorts,
     "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
     "ns_ann_lsh_bucketed": S.ns_ann_lsh_bucketed,
@@ -565,6 +567,27 @@ ORACLES: dict[str, str] = {
     "q66_grouped_median": (
         "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "
         "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "q72_funnel": (
+        "WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "u2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN u1 USING (user_id) "
+        "WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id), "
+        "u3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN u2 USING (user_id) "
+        "WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id) "
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM u1 "
+        "UNION ALL SELECT 2, 'click_after_view', COUNT(*) FROM u2 "
+        "UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM u3 "
+        "ORDER BY step"
+    ),
+    "q73_retention_cohorts": (
+        "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id) "
+        'SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS "offset", '
+        "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active "
+        "FROM e JOIN f USING (user_id) WHERE day - cohort_day <= 7 "
+        'GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"'
     ),
     "q67_grouped_mode": (
         "WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "

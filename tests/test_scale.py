@@ -266,3 +266,63 @@ def test_lm_fluency_bucket_scale_shape(spark, sf_dir):
 
     c = Counter(r["bucket"] for r in rows)
     assert max(c.values()) - min(c.values()) < len(rows) * 0.4
+
+
+def test_substring_dedup_scale_shape(spark, sf_dir):
+    """The k-gram inverted index must never go cartesian, must keep the
+    gram count partially aggregated (map-side combine), and must stay
+    Python-free (pure codegen hashing)."""
+    from cassandra_extractor_spark.operators.dedup import ns_substring_dedup
+
+    plan = _executed_plan(ns_substring_dedup(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    assert "partial_count" in plan, plan  # gram counts combine map-side
+    assert "Python" not in plan, plan
+
+
+def test_temperature_sample_broadcasts_rate_table(spark, sf_dir):
+    """Per-language rates are a few rows: broadcast back, filter gate,
+    no sort-merge join anywhere."""
+    from cassandra_extractor_spark.operators.sampling import ns_temperature_sample
+
+    plan = _executed_plan(ns_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_dsir_broadcasts_bucket_table(spark, sf_dir):
+    """The 1024-row log-ratio table must broadcast onto the feature
+    stream — a corpus-sized shuffle join on 1024 keys would be both
+    slow and skewed."""
+    from cassandra_extractor_spark.operators.sampling import ns_dsir_select
+
+    plan = _executed_plan(ns_dsir_select(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_shard_layout_single_aggregate(spark, sf_dir):
+    """One pass: a map-side-combined aggregate to N_SHARDS rows plus a
+    one-row broadcast — no sort-merge join, no window."""
+    from cassandra_extractor_spark.operators.extraction import ns_shard_layout
+
+    plan = _executed_plan(ns_shard_layout(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_funnel_and_retention_share_user_key(spark, sf_dir):
+    """Funnel steps and the retention cohort map aggregate/join on
+    user_id only — no cartesian, no Python, no global window."""
+    from cassandra_extractor_spark.operators.relational import (
+        q72_funnel,
+        q73_retention_cohorts,
+    )
+
+    for q in (q72_funnel, q73_retention_cohorts):
+        plan = _executed_plan(q(spark, sf_dir))
+        assert "Cartesian" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "Window" not in plan, plan
