@@ -702,3 +702,70 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str, mod: int = CDC_MOD) ->
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "hash", "spark")  #: fixed demo query terms
+
+
+def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of every document against a fixed query term
+    set — the retrieval scorer behind corpus search and RAG indexing
+    (Robertson & Zaragoza 2009), complementing ``ns_tfidf``'s
+    per-document term weights with a full query-document score.
+
+    100 TB shape: document frequencies and the average document length
+    reduce to a FEW-ROW frame (|query| rows + one row) — both broadcast
+    back; term frequencies come from one exploded scan filtered to the
+    query terms BEFORE the aggregation (the filter is a broadcast hash
+    probe of a literal array, so non-query tokens never shuffle).  The
+    per-document sum over query terms goes through DECIMAL(38,18)
+    (order-independent), keeping the driver hash partition-stable.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    q_terms = F.array(*[F.lit(t) for t in BM25_QUERY])
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    docs = d.select("doc_id", "toks", F.size("toks").cast("long").alias("dl"))
+    n_and_avg = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.array_contains(q_terms, F.col("term")))
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_and_avg))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(38,18)")).cast("double").alias("score_raw")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("score_raw"), F.lit(0.0)), 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )

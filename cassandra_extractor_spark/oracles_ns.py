@@ -993,3 +993,37 @@ def _dsir_sql() -> str:
 
 
 NS_ORACLES["ns_dsir_select"] = _dsir_sql()
+
+
+def _bm25_sql() -> str:
+    """Mirror of ``ns_bm25``.  Every numeric literal is emitted in
+    e-notation so DuckDB parses it as DOUBLE — a bare ``0.5`` would be
+    DECIMAL and change the rounding of every downstream op."""
+    from cassandra_extractor_spark.operators.text import BM25_B, BM25_K1, BM25_QUERY
+
+    lit = lambda v: f"{v!r}e0"  # noqa: E731
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    score = (
+        f"ln((n_docs - df + {lit(0.5)}) / (df + {lit(0.5)}) + {lit(1.0)}) "
+        f"* (tf * {lit(BM25_K1 + 1)}) "
+        f"/ (tf + {lit(BM25_K1)} * ({lit(1 - BM25_B)} + {lit(BM25_B)} * dl / avgdl))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "docs AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d), "
+        "na AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs), "
+        "terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs), "
+        f"qt AS (SELECT * FROM terms WHERE term IN ({in_list})), "
+        "tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM qt "
+        "GROUP BY doc_id, dl, term), "
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        f"scored AS (SELECT doc_id, {score} AS term_score "
+        "FROM tf JOIN dfreq USING (term), na), "
+        "pd AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(38,18))) AS DOUBLE) "
+        "AS score_raw FROM scored GROUP BY doc_id) "
+        "SELECT docs.doc_id, ROUND(COALESCE(score_raw, 0.0), 6) AS bm25 "
+        "FROM docs LEFT JOIN pd USING (doc_id) ORDER BY docs.doc_id"
+    )
+
+
+NS_ORACLES["ns_bm25"] = _bm25_sql()

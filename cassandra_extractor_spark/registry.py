@@ -48,6 +48,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_temperature_sample": SM.ns_temperature_sample,
     "ns_shard_layout": X.ns_shard_layout,
     "ns_dsir_select": SM.ns_dsir_select,
+    "ns_bm25": TX.ns_bm25,
     "q72_funnel": R.q72_funnel,
     "q73_retention_cohorts": R.q73_retention_cohorts,
     "ns_pagerank": D.ns_pagerank,

@@ -696,3 +696,58 @@ def test_fill_forward_semantics(spark, sf_dir):
             .first()
         )
         assert prior is not None and prior.value == sample.v_filled
+
+
+def test_substring_dedup_matches_bruteforce_on_random_corpus(spark, tmp_path):
+    """Adversarial check of the interval-union spelling: a small-vocab
+    random corpus (seeded) produces dense, overlapping, self- and
+    cross-doc duplicate spans; per-doc coverage must equal a brute-force
+    covered-index set computed in Python."""
+    import random
+
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K, ns_substring_dedup
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(40)
+    ]
+    rows = [(i, t if t else "x") for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    k = SUBSTR_K
+    toks = {i: t.split() for i, (_, t) in zip(range(len(rows)), rows)}
+    from collections import Counter
+
+    grams = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    expected = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - k + 1):
+            if grams[tuple(ts[i : i + k])] > 1:
+                covered.update(range(i, i + k))
+        expected[d] = (len(ts), len(covered))
+
+    got = {r.doc_id: (r.n_tok, r.dup_tok) for r in ns_substring_dedup(spark, str(tmp_path)).collect()}
+    assert got == expected
+
+
+def test_bm25_ranks_term_rich_docs(spark, tmp_path):
+    from cassandra_extractor_spark.operators.text import ns_bm25
+
+    rows = [
+        (0, "table hash spark table hash"),   # all query terms, repeated
+        (1, "table filler filler filler"),    # one term
+        (2, "nothing relevant here at all"),  # no terms
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r.bm25 for r in ns_bm25(spark, str(tmp_path)).collect()}
+    assert got[0] > got[1] > got[2] == 0.0
