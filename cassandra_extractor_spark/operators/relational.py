@@ -1257,3 +1257,29 @@ def q73_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort_day", "offset")
     )
+
+
+def q74_latency_bands(spark, sf_dir):
+    """Per-type p50/p90/p99 value bands — the observability staple —
+    from ONE mergeable quantile sketch per group (a single
+    percentile_approx call with a quantile array), never a sort or a
+    per-quantile rescan.  Sketch memory is O(accuracy) regardless of
+    group size; equality with DuckDB ``quantile_disc`` at max accuracy
+    is the same mechanism the tie-structure test pins.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    qs = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(2147483647)
+        ).alias("q"),
+        F.count("*").alias("n"),
+    )
+    return qs.select(
+        "event_type",
+        F.element_at("q", 1).alias("p50"),
+        F.element_at("q", 2).alias("p90"),
+        F.element_at("q", 3).alias("p99"),
+        "n",
+    ).orderBy("event_type")

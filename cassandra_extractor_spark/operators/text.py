@@ -769,3 +769,53 @@ def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ns_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    "gibberish vs natural text" quality signal (low entropy = heavy
+    repetition, high ≈ ln(n_distinct) = diverse vocabulary), used
+    alongside the Gopher repetition rules.
+
+    One explode → per-(doc, token) count (map-side combined, keyed by
+    the doc the explode is already partitioned on) → per-doc fold of
+    ``-(c/n)·ln(c/n)`` through DECIMAL(38,18) (order-independent, so
+    the hash is partition-stable).  No joins except the final left
+    join back to the doc spine; nothing leaves codegen.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    counts = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("n_tok")
+    per_doc = (
+        counts.join(docs, "doc_id")
+        .select("doc_id", (p * F.log(p)).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            (-F.sum(F.col("term").cast("decimal(38,18)")).cast("double")).alias("h_raw"),
+        )
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.round(F.coalesce(F.col("h_raw"), F.lit(0.0)) + 0.0, 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1027,3 +1027,21 @@ def _bm25_sql() -> str:
 
 
 NS_ORACLES["ns_bm25"] = _bm25_sql()
+
+
+NS_ORACLES["ns_entropy"] = (
+    # `+ 0.0` on both engines normalizes the -0.0 a zero-entropy doc
+    # produces (-(1·ln 1)) so the canonical repr matches
+    f"WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    "docs AS (SELECT doc_id, COALESCE(len(toks), 0) AS n_tok FROM d), "
+    "t AS (SELECT doc_id, unnest(toks) AS tok FROM d), "
+    "c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok), "
+    "pd AS (SELECT c.doc_id, COUNT(*) AS n_distinct, "
+    "-CAST(SUM(CAST((CAST(c AS DOUBLE) / n_tok) * ln(CAST(c AS DOUBLE) / n_tok) "
+    "AS DECIMAL(38,18))) AS DOUBLE) AS h_raw "
+    "FROM c JOIN docs USING (doc_id) GROUP BY c.doc_id) "
+    "SELECT docs.doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+    "CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct, "
+    "ROUND(COALESCE(h_raw, 0.0) + 0.0, 6) AS entropy "
+    "FROM docs LEFT JOIN pd USING (doc_id) ORDER BY docs.doc_id"
+)

@@ -49,7 +49,9 @@ QUERIES: dict[str, QueryFn] = {
     "ns_shard_layout": X.ns_shard_layout,
     "ns_dsir_select": SM.ns_dsir_select,
     "ns_bm25": TX.ns_bm25,
+    "ns_entropy": TX.ns_entropy,
     "q72_funnel": R.q72_funnel,
+    "q74_latency_bands": R.q74_latency_bands,
     "q73_retention_cohorts": R.q73_retention_cohorts,
     "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
@@ -568,6 +570,11 @@ ORACLES: dict[str, str] = {
     "q66_grouped_median": (
         "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty, "
         "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "q74_latency_bands": (
+        "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+        "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99, "
+        "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "q72_funnel": (
         "WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "

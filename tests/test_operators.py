@@ -751,3 +751,27 @@ def test_bm25_ranks_term_rich_docs(spark, tmp_path):
     ).parquet(f"{tmp_path}/documents.parquet")
     got = {r.doc_id: r.bm25 for r in ns_bm25(spark, str(tmp_path)).collect()}
     assert got[0] > got[1] > got[2] == 0.0
+
+
+def test_entropy_extremes(spark, tmp_path):
+    """Repetition floors entropy at 0; a uniform vocabulary hits
+    ln(n_distinct) exactly."""
+    import math
+
+    from cassandra_extractor_spark.operators.text import ns_entropy
+
+    rows = [
+        (0, "x x x x x x x x"),          # one token repeated → H = 0
+        (1, "a b c d e f g h"),          # uniform → H = ln 8
+        (2, "a a a b"),                  # skewed
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in ns_entropy(spark, str(tmp_path)).collect()}
+    assert got[0].entropy == 0.0 and got[0].n_distinct == 1
+    assert abs(got[1].entropy - math.log(8)) < 1e-6
+    expected_skewed = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(got[2].entropy - expected_skewed) < 1e-6
+    for r in got.values():
+        assert 0.0 <= r.entropy <= math.log(max(r.n_distinct, 1)) + 1e-6
