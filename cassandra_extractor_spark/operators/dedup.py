@@ -881,3 +881,37 @@ def ns_substring_dedup(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> D
         )
         .orderBy("doc_id")
     )
+
+
+def ns_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: MinHash-LSH near-duplicate pairs
+    whose two documents landed in DIFFERENT dataset splits — the leak
+    that silently inflates eval numbers (a test doc with a near-copy in
+    train).  The report every split pipeline should publish.
+
+    Composes the two existing scale-shaped pieces: the banded LSH
+    candidate generator (never all-pairs) and the deterministic hash
+    splitter (codegen filter).  The split map joins each pair side on
+    doc_id — the same key the pair generator emits, so both joins
+    shuffle small pair rows, never documents.  Output: ordered split
+    pair × count, with cross-split rows the actionable signal.
+    """
+    from cassandra_extractor_spark.operators.sampling import split_by_hash
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    pairs = lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    splits = split_by_hash(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("sa"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("sb"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("sa", "sb").alias("s1"),
+            F.greatest("sa", "sb").alias("s2"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("s1", "s2")
+    )

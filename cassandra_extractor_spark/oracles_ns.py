@@ -1045,3 +1045,26 @@ NS_ORACLES["ns_entropy"] = (
     "ROUND(COALESCE(h_raw, 0.0) + 0.0, 6) AS entropy "
     "FROM docs LEFT JOIN pd USING (doc_id) ORDER BY docs.doc_id"
 )
+
+
+def _leakage_sql() -> str:
+    """Mirror of ``ns_cross_split_leakage``: the MinHash-LSH pair CTE
+    joined to the hash-splitter CASE on both pair sides."""
+    split_case = (
+        "CASE WHEN "
+        + _hash_sql("CAST(doc_id AS VARCHAR)", "split")
+        + " % 1000 < 900 THEN 'train' WHEN "
+        + _hash_sql("CAST(doc_id AS VARCHAR)", "split")
+        + " % 1000 < 950 THEN 'val' ELSE 'test' END"
+    )
+    return (
+        f"WITH RECURSIVE mh AS ({_minhash_sql()}), "
+        f"sp AS (SELECT doc_id, {split_case} AS split FROM documents) "
+        "SELECT least(a.split, b.split) AS s1, greatest(a.split, b.split) AS s2, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM mh JOIN sp a ON a.doc_id = mh.d1 JOIN sp b ON b.doc_id = mh.d2 "
+        "GROUP BY s1, s2 ORDER BY s1, s2"
+    )
+
+
+NS_ORACLES["ns_cross_split_leakage"] = _leakage_sql()

@@ -50,6 +50,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dsir_select": SM.ns_dsir_select,
     "ns_bm25": TX.ns_bm25,
     "ns_entropy": TX.ns_entropy,
+    "ns_cross_split_leakage": D.ns_cross_split_leakage,
     "q72_funnel": R.q72_funnel,
     "q74_latency_bands": R.q74_latency_bands,
     "q73_retention_cohorts": R.q73_retention_cohorts,
