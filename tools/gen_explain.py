@@ -44,6 +44,14 @@ SECTIONS = [
      "Per-language token masses for both snapshots come out of ONE map-side-combined aggregation (the old-snapshot mass is a conditional sum in the same HashAggregate, not a second scan); the smoothed totals are a languages-sized driver scalar, and the KL terms are a fixed-order double expression rounded at 6 — the engine-parity discipline every float op here follows. Output is K rows regardless of corpus size."),
     ("ns_sample_uniform", "Deterministic sampling is a scan-stage filter",
      "The md5 hash gate compiles to a codegen'd filter inside the scan stage — no RNG state, no shuffle caused by the sampling itself (the one Exchange below is the oracle contract's total ORDER BY, absent in pipeline use). At 100 TB the sample costs one pass and parallelizes perfectly; the same rows come back on any cluster size or rerun."),
+    ("ns_substring_dedup", "Substring dedup: inverted index + per-doc interval union",
+     "The distributed spelling of suffix-array dedup: one explode emits (doc, pos, md5-k-gram) — map-only; gram counts are a partial/final HashAggregate on the uniform hash key (no skew); the join back moves only duplicated-span starts; and the interval union is a gaps-and-islands window PARTITIONED BY doc_id (map-local sort, never global). The gram stream is localCheckpointed once so counts and join-back don't recompute the explode. No cartesian anywhere — the all-pairs formulation this replaces is quadratic in corpus size."),
+    ("ns_dsir_select", "DSIR: fixed-size count tables broadcast onto the feature stream",
+     "The hashing trick caps both distribution models at 1024 rows regardless of corpus size: raw and target counts are map-side-combined aggregations DOWN to the bucket space, the log-ratio table broadcast-joins back (look for BroadcastHashJoin — a shuffle join on 1024 keys would put ~1/1024 of the corpus on one reducer), and the per-doc sum runs through DECIMAL(38,18) so the hash is partition-order-proof."),
+    ("ns_bm25", "BM25: corpus stats reduce to broadcast scalars",
+     "df (3 rows) and avgdl (1 row) broadcast back over the term stream; the query-term filter is a literal array probe BEFORE the aggregation, so non-query tokens never leave the scan stage. Scoring is a codegen'd double expression; the per-doc sum is decimal (order-independent). Two corpus passes (stats, scores), zero corpus-sized shuffles."),
+    ("q72_funnel", "Ordered funnel: every shuffle shares the user_id key",
+     "Step N is a filtered min-aggregation joined to step N-1's output — all exchanges hash on user_id, so AQE reuses the partitioning across the chain instead of re-shuffling; the strictly-after predicate is a plain filter between join and aggregate. Step counts union three one-row aggregates. No window over the full event stream, no collect."),
 ]
 
 out = ["# EXPLAIN — captured physical plans (sf0.01, local[32], AQE on)",
