@@ -915,3 +915,64 @@ def ns_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("s1", "s2")
     )
+
+
+WIN_K = 5  #: winnowing k-gram size
+WIN_W = 4  #: winnowing window (guarantee: every run of W k-grams yields a print)
+
+
+def ns_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): from each window of ``WIN_W`` consecutive k-gram
+    hashes, keep the minimal one — guaranteeing any shared substring of
+    length ≥ k + w - 1 contributes at least one matching fingerprint
+    while storing only ~2/(w+1) of the grams.  The standard
+    document-similarity sketch between full MinHash (whole-doc) and
+    substring dedup (every gram).
+
+    Emits the selected (doc_id, pos, fh) rows — joinable on fh for
+    copy detection.  Ties broken by position via a struct min; md5
+    makes hash ties vanishingly rare so both engines agree.
+
+    100 TB shape: the gram hash is map-only; the window min is
+    PARTITIONED BY doc_id (map-local after one exchange on doc_id, the
+    same key the explode starts on); the distinct collapses per doc.
+    Docs with fewer than ``WIN_W`` grams yield no prints (no full
+    window), mirrored by the oracle.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    k, w = WIN_K, WIN_W
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    docs = d.select(
+        "doc_id",
+        "toks",
+        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
+    )
+    positions = F.when(
+        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select("doc_id", "toks", F.explode(positions).alias("pos")).select(
+        "doc_id",
+        "pos",
+        _md5_hash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k)), "win"
+        ).alias("h"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    frame = wspec.rowsBetween(0, w - 1)
+    winners = grams.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct(F.col("h"), F.col("pos").alias("p"))).over(frame).alias("win"),
+        F.count("*").over(wspec.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n_grams"),
+    )
+    return (
+        winners.where(F.col("pos") <= F.col("n_grams") - w)  # full windows only
+        .select("doc_id", F.col("win.p").cast("long").alias("pos"), F.col("win.h").alias("fh"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )

@@ -1068,3 +1068,29 @@ def _leakage_sql() -> str:
 
 
 NS_ORACLES["ns_cross_split_leakage"] = _leakage_sql()
+
+
+def _winnowing_sql() -> str:
+    """Mirror of ``ns_winnowing``: same 'win'-salted k-gram hash, same
+    struct-min window (lexicographic (h, pos) — DuckDB orders structs
+    the same way Spark does), full windows only."""
+    from cassandra_extractor_spark.operators.dedup import WIN_K, WIN_W
+
+    k, w = WIN_K, WIN_W
+    gram = f"array_to_string(toks[CAST(pos + 1 AS INTEGER):CAST(pos + {k} AS INTEGER)], ' ')"
+    return (
+        f"WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "dd AS (SELECT doc_id, toks, COALESCE(len(toks), 0) AS n_tok FROM d), "
+        f"dk AS (SELECT * FROM dd WHERE n_tok >= {k}), "
+        f"gp AS (SELECT doc_id, toks, unnest(range(0, n_tok - {k} + 1)) AS pos FROM dk), "
+        f"g AS (SELECT doc_id, pos, {_hash_sql(gram, 'win')} AS h FROM gp), "
+        "wn AS (SELECT doc_id, pos, "
+        "min({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS win, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM g) "
+        f"SELECT DISTINCT doc_id, CAST(win.p AS BIGINT) AS pos, win.h AS fh "
+        f"FROM wn WHERE pos <= n_grams - {w} ORDER BY doc_id, pos"
+    )
+
+
+NS_ORACLES["ns_winnowing"] = _winnowing_sql()

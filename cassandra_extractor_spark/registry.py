@@ -51,6 +51,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_bm25": TX.ns_bm25,
     "ns_entropy": TX.ns_entropy,
     "ns_cross_split_leakage": D.ns_cross_split_leakage,
+    "ns_winnowing": D.ns_winnowing,
     "q72_funnel": R.q72_funnel,
     "q74_latency_bands": R.q74_latency_bands,
     "q73_retention_cohorts": R.q73_retention_cohorts,

@@ -775,3 +775,28 @@ def test_entropy_extremes(spark, tmp_path):
     assert abs(got[2].entropy - expected_skewed) < 1e-6
     for r in got.values():
         assert 0.0 <= r.entropy <= math.log(max(r.n_distinct, 1)) + 1e-6
+
+
+def test_winnowing_guarantee_shared_substring_shares_a_print(spark, tmp_path):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= k + w - 1 tokens must share at least one fingerprint
+    hash; disjoint docs share none (md5 grams)."""
+    from cassandra_extractor_spark.operators.dedup import WIN_K, WIN_W, ns_winnowing
+
+    shared = " ".join(f"s{i}" for i in range(WIN_K + WIN_W - 1))
+    rows = [
+        (0, "p1 p2 p3 " + shared + " q1 q2 q3"),
+        (1, "z1 z2 " + shared + " y1 y2 y3 y4"),
+        (2, " ".join(f"x{i}" for i in range(20))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    fps = ns_winnowing(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fh)
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+    # density: ~2/(w+1) of grams selected, never more than all
+    assert 0 < len(by_doc[2]) < 20
