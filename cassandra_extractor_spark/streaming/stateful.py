@@ -193,3 +193,46 @@ def stream_dedup_within_watermark(
     delivery (CDC replays, producer retries) rather than true content
     duplication: state is O(horizon), not O(corpus)."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([fp_col])
+
+
+def stream_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the attribution pattern:
+    each click joins the view(s) by the same key that happened AT MOST
+    ``attribution_window`` before it (and not after).
+
+    This is Spark's built-in stream-stream join: both sides buffer in
+    the state store; the time-range condition plus the watermarks give
+    the engine a provable bound for evicting buffered rows, so state is
+    O(window + lateness) per key — without the range condition the
+    buffers grow forever and Spark rejects the query in append mode.
+    The reference has no streaming joins at all (its workers are
+    row-at-a-time); this is the capability a continuously-extracted
+    event table needs for enrichment without a batch re-join.
+    """
+    v = views.select(
+        F.col(key).alias("v_key"),
+        F.col(ts_col).alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col(key).alias("c_key"),
+        F.col(ts_col).alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"v_key = c_key AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {attribution_window}"
+        ),
+    ).select(
+        F.col("v_key").alias(key),
+        "view_ts",
+        "click_ts",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
+    )

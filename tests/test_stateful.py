@@ -233,3 +233,47 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path, sf_dir):
     stage(ev.where((F.col("event_id") >= 150) & (F.col("event_id") < 230)), "b2new")
     out2 = run()
     assert sorted(out2) == list(range(150, 230)), "restart must emit ONLY never-seen rows"
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path, sf_dir):
+    """Watermarked stream-stream join: streamed view→click attribution
+    must equal the identical batch range-join over the same files."""
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from cassandra_extractor_spark.streaming.stateful import stream_attribution_join
+
+    ev = load_table(spark, "events", sf_dir).limit(2000)
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    ev.where(F.col("event_type") == "view").write.parquet(vsrc)
+    ev.where(F.col("event_type") == "click").write.parquet(csrc)
+    schema = spark.read.parquet(vsrc).schema
+    joined = stream_attribution_join(
+        spark.readStream.schema(schema).parquet(vsrc),
+        spark.readStream.schema(schema).parquet(csrc),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.view_ts, r.click_ts)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    v = spark.read.parquet(vsrc).select(F.col("user_id").alias("u"), F.col("ts").alias("vt"))
+    c = spark.read.parquet(csrc).select(F.col("user_id").alias("u2"), F.col("ts").alias("ct"))
+    expected = {
+        (r.u, r.vt, r.ct)
+        for r in v.join(
+            c,
+            (F.col("u") == F.col("u2"))
+            & (F.col("ct") >= F.col("vt"))
+            & (F.col("ct") <= F.col("vt") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expected and expected  # exact, and non-trivial
