@@ -1283,3 +1283,50 @@ def q74_latency_bands(spark, sf_dir):
         F.element_at("q", 3).alias("p99"),
         "n",
     ).orderBy("event_type")
+
+
+def q75_path_analysis(spark, sf_dir):
+    """Top session entry paths: the first three event types of every
+    session (30-min gap sessionization, mirroring ``ns_sessionize``),
+    ranked by frequency — the "how do users start" path report.
+
+    Scale shape: sessionization and first-N selection are per-user
+    windows (one exchange on user_id); the ordered path string is a
+    sorted collect of ≤3 structs per session (bounded buffer); the
+    final ranking orders the PATH-distinct frame, whose cardinality is
+    bounded by |event_types|³ — never the event stream.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from cassandra_extractor_spark.streaming.stateful import SESSION_GAP_MIN
+
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    e = load_table(spark, "events", sf_dir)
+    ts_ms = F.unix_millis(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(ts_ms, "event_id")
+    prev_ms = F.lag(ts_ms).over(w)
+    is_new = F.when(prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1).otherwise(0)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_ms.alias("ts_ms"),
+        F.sum(is_new).over(w).alias("session_id"),
+    )
+    rw = W.partitionBy("user_id", "session_id").orderBy("ts_ms", "event_id")
+    first3 = s.withColumn("rn", F.row_number().over(rw)).where(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    rk = W.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counts.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )

@@ -54,6 +54,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_winnowing": D.ns_winnowing,
     "q72_funnel": R.q72_funnel,
     "q74_latency_bands": R.q74_latency_bands,
+    "q75_path_analysis": R.q75_path_analysis,
     "q73_retention_cohorts": R.q73_retention_cohorts,
     "ns_pagerank": D.ns_pagerank,
     "ns_kmeans_step": S.ns_kmeans_step,
@@ -577,6 +578,23 @@ ORACLES: dict[str, str] = {
         "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
         "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99, "
         "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "q75_path_analysis": (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms "
+        "FROM events), "
+        "l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id "
+        "ORDER BY ts_ms, event_id) AS prev_ms FROM e), "
+        "s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) "
+        "AS session_id FROM l), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id "
+        "ORDER BY ts_ms, event_id) AS rn FROM s), "
+        "p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) "
+        "AS path FROM r WHERE rn <= 3 GROUP BY user_id, session_id), "
+        "c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path) "
+        "SELECT path, n_sessions, rk FROM (SELECT path, n_sessions, "
+        "ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c) "
+        "WHERE rk <= 20 ORDER BY rk"
     ),
     "q72_funnel": (
         "WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
