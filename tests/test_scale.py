@@ -326,3 +326,21 @@ def test_funnel_and_retention_share_user_key(spark, sf_dir):
         assert "Cartesian" not in plan, plan
         assert "Python" not in plan, plan
         assert "Window" not in plan, plan
+
+
+def test_substring_dedup_survives_mega_duplicated_gram(spark, tmp_path):
+    """Boilerplate skew: one k-gram duplicated across hundreds of docs
+    makes its hash the hot shuffle key of the join-back.  AQE's skew
+    handling (plus the downstream per-doc reduction) must keep the op
+    correct — every boilerplate doc fully covered, unique docs at 0."""
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K, ns_substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(SUBSTR_K))
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000 + i, " ".join(f"u{i}_{j}" for j in range(SUBSTR_K))) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in ns_substring_dedup(spark, str(tmp_path)).collect()}
+    assert all(out[i].dup_frac == 1.0 for i in range(300))
+    assert all(out[1000 + i].dup_tok == 0 for i in range(5))
