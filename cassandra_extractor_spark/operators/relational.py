@@ -1330,3 +1330,190 @@ def q75_path_analysis(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+def q76_rolling_zscore(spark, sf_dir):
+    """Rolling z-score outlier flag over a sliding 20-row frame per
+    user — the metrics-anomaly staple (reference surfaces per-table
+    rate stats in GET /stats, `management.py:55-129`; this is the
+    same signal computed in-engine over the event stream).
+
+    Exactness: sliding-frame aggregation of DOUBLEs is engine-trap #1
+    — Spark re-scans the frame per row while DuckDB subtracts via a
+    segment tree, so float sums diverge in the last ulp.  We integerize
+    first (value → cents, exact for the 2-decimal synthetic data) and
+    flag |z| > 2 by cross-multiplied integer inequality
+    ``(n·x − S)² > 4·(n·Σx² − S²)`` — population variance, no division,
+    no float anywhere, so the fold order cannot matter.
+
+    Scale shape: one exchange on user_id, then a bounded 20-row frame
+    per row — O(frame) per row, no global sort, no driver state.
+    """
+    e = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        cents.alias("x"),
+        F.sum(cents).over(w).alias("s_win"),
+        F.sum(cents * cents).over(w).alias("ss_win"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+    )
+    n, x, sw, ssw = (F.col(c) for c in ("n_win", "x", "s_win", "ss_win"))
+    num = (n * x - sw) * (n * x - sw)
+    den = F.lit(4) * (n * ssw - sw * sw)
+    return (
+        s.select(
+            "event_id",
+            "user_id",
+            "n_win",
+            "s_win",
+            "ss_win",
+            (num > den).alias("is_outlier"),
+        )
+        .where(F.col("n_win") >= 10)
+        .orderBy("event_id")
+    )
+
+
+def _zorder_bits(col, n_bits: int, stride: int, offset: int):
+    """Spread the low ``n_bits`` of ``col`` so bit i lands at position
+    i*stride + offset — pure shift/and/or terms, one codegen expression."""
+    spread = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+        spread = spread.bitwiseOR(F.shiftleft(bit, i * stride + offset))
+    return spread
+
+
+def q77_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleaved sort key over (l_partkey,
+    l_suppkey) — the multi-dimensional data-layout primitive: writing
+    100 TB sorted by zkey co-locates rows that are close in BOTH join
+    dimensions, so min/max parquet footer stats prune scans for
+    predicates on either key (the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, here as a first-class operator feeding
+    `ns_shard_layout` / `repartitionByRange(zkey)`).
+
+    16 bits per dimension (keys bucketized to 0..65535 by modulo — at
+    real scale use rank-based quantile bucketing), interleaved
+    even/odd.  Pure integer shift/mask arithmetic → bit-identical on
+    any engine; the whole key is one codegen expression, map-only.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    pk = F.pmod(F.col("l_partkey"), F.lit(65536)).cast("long")
+    sk = F.pmod(F.col("l_suppkey"), F.lit(65536)).cast("long")
+    zkey = _zorder_bits(pk, 16, 2, 0).bitwiseOR(_zorder_bits(sk, 16, 2, 1))
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zkey.alias("zkey"),
+    )
+    return out.orderBy("zkey", "l_orderkey", "l_linenumber").limit(5000)
+
+
+BLOOM_BITS = 1 << 17  # 131072 bits = 2048 longs ≈ 16 KiB broadcast
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+
+
+def _bloom_positions(key, seed: int):
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+def build_bloom(df: DataFrame, key: str) -> list[int]:
+    """Distributed Bloom-filter build over ``df[key]``: each key sets
+    BLOOM_K bit positions (xxhash64 seeds 0..k-1); positions reduce to
+    64-bit words via a map-side-combined ``bit_or`` groupBy, and only
+    the ≤BLOOM_WORDS aggregated words reach the driver (≈16 KiB
+    regardless of build-side row count — the same driver-size bound as
+    Spark's own runtime bloom in InjectRuntimeFilter).
+    """
+    k = F.col(key)
+    pos = F.explode(
+        F.array(*[_bloom_positions(k, i) for i in range(BLOOM_K)])
+    ).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    arr = [0] * BLOOM_WORDS
+    for r in words:
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_prune(df: DataFrame, key: str, words: list[int]) -> DataFrame:
+    """Prune ``df`` to rows whose ``key`` might be in the Bloom filter.
+
+    The word array rides in as a ONE-ROW broadcast frame (cross-join),
+    so executors materialize it once per batch instead of re-building a
+    2048-literal ``CreateArray`` per row (measured 3× on the probe
+    scan); the membership test itself is k ``element_at`` + ``bit_get``
+    codegen expressions — no UDF, applied before any exchange."""
+    bloom_df = df.sparkSession.createDataFrame(
+        [(words,)], "_bloom_words: array<long>"
+    )
+    probed = df.crossJoin(F.broadcast(bloom_df))
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        pos = _bloom_positions(F.col(key), i)
+        word = F.element_at(F.col("_bloom_words"), (pos / 64).cast("int") + 1)
+        cond = cond & (F.bit_get(word, F.pmod(pos, F.lit(64))) == 1)
+    return probed.where(cond).drop("_bloom_words")
+
+
+def q78_bloom_join(spark, sf_dir):
+    """Runtime-filter join: a selective customer subset builds a
+    16 KiB Bloom filter that prunes the orders scan BEFORE the join
+    exchange — the technique Spark's InjectRuntimeFilter applies when
+    statistics allow, here explicit and statistics-independent.
+
+    At 100 TB the build side (filtered dim) may exceed the IN-list
+    broadcast limit while its Bloom words stay 16 KiB; the probe side
+    drops non-matching rows at the scan, so the shuffle moves only
+    candidate rows (false-positive rate ≈ (1-e^{-kn/m})^k ≈ 0.4% at
+    n=6k, m=131072, k=3).  Correctness never depends on the filter:
+    the exact broadcast join afterwards removes false positives, so
+    the Bloom stage only shrinks the exchange.
+
+    Returns per-customer order rollups for BUILDING-segment customers
+    with positive balance (totalprice integerized to cents — exact).
+    """
+    cust = load_table(spark, "customer", sf_dir).where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+    )
+    keys = cust.select("c_custkey")
+    words = build_bloom(keys, "c_custkey")
+    orders = bloom_prune(
+        load_table(spark, "orders", sf_dir), "o_custkey", words
+    )
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_name")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

@@ -819,3 +819,43 @@ def ns_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Canonical text normalization applied before any dedup pass:
+    lowercase, strip C0/C1 control characters, collapse every unicode
+    whitespace run to one space, trim.  Pure ``lower`` +
+    ``regexp_replace`` + ``trim`` — whole-stage codegen, no UDF, and
+    both engines implement these with identical semantics so the
+    output is byte-comparable cross-engine.
+
+    (Unicode NFC/NFKC folding needs ICU, which neither engine exposes
+    as a built-in — documented out of the normalization contract; the
+    synthetic corpus is ASCII so the contract is exact here.)
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def ns_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization audit over documents: normalized text, pre/post
+    lengths, changed flag.  Map-only — the canonical first stage every
+    dedup/quality operator here assumes (``ns_dedup_exact`` on
+    normalized text catches case/whitespace near-variants that raw
+    hashing misses).
+
+    Parity anchor: the reference's tablespec transforms normalize
+    per-field at extract time (`worker.py` transform loop); this is
+    the corpus-level Spark spelling.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    norm = normalize_text_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (norm != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")

@@ -35,6 +35,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
+    "q76_rolling_zscore": R.q76_rolling_zscore,
+    "q77_zorder_key": R.q77_zorder_key,
+    "q78_bloom_join": R.q78_bloom_join,
+    "ns_text_normalize": TX.ns_text_normalize,
     "ns_lm_fluency_bucket": TX.ns_lm_fluency_bucket,
     "q66_grouped_median": R.q66_grouped_median,
     "q67_grouped_mode": R.q67_grouped_mode,
@@ -172,8 +176,53 @@ QUERIES: dict[str, QueryFn] = {
     "q53_ntile": R.q53_ntile,
 }
 
+def _zorder_spread_sql(col: str, offset: int) -> str:
+    """DuckDB mirror of ``_zorder_bits``: 16 shift/mask terms OR-folded."""
+    terms = [
+        f"(((({col}) >> {i}) & 1) << {2 * i + offset})" for i in range(16)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q76_rolling_zscore": (
+        "WITH c AS (SELECT event_id, user_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS x FROM events), "
+        "s AS (SELECT event_id, user_id, x, "
+        "CAST(SUM(x) OVER w AS BIGINT) AS s_win, "
+        "CAST(SUM(x * x) OVER w AS BIGINT) AS ss_win, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_win FROM c "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id, n_win, s_win, ss_win, "
+        "(n_win * x - s_win) * (n_win * x - s_win) > "
+        "4 * (n_win * ss_win - s_win * s_win) AS is_outlier "
+        "FROM s WHERE n_win >= 10 ORDER BY event_id"
+    ),
+    "q77_zorder_key": (
+        "WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        "l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"({_zorder_spread_sql('pk', 0)} | {_zorder_spread_sql('sk', 1)}) AS zkey "
+        "FROM b ORDER BY zkey, l_orderkey, l_linenumber LIMIT 5000"
+    ),
+    "q78_bloom_join": (
+        "SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0 "
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"
+    ),
+    "ns_text_normalize": (
+        "WITH n AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace("
+        "lower(text), '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len, norm_text, "
+        "CAST(length(norm_text) AS BIGINT) AS norm_len, "
+        "norm_text <> text AS changed FROM n ORDER BY doc_id"
+    ),
     "q01_projection": (
         "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey"
     ),

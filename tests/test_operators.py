@@ -800,3 +800,95 @@ def test_winnowing_guarantee_shared_substring_shares_a_print(spark, tmp_path):
     assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
     # density: ~2/(w+1) of grams selected, never more than all
     assert 0 < len(by_doc[2]) < 20
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.relational import (
+        bloom_prune,
+        build_bloom,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = build_bloom(cust.select("c_custkey"), "c_custkey")
+    orders = load_table(spark, "orders", sf_dir)
+    pruned = bloom_prune(orders, "o_custkey", words)
+    true_keys = {r[0] for r in cust.select("c_custkey").collect()}
+    # every genuinely-matching order survives (no false negatives)
+    truth = orders.where(F.col("o_custkey").isin(true_keys)).count()
+    surviving_truth = pruned.where(F.col("o_custkey").isin(true_keys)).count()
+    assert surviving_truth == truth
+    # and the filter actually prunes: survivors beyond truth are Bloom
+    # false positives, bounded well under the non-matching population
+    total, kept = orders.count(), pruned.count()
+    assert kept - truth <= max(10, (total - truth) * 0.05)
+
+
+def test_bloom_probe_is_pre_join_filter(spark, sf_dir):
+    """The membership test must run BEFORE the join exchange — assert
+    the bit_get filter sits under the probe scan in the final plan."""
+    from cassandra_extractor_spark.operators.relational import q78_bloom_join
+
+    plan = q78_bloom_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "bit_get" in plan
+
+
+def test_zorder_key_interleaves_bits(spark, sf_dir):
+    from cassandra_extractor_spark.operators.relational import q77_zorder_key
+
+    rows = q77_zorder_key(spark, sf_dir).limit(200).collect()
+    for r in rows:
+        pk, sk = r["l_partkey"] % 65536, r["l_suppkey"] % 65536
+        expect = 0
+        for i in range(16):
+            expect |= ((pk >> i) & 1) << (2 * i)
+            expect |= ((sk >> i) & 1) << (2 * i + 1)
+        assert r["zkey"] == expect
+
+
+def test_rolling_zscore_flags_spike(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "t", 10.0 + (0.01 * (i % 3)), "{}")
+        for i in range(30)
+    ]
+    rows[25] = (25, base + dt.timedelta(minutes=25), 1, "t", 500.0, "{}")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["event_id"]: r["is_outlier"] for r in R.q76_rolling_zscore(spark, d).collect()}
+    assert out[25] is True
+    assert sum(1 for v in out.values() if v) <= 3  # spike row (+ frame echoes) only
+
+
+def test_text_normalize_collapses_and_strips(spark, tmp_path):
+    from cassandra_extractor_spark.operators.text import ns_text_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello\t\tWorld \x07", "en", "s", 10),
+            (2, "already clean", "en", "s", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "norm")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in ns_text_normalize(spark, d).collect()}
+    assert out[1]["norm_text"] == "hello world"
+    assert out[1]["changed"] is True
+    assert out[2]["norm_text"] == "already clean"
+    assert out[2]["changed"] is False
