@@ -3,12 +3,14 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct.
 The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas`` UDFs,
 partition-sized batches) is real and tested.  REAL ``real=True`` paths,
-all pure-stdlib: PNG decode (``decode_png``: inflate + unfilter +
-palette expansion, written from the public spec), PNG nearest-neighbor
-resize (``decode_png`` → ``resize_nearest`` → ``encode_png``), and
-RIFF/WAV audio features (stdlib ``wave``: true rate/frames/RMS).
-JPEG and video codecs don't exist in this container, so those paths
-raise ``NotImplementedError``; every operator is paired with a
+all pure-stdlib(+numpy): PNG decode (``decode_png``: inflate + unfilter
++ palette expansion, written from the public spec), baseline JPEG
+decode/encode (``jpegcodec``: Huffman entropy decode, dequant, IDCT,
+chroma upsample, written from ITU-T T.81), nearest-neighbor resize for
+both formats, and RIFF/WAV audio features (stdlib ``wave``: true
+rate/frames/RMS).  Video codecs don't exist in this container, so frame
+*decode* raises ``NotImplementedError`` (MP4 container metadata IS
+parsed for real — see ``mp4meta``); every operator is paired with a
 clearly-marked deterministic fake exercising the identical plumbing.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
@@ -223,16 +225,29 @@ def resize_nearest(
     return bytes(out)
 
 
+def decode_image_auto(data: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-sniffing image decode: PNG → ``decode_png``, JPEG →
+    ``jpegcodec.decode_jpeg``; anything else fails loudly."""
+    if data[:4] == b"\x89PNG":
+        return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unsupported image format (PNG and baseline JPEG only)")
+
+
 def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
     """Decode image payloads → (id, width, height, channels).
 
-    ``real=True`` runs the in-repo stdlib PNG decoder (``decode_png``)
-    — actual inflate + unfilter, real dimensions and channel counts;
-    non-PNG formats raise ``NotImplementedError`` (no JPEG/etc codec in
-    this container).  The default remains the clearly-marked
-    deterministic fake (dimensions derived from payload length) whose
-    job is exercising the Arrow/mapInPandas plumbing — schema,
-    batching, column wiring — identically to the real path.
+    ``real=True`` dispatches on the payload magic: PNG → in-repo
+    stdlib decoder (``decode_png``: actual inflate + unfilter), JPEG →
+    in-repo baseline decoder (``jpegcodec.decode_jpeg``: actual Huffman
+    + IDCT); other formats raise ``ValueError``.  The default remains
+    the clearly-marked deterministic fake (dimensions derived from
+    payload length) whose job is exercising the Arrow/mapInPandas
+    plumbing — schema, batching, column wiring — identically to the
+    real path.
     """
     if real:
 
@@ -240,7 +255,7 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = Fals
             for pdf in batches:
                 ids, ws, hs, cs = [], [], [], []
                 for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                    w, h, c, _px = decode_png(bytes(payload))
+                    w, h, c, _px = decode_image_auto(bytes(payload))
                     ids.append(doc_id)
                     ws.append(w)
                     hs.append(h)
@@ -273,6 +288,130 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = Fals
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         fake_decode, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes in ``data[start:end]`` → (type, body_start,
+    body_end).  Handles 32-bit size, 64-bit largesize (size==1), and
+    to-end-of-file (size==0) per ISO/IEC 14496-12 §4.2."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = __import__("struct").unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8].decode("latin-1")
+        body = pos + 8
+        if size == 1:
+            (size,) = __import__("struct").unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"MP4: malformed box '{btype}' at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container metadata parse (pure stdlib, from the
+    public ISO/IEC 14496-12 spec): brand, movie timescale/duration,
+    per-track handler + dimensions + sample-entry fourcc.  This is
+    container parsing, not frame decoding — codec bitstreams stay
+    honestly out of scope (``sample_frames(real=True)`` raises)."""
+    import struct as _s
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    meta = {"brand": data[8:12].decode("latin-1"), "tracks": []}
+    for btype, body, bend in _mp4_boxes(data, 0, len(data)):
+        if btype != "moov":
+            continue
+        for mtype, mbody, mend in _mp4_boxes(data, body, bend):
+            if mtype == "mvhd":
+                ver = data[mbody]
+                if ver == 1:
+                    ts, dur = _s.unpack(">IQ", data[mbody + 20 : mbody + 32])
+                else:
+                    ts, dur = _s.unpack(">II", data[mbody + 12 : mbody + 20])
+                meta["timescale"] = ts
+                meta["duration_s"] = dur / ts if ts else 0.0
+            elif mtype == "trak":
+                trk: dict = {}
+                for ttype, tbody, tend in _mp4_boxes(data, mbody, mend):
+                    if ttype == "tkhd":
+                        ver = data[tbody]
+                        off = tbody + (96 if ver == 1 else 84)
+                        w16, h16 = _s.unpack(">II", data[off - 8 : off])
+                        trk["width"] = w16 >> 16  # 16.16 fixed point
+                        trk["height"] = h16 >> 16
+                    elif ttype == "mdia":
+                        for dtype, dbody, dend in _mp4_boxes(data, tbody, tend):
+                            if dtype == "hdlr":
+                                trk["handler"] = data[dbody + 8 : dbody + 12].decode(
+                                    "latin-1"
+                                )
+                            elif dtype == "minf":
+                                for st, sb, se in _mp4_boxes(data, dbody, dend):
+                                    if st != "stbl":
+                                        continue
+                                    for s2, b2, e2 in _mp4_boxes(data, sb, se):
+                                        if s2 == "stsd":
+                                            trk["codec"] = data[
+                                                b2 + 12 : b2 + 16
+                                            ].decode("latin-1")
+                meta["tracks"].append(trk)
+    if "timescale" not in meta:
+        raise ValueError("MP4: no moov/mvhd found")
+    return meta
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_meta(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Per-payload MP4 metadata → (id, brand, duration, tracks, codec,
+    dims) via ``parse_mp4_meta`` inside ``mapInPandas`` — a REAL parse
+    of the container (the part of 'video support' that needs no codec),
+    same executor-side batch shape as ``decode_images``."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "brand", "duration_s", "n_tracks", "video_codec", "width", "height")}
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                m = parse_mp4_meta(bytes(payload))
+                vid = next(
+                    (t for t in m["tracks"] if t.get("handler") == "vide"), {}
+                )
+                out["doc_id"].append(int(doc_id))
+                out["brand"].append(m["brand"])
+                out["duration_s"].append(float(m["duration_s"]))
+                out["n_tracks"].append(len(m["tracks"]))
+                out["video_codec"].append(vid.get("codec"))
+                out["width"].append(vid.get("width"))
+                out["height"].append(vid.get("height"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "brand": out["brand"],
+                    "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                    "n_tracks": pd.Series(out["n_tracks"], dtype="int32"),
+                    "video_codec": out["video_codec"],
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        parse, schema=VIDEO_META_SCHEMA
     )
 
 
@@ -327,11 +466,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (width, height) → (id, resized binary).
 
-    ``real=True``: PNG in → nearest-neighbor resample (``decode_png`` →
-    ``resize_nearest`` → ``encode_png``) → PNG out; non-PNG payloads
-    fail loudly (no other codec here).  The deterministic fake emits a
-    payload of exactly width*height bytes derived from the input (so
-    downstream batch-shape/size logic is exercised identically).
+    ``real=True``: PNG or baseline JPEG in → nearest-neighbor resample
+    (``decode_image_auto`` → ``resize_nearest`` → re-encode in the
+    SOURCE format, so payloads stay self-describing); other formats
+    fail loudly.  The deterministic fake emits a payload of exactly
+    width*height bytes derived from the input (so downstream
+    batch-shape/size logic is exercised identically).
     """
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
@@ -339,14 +479,21 @@ def resize_images(
     if real:
 
         def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from cassandra_extractor_spark.operators.jpegcodec import encode_jpeg
+
             for pdf in batches:
                 ids, payloads = [], []
                 for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                    w, h, c, px = decode_png(bytes(payload))
+                    raw = bytes(payload)
+                    w, h, c, px = decode_image_auto(raw)
+                    resized = resize_nearest(w, h, c, px, width, height)
                     ids.append(int(doc_id))
-                    payloads.append(
-                        encode_png(width, height, c, resize_nearest(w, h, c, px, width, height))
-                    )
+                    if raw[:3] == b"\xff\xd8\xff":
+                        payloads.append(
+                            encode_jpeg(width, height, c, resized, quality=90)
+                        )
+                    else:
+                        payloads.append(encode_png(width, height, c, resized))
                 yield pd.DataFrame(
                     {"doc_id": pd.Series(ids, dtype="int64"), "resized": payloads}
                 )

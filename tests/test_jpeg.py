@@ -1,0 +1,141 @@
+"""Baseline JPEG codec tests: encoder↔decoder round trips (the only
+honest verification available with no imaging library in-container),
+subset rejection, and the Spark-side real decode/resize paths over
+JPEG payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from cassandra_extractor_spark.operators.jpegcodec import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    DC_VALS,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _roundtrip(img: np.ndarray, **kw) -> np.ndarray:
+    h, w, c = img.shape
+    data = encode_jpeg(w, h, c, img.tobytes(), **kw)
+    w2, h2, c2, px = decode_jpeg(data)
+    assert (w2, h2, c2) == (w, h, c)
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+
+
+def test_flat_images_survive_exactly():
+    for shape, fill in (((16, 16, 1), 128), ((24, 40, 3), 77)):
+        img = np.full(shape, fill, dtype=np.uint8)
+        out = _roundtrip(img, quality=100)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_gradient_q100_within_dct_rounding():
+    yy, xx = np.mgrid[0:21, 0:37]  # non-multiple-of-8 dims exercise edge padding
+    img = np.stack([(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=2)
+    img = np.ascontiguousarray(img).astype(np.uint8)
+    out = _roundtrip(img, quality=100)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_noise_q90_mean_error_bounded():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    out = _roundtrip(img, quality=90)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 8.0
+
+
+def test_subsampled_420_flat_chroma_lossless():
+    img = np.full((24, 24, 3), (200, 30, 90), dtype=np.uint8)
+    out = _roundtrip(img, quality=100, subsample=True)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_restart_markers_resync():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    out = _roundtrip(img, quality=100, restart_interval=3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (17, 19, 1), dtype=np.uint8)
+    out = _roundtrip(img, quality=95)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 6.0
+
+
+def test_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    img = np.full((16, 16, 3), 10, dtype=np.uint8)
+    data = encode_jpeg(16, 16, 3, img.tobytes())
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(data[:40])
+
+
+def test_progressive_rejected_loudly():
+    """A SOF2 frame header must raise NotImplementedError, not
+    misdecode."""
+    img = np.full((8, 8, 1), 50, dtype=np.uint8)
+    data = bytearray(encode_jpeg(8, 8, 1, img.tobytes()))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_huffman_tables_are_valid_prefix_codes():
+    """Spec-constant safety net: canonical code assignment must be
+    prefix-free and complete for every (BITS, HUFFVAL) pair used."""
+    for bits, vals in ((DC_BITS, DC_VALS), (AC_BITS, AC_VALS)):
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        seen = set()
+        for code, length in codes.values():
+            bitstr = format(code, f"0{length}b")
+            assert bitstr not in seen
+            assert not any(bitstr.startswith(p) for p in seen if len(p) < length)
+            seen.add(bitstr)
+    assert len(ZIGZAG) == 64
+
+
+def test_decode_images_real_jpeg_and_mixed_batch(spark):
+    from cassandra_extractor_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(9)
+    jpg = encode_jpeg(
+        48, 32, 3, rng.integers(0, 256, (32, 48, 3), dtype=np.uint8).tobytes()
+    )
+    import os
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+    png = open(os.path.join(fx, "rgba_32x32.png"), "rb").read()
+    df = spark.createDataFrame([Row(doc_id=1, payload=jpg), Row(doc_id=2, payload=png)])
+    out = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(df, "doc_id", "payload", real=True).collect()
+    }
+    assert out == {1: (48, 32, 3), 2: (32, 32, 4)}
+
+
+def test_resize_images_real_jpeg_stays_jpeg(spark):
+    from cassandra_extractor_spark.operators.multimodal import resize_images
+
+    img = np.full((32, 48, 3), (10, 200, 60), dtype=np.uint8)
+    jpg = encode_jpeg(48, 32, 3, img.tobytes(), quality=100)
+    df = spark.createDataFrame([Row(doc_id=7, payload=jpg)])
+    (row,) = resize_images(df, "doc_id", "payload", width=16, height=16, real=True).collect()
+    resized = bytes(row["resized"])
+    assert resized[:3] == b"\xff\xd8\xff"  # still a JPEG
+    w, h, c, px = decode_jpeg(resized)
+    assert (w, h, c) == (16, 16, 3)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    # flat image → resample + re-encode stays flat within codec error
+    assert int(np.abs(out.astype(int) - np.array([10, 200, 60])).max()) <= 2

@@ -1,0 +1,101 @@
+"""MP4/ISO-BMFF container metadata parsing: the test hand-assembles a
+minimal-but-valid box tree from the public spec (ftyp + moov{mvhd,
+trak{tkhd, mdia{hdlr, minf{stbl{stsd}}}}}) and asserts the parser
+recovers every field — real structural parsing, no codec involved."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import Row
+
+from cassandra_extractor_spark.operators.multimodal import (
+    extract_video_meta,
+    parse_mp4_meta,
+)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(
+    timescale=1000, duration=12_500, width=640, height=360, codec=b"avc1", version=0
+) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    if version == 1:
+        mvhd = _box(
+            b"mvhd",
+            b"\x01" + b"\x00" * 3  # version 1 + flags
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80,
+        )
+    # tkhd v0: ver/flags(4) c_time(4) m_time(4) track_id(4) rsvd(4)
+    # duration(4) rsvd(8) layer(2) alt(2) vol(2) rsvd(2) matrix(36) w(4) h(4)
+    tkhd = _box(
+        b"tkhd",
+        b"\x00" * 4
+        + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + b"\x00" * 8
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = _box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd = _box(
+        b"stsd",
+        b"\x00" * 4
+        + struct.pack(">I", 1)
+        + _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+    )
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_parse_minimal_mp4():
+    m = parse_mp4_meta(_make_mp4())
+    assert m["brand"] == "isom"
+    assert m["timescale"] == 1000
+    assert m["duration_s"] == pytest.approx(12.5)
+    (trk,) = m["tracks"]
+    assert trk == {"width": 640, "height": 360, "handler": "vide", "codec": "avc1"}
+
+
+def test_parse_mvhd_version1_64bit_duration():
+    m = parse_mp4_meta(_make_mp4(timescale=90_000, duration=90_000 * 7, version=1))
+    assert m["duration_s"] == pytest.approx(7.0)
+
+
+def test_rejects_non_mp4_and_malformed():
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    data = bytearray(_make_mp4())
+    data[0:4] = struct.pack(">I", 4)  # box size < 8 → malformed
+    with pytest.raises(ValueError, match="malformed"):
+        parse_mp4_meta(bytes(data))
+
+
+def test_extract_video_meta_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=_make_mp4(width=1920, height=1080, codec=b"hvc1")),
+            Row(doc_id=2, payload=_make_mp4(timescale=600, duration=600 * 3)),
+        ]
+    )
+    out = {r["doc_id"]: r for r in extract_video_meta(df, "doc_id", "payload").collect()}
+    assert out[1]["video_codec"] == "hvc1"
+    assert (out[1]["width"], out[1]["height"]) == (1920, 1080)
+    assert out[2]["duration_s"] == pytest.approx(3.0)
+    assert out[2]["n_tracks"] == 1
