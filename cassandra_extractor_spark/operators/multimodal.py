@@ -10,7 +10,7 @@ chroma upsample, written from ITU-T T.81), nearest-neighbor resize for
 both formats, and RIFF/WAV audio features (stdlib ``wave``: true
 rate/frames/RMS).  Video codecs don't exist in this container, so frame
 *decode* raises ``NotImplementedError`` (MP4 container metadata IS
-parsed for real — see ``mp4meta``); every operator is paired with a
+parsed for real — see ``parse_mp4_meta``); every operator is paired with a
 clearly-marked deterministic fake exercising the identical plumbing.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
@@ -621,4 +621,137 @@ def ns_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(payload).alias("content_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- dHash
+
+
+def _box_resize_gray(g, out_w: int, out_h: int):
+    """Area-mean (box) resample of a 2-D grayscale array via an
+    integral image — stable under codec noise, unlike nearest."""
+    import numpy as np
+
+    h, w = g.shape
+    ys = np.arange(out_h + 1) * h // out_h
+    xs = np.arange(out_w + 1) * w // out_w
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    tot = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return tot / areas
+
+
+def dhash64(width: int, height: int, channels: int, pixels: bytes) -> int:
+    """64-bit difference hash (dHash) of a decoded image: integer-luma
+    grayscale → 9×8 box resample → horizontal-gradient sign bits.
+    Invariant to global brightness/contrast shifts and codec noise —
+    the standard perceptual near-dup signature.  Returned as a SIGNED
+    64-bit value so it round-trips through a Spark ``long``."""
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels >= 3:
+        g = (
+            299 * img[:, :, 0].astype(np.int64)
+            + 587 * img[:, :, 1].astype(np.int64)
+            + 114 * img[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        g = img[:, :, 0].astype(np.int64)
+    small = _box_resize_gray(g.astype(np.float64), 9, 8)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return int(np.uint64(v).astype(np.int64))
+
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("dhash", T.LongType())]
+)
+
+
+def image_dhash(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
+    """Per-image perceptual hash → (doc_id, dhash).  ``real=True``
+    decodes PNG/JPEG payloads with the in-repo codecs and hashes actual
+    pixels; the fake path hashes payload bytes (md5-folded — plumbing
+    only, no perceptual meaning), clearly marked as such."""
+    if real:
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, hs = [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                    w, h, c, px = decode_image_auto(bytes(payload))
+                    ids.append(int(doc_id))
+                    hs.append(dhash64(w, h, c, px))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "dhash": pd.Series(hs, dtype="int64"),
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            hash_batches, schema=IMAGE_HASH_SCHEMA
+        )
+    # FAKE: fold md5(payload) to 64 bits — exercises identical plumbing
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col(binary_col)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("dhash"),
+    )
+
+
+def image_neardup_pairs(hashes: DataFrame, max_ham: int = 4) -> DataFrame:
+    """Near-duplicate image pairs from dHash signatures: 8×8-bit
+    chunk-banded hamming self-join (pigeonhole: ham ≤ 7 ⇒ at least one
+    of 8 byte-chunks equal, so max_ham ≤ 7 loses nothing) — shuffle is
+    O(8·rows) on chunk buckets, never all-pairs.  Same scale shape as
+    ``ns_dedup_simhash``."""
+    if max_ham > 7:
+        raise ValueError("chunk banding guarantees recall only for max_ham <= 7")
+    chunks = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("dhash"), c * 8)
+                        .bitwiseAND(255)
+                        .alias("val"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "doc_id", "dhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.expr("a.dhash ^ b.dhash")).cast("long").alias("ham"),
+        )
+        .where(F.col("ham") <= max_ham)
+        .distinct()
+        .orderBy("d1", "d2")
     )

@@ -139,3 +139,48 @@ def test_resize_images_real_jpeg_stays_jpeg(spark):
     out = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
     # flat image → resample + re-encode stays flat within codec error
     assert int(np.abs(out.astype(int) - np.array([10, 200, 60])).max()) <= 2
+
+
+def test_dhash_cross_codec_and_neardup_pairs(spark):
+    """The SAME image encoded as PNG and as JPEG must land within a
+    small hamming distance (perceptual stability across codecs), a
+    brightness-shifted copy must match closely (gradient-sign
+    invariance), and an unrelated image must be far — then the banded
+    hamming join finds exactly the near pairs."""
+    from cassandra_extractor_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    # smooth structured image (noise defeats any perceptual hash)
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (128 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0)).clip(0, 255)
+    img = np.stack([base, base * 0.8, base * 0.6], axis=2).astype(np.uint8)
+    png = encode_png(64, 64, 3, img.tobytes())
+    jpg = encode_jpeg(64, 64, 3, img.tobytes(), quality=90)
+    brighter = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    png_bright = encode_png(64, 64, 3, brighter.tobytes())
+    other = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    png_other = encode_png(64, 64, 3, np.ascontiguousarray(other).tobytes())
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=png),
+            Row(doc_id=2, payload=jpg),
+            Row(doc_id=3, payload=png_bright),
+            Row(doc_id=4, payload=png_other),
+        ]
+    )
+    hashes = image_dhash(df, "doc_id", "payload", real=True)
+    pairs = {
+        (r["d1"], r["d2"]): r["ham"]
+        for r in image_neardup_pairs(hashes, max_ham=6).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # signed-long round trip: hash with bit 63 set must survive Spark
+    h = dhash64(2, 1, 1, bytes([255, 0]) )  # single gradient bit
+    assert isinstance(h, int)
