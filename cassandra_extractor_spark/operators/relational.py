@@ -1517,3 +1517,77 @@ def q78_bloom_join(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+def q79_window_distinct(spark, sf_dir):
+    """Distinct event types seen per user over a trailing 1-hour RANGE
+    frame — the 'breadth of recent activity' feature.  Spark windows
+    forbid COUNT(DISTINCT …) OVER, so the spelling is
+    ``size(collect_set(…))`` over a range frame: the set buffer is
+    bounded by |event_types| (small domain), NOT frame row count, so
+    the state per row is O(domain) at any scale.  Integer output —
+    engine-stable.
+    """
+    e = load_table(spark, "events", sf_dir)
+    sec = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(sec).rangeBetween(-3599, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ISLAND_SPAN_S = 300  # each event opens a 5-minute activity interval
+
+
+def q80_interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval union: each event opens a 5-minute
+    activity interval; overlapping intervals per user merge into
+    islands; output per-user island count and total covered seconds.
+    The classic coverage/uptime computation (same island technique the
+    substring-dedup span union uses, here as a first-class query).
+
+    Scale shape: one exchange on user_id, two ordered window passes
+    (running MAX for island starts, running SUM for island ids), one
+    bounded agg — no self-join, no all-pairs interval intersection.
+    All arithmetic on integer epoch seconds.
+    """
+    e = load_table(spark, "events", sf_dir)
+    s = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("lo"),
+        (F.unix_timestamp("ts") + ISLAND_SPAN_S).alias("hi"),
+    )
+    w = W.partitionBy("user_id").orderBy("lo", "hi")
+    prev_max_hi = F.max("hi").over(
+        W.partitionBy("user_id").orderBy("lo", "hi").rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = s.select(
+        "user_id",
+        "lo",
+        "hi",
+        F.when(prev_max_hi.isNull() | (F.col("lo") > prev_max_hi), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "lo",
+        "hi",
+        F.sum("new_island").over(w).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("lo").alias("i_lo"), F.max("hi").alias("i_hi")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum(F.col("i_hi") - F.col("i_lo")).cast("long").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )

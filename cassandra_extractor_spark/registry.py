@@ -35,6 +35,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
+    "q79_window_distinct": R.q79_window_distinct,
+    "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
     "q78_bloom_join": R.q78_bloom_join,
@@ -186,6 +188,30 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q79_window_distinct": (
+        "SELECT event_id, user_id, CAST(COUNT(DISTINCT event_type) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000 "
+        "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n_types_1h FROM events ORDER BY event_id"
+    ),
+    "q80_interval_merge": (
+        "WITH s AS (SELECT user_id, epoch_ms(ts) // 1000 AS lo, epoch_ms(ts) // 1000 + 300 AS hi "
+        "FROM events), "
+        "f AS (SELECT user_id, lo, hi, CASE WHEN "
+        "MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        "OR lo > MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "THEN 1 ELSE 0 END AS new_island FROM s), "
+        "i AS (SELECT user_id, lo, hi, SUM(new_island) OVER "
+        "(PARTITION BY user_id ORDER BY lo, hi "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id FROM f), "
+        "p AS (SELECT user_id, island_id, MIN(lo) AS i_lo, MAX(hi) AS i_hi "
+        "FROM i GROUP BY user_id, island_id) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands, "
+        "CAST(SUM(i_hi - i_lo) AS BIGINT) AS covered_s "
+        "FROM p GROUP BY user_id ORDER BY user_id"
+    ),
     "q76_rolling_zscore": (
         "WITH c AS (SELECT event_id, user_id, ts, "
         "CAST(round(value * 100) AS BIGINT) AS x FROM events), "

@@ -892,3 +892,29 @@ def test_text_normalize_collapses_and_strips(spark, tmp_path):
     assert out[1]["changed"] is True
     assert out[2]["norm_text"] == "already clean"
     assert out[2]["changed"] is False
+
+
+def test_interval_merge_islands_by_construction(spark, tmp_path):
+    """Three events 2min apart (one island) + one 20min later (second
+    island): 5-min spans ⇒ n_islands=2 and coverage = union length."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base, 9, "a", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 9, "a", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=4), 9, "a", 0.0, "{}"),
+        (4, base + dt.timedelta(minutes=30), 9, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "iv")
+    df.write.parquet(f"{d}/events.parquet")
+    from cassandra_extractor_spark.operators.relational import q80_interval_merge
+
+    (row,) = q80_interval_merge(spark, d).collect()
+    assert row["n_islands"] == 2
+    # island 1: [0, 4min+5min) = 540s; island 2: [30, 35min) = 300s
+    assert row["covered_s"] == 540 + 300
