@@ -50,6 +50,12 @@ SECTIONS = [
      "The hashing trick caps both distribution models at 1024 rows regardless of corpus size: raw and target counts are map-side-combined aggregations DOWN to the bucket space, the log-ratio table broadcast-joins back (look for BroadcastHashJoin — a shuffle join on 1024 keys would put ~1/1024 of the corpus on one reducer), and the per-doc sum runs through DECIMAL(38,18) so the hash is partition-order-proof."),
     ("ns_bm25", "BM25: corpus stats reduce to broadcast scalars",
      "df (3 rows) and avgdl (1 row) broadcast back over the term stream; the query-term filter is a literal array probe BEFORE the aggregation, so non-query tokens never leave the scan stage. Scoring is a codegen'd double expression; the per-doc sum is decimal (order-independent). Two corpus passes (stats, scores), zero corpus-sized shuffles."),
+    ("q78_bloom_join", "Runtime Bloom filter prunes the probe scan",
+     "The 16 KiB word array (built by a map-side-combined bit_or aggregation, driver-bounded at 2048 longs regardless of build rows) rides a one-row broadcast; the k bit_get membership tests sit in the probe side's scan stage BEFORE the join exchange, so only candidate rows (true matches + ~0.4% false positives) shuffle. The exact broadcast join afterwards removes false positives — correctness never depends on the filter. This is Spark's InjectRuntimeFilter made explicit and statistics-independent."),
+    ("q76_rolling_zscore", "Sliding-frame outlier flag with zero float folds",
+     "One exchange + sort per user_id, then a bounded 20-row frame computing integer SUM/COUNT — the z² comparison is a cross-multiplied integer inequality, so no accumulation-order float hazard exists on any engine or partitioning. Sliding double-sums are the classic cross-engine divergence (Spark rescans the frame; DuckDB subtracts via segment tree); integerizing first makes the operator deterministic AND cheaper."),
+    ("q80_interval_merge", "Interval union without an interval self-join",
+     "Two ordered windows per user_id (running MAX finds island starts, running SUM assigns ids) + one bounded aggregate: O(n log n) per key vs the quadratic pairwise-overlap join a naive formulation uses. All timestamps are integer epoch seconds — hash-stable."),
     ("q72_funnel", "Ordered funnel: every shuffle shares the user_id key",
      "Step N is a filtered min-aggregation joined to step N-1's output — all exchanges hash on user_id, so AQE reuses the partitioning across the chain instead of re-shuffling; the strictly-after predicate is a plain filter between join and aggregate. Step counts union three one-row aggregates. No window over the full event stream, no collect."),
 ]
