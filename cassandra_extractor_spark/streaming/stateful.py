@@ -236,3 +236,79 @@ def stream_attribution_join(
         "click_ts",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
     )
+
+
+ZSCORE_FRAME = 20  #: sliding frame length (matches batch q76)
+ZSCORE_MIN_N = 10
+
+_ZS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_win", T.LongType()),
+        T.StructField("s_win", T.LongType()),
+        T.StructField("ss_win", T.LongType()),
+        T.StructField("is_outlier", T.BooleanType()),
+    ]
+)
+
+_ZS_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.LongType()))]
+)
+
+
+def stream_zscore(events: DataFrame) -> DataFrame:
+    """Streaming rolling z-score — the stateful-operator spelling of
+    batch ``q76_rolling_zscore``: per-user state is the last
+    ``ZSCORE_FRAME-1`` integerized values (a bounded ring, O(frame) per
+    key forever), each event is flagged by the same cross-multiplied
+    integer inequality, so on time-ordered arrival the streaming output
+    is ROW-IDENTICAL to the batch operator (asserted in
+    ``test_stream_zscore_matches_batch``).
+
+    Out-of-order arrival *within* a batch is repaired by the one-batch
+    sort below; an event arriving in a LATER batch than a newer one
+    uses the state as-of its arrival (documented divergence — the same
+    trade-off ``sessionize_stream`` makes; re-run the batch operator
+    over landed data to reconcile exactly).
+    """
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        vals: list[int] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            x = int(round(float(value) * 100))
+            window = vals[-(ZSCORE_FRAME - 1) :] + [x]
+            n = len(window)
+            s = sum(window)
+            ss = sum(v * v for v in window)
+            out.append(
+                {
+                    "event_id": int(event_id),
+                    "user_id": int(user_id),
+                    "n_win": n,
+                    "s_win": s,
+                    "ss_win": ss,
+                    "is_outlier": (n * x - s) ** 2 > 4 * (n * ss - s * s),
+                }
+            )
+            vals = window
+        state.update((vals[-(ZSCORE_FRAME - 1) :],))
+        yield pd.DataFrame(
+            [r for r in out if r["n_win"] >= ZSCORE_MIN_N],
+            columns=["event_id", "user_id", "n_win", "s_win", "ss_win", "is_outlier"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ZS_OUT_SCHEMA,
+        stateStructType=_ZS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -277,3 +277,49 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == expected and expected  # exact, and non-trivial
+
+
+def test_stream_zscore_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming rolling z-score over time-ordered micro-batches must be
+    ROW-IDENTICAL to batch q76_rolling_zscore: same integer sums, same
+    outlier flags — the batch/stream parity contract."""
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.relational import q76_rolling_zscore
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from cassandra_extractor_spark.streaming.stateful import stream_zscore
+
+    src = str(tmp_path / "zsrc")
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") <= 5)
+    # two time-ordered files => two micro-batches exercising state carry
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/p1")
+    ev.where(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/p2")
+    schema = spark.read.parquet(f"{src}/p1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    q = (
+        stream_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("zs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "zckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["n_win"], r["s_win"], r["ss_win"], r["is_outlier"])
+        for r in spark.sql("SELECT * FROM zs_out").collect()
+    }
+    # batch reference over the same restricted table
+    d = str(tmp_path / "zbatch")
+    ev.write.parquet(f"{d}/events.parquet")
+    want = {
+        r["event_id"]: (r["n_win"], r["s_win"], r["ss_win"], r["is_outlier"])
+        for r in q76_rolling_zscore(spark, d).collect()
+    }
+    assert got == want and len(want) > 50
