@@ -1591,3 +1591,19 @@ def q80_interval_merge(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def q81_rank_metrics(spark, sf_dir):
+    """percent_rank + cume_dist per priority class — distribution
+    position metrics.  Both are single-division doubles of exact
+    integer counts ((rank-1)/(n-1), peers/n), so the IEEE result is
+    identical on any engine — no accumulation involved.  One exchange
+    per partition key."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") <= 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("o_orderkey")

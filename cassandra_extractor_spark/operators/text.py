@@ -859,3 +859,62 @@ def ns_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("norm_len"),
         (norm != F.col("text")).alias("changed"),
     ).orderBy("doc_id")
+
+
+CMS_ROWS = 4  #: count-min depth (independent hash rows)
+CMS_WIDTH = 8192  #: count-min width (buckets per row)
+HEAVY_MIN_COUNT = 200  #: heavy-hitter support threshold
+
+
+def ns_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with count >= threshold) found the
+    100 TB way: a count-min sketch prunes the candidate set map-side,
+    an exact pass verifies only the survivors.
+
+    - Pass 1 builds the CMS as a map-side-combined aggregation DOWN to
+      <= CMS_ROWS*CMS_WIDTH cells; only the aggregated 32 k counts
+      reach the driver (a fixed bound like the Bloom build in
+      ``q78_bloom_join``, regardless of corpus size).
+    - The flattened sketch rides back as a ONE-ROW broadcast frame;
+      the candidate predicate ``min_i est_i >= threshold`` evaluates as
+      ``element_at`` lookups inside the scan stage — CMS estimates only
+      ever OVER-count, so survivors are a superset of the true heavy
+      hitters (no recall loss by construction).
+    - Pass 2 exact-counts ONLY the surviving rows (heavy tokens plus a
+      bounded false-positive residue) and applies the threshold for the
+      final exact answer.
+
+    The naive exact plan shuffles the full token domain; this plan
+    shuffles 32 k sketch cells plus the survivor stream.  Result is
+    EXACT (oracle: plain GROUP BY/HAVING).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def bucket(i: int) -> Column:
+        return F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(CMS_WIDTH))
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[(F.lit(i * CMS_WIDTH) + bucket(i)).alias(f"c{i}") for i in range(CMS_ROWS)]
+            )
+        ).alias("cell")
+    )
+    cms_rows = cells.groupBy("cell").agg(F.count("*").alias("est")).collect()
+    flat = [0] * (CMS_ROWS * CMS_WIDTH)
+    for r in cms_rows:
+        flat[r["cell"]] = r["est"]
+    sketch_df = spark.createDataFrame([(flat,)], "_cms: array<long>")
+    probed = toks.crossJoin(F.broadcast(sketch_df))
+    cond = F.lit(True)
+    for i in range(CMS_ROWS):
+        est = F.element_at(F.col("_cms"), (F.lit(i * CMS_WIDTH) + bucket(i)).cast("int") + 1)
+        cond = cond & (est >= HEAVY_MIN_COUNT)
+    survivors = probed.where(cond).drop("_cms")
+    return (
+        survivors.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= HEAVY_MIN_COUNT)
+        .orderBy(F.col("n").desc(), "tok")
+    )

@@ -1094,3 +1094,10 @@ def _winnowing_sql() -> str:
 
 
 NS_ORACLES["ns_winnowing"] = _winnowing_sql()
+
+
+NS_ORACLES["ns_heavy_hitters"] = (
+    f"WITH t AS (SELECT unnest({TOKS}) AS tok FROM documents) "
+    "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok "
+    "HAVING COUNT(*) >= 200 ORDER BY n DESC, tok"
+)

@@ -36,6 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "q79_window_distinct": R.q79_window_distinct,
+    "q81_rank_metrics": R.q81_rank_metrics,
+    "ns_heavy_hitters": TX.ns_heavy_hitters,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
@@ -188,6 +190,13 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q81_rank_metrics": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice) "
+        "ORDER BY o_orderkey"
+    ),
     "q79_window_distinct": (
         "SELECT event_id, user_id, CAST(COUNT(DISTINCT event_type) OVER "
         "(PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000 "

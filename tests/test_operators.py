@@ -918,3 +918,25 @@ def test_interval_merge_islands_by_construction(spark, tmp_path):
     assert row["n_islands"] == 2
     # island 1: [0, 4min+5min) = 540s; island 2: [30, 35min) = 300s
     assert row["covered_s"] == 540 + 300
+
+
+def test_heavy_hitters_exact_on_constructed_corpus(spark, tmp_path):
+    """Corpus with two tokens above threshold and thousands of
+    singletons: the CMS-pruned plan must return EXACTLY the heavy
+    tokens with exact counts (over-counting sketch ⇒ no recall loss;
+    the verify pass removes false positives)."""
+    from cassandra_extractor_spark.operators.text import HEAVY_MIN_COUNT, ns_heavy_hitters
+
+    docs = []
+    for i in range(250):
+        # 'alpha' appears 2x/doc (500 total), 'beta' 1x/doc (250), each
+        # rare_i token appears once
+        docs.append((i, f"alpha beta alpha rare{i}a rare{i}b rare{i}c", "en", "s", 0))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "hh")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["tok"]: r["n"] for r in ns_heavy_hitters(spark, d).collect()}
+    assert out == {"alpha": 500, "beta": 250}
+    assert HEAVY_MIN_COUNT == 200
