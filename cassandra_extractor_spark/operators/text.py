@@ -918,3 +918,45 @@ def ns_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= HEAVY_MIN_COUNT)
         .orderBy(F.col("n").desc(), "tok")
     )
+
+
+def _c4_line_keep(line: Column) -> Column:
+    """C4's public line-retention rules (Raffel et al. 2020, §2.2
+    subset): terminal punctuation, >= 3 words, no 'javascript', no
+    curly brace."""
+    t = F.trim(line)
+    return (
+        t.rlike(r'[.!?"]$')
+        & (F.size(F.split(t, r"\s+")) >= 3)
+        & ~F.lower(t).contains("javascript")
+        & ~t.contains("{")
+    )
+
+
+def ns_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning: per document, keep only lines that
+    pass the public C4 rules; emit line counts and the cleaned text.
+
+    Scale shape: the whole operator is per-row ARRAY arithmetic
+    (``split`` → ``filter`` → ``array_join``) — map-only, zero
+    shuffles besides the oracle-contract ORDER BY, state bounded by one
+    document.  The exploded spelling would shuffle every line of the
+    corpus to rebuild document order; the array spelling never takes
+    lines out of their row.
+
+    Honest corpus note: the synthetic documents table contains no
+    punctuation, so on it the C4 rules correctly drop every line (the
+    oracle still exercises split/lambda/regex/join parity end to end);
+    the discrimination behavior is pinned on punctuated multi-line
+    docs in ``test_c4_line_filter_discriminates``.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(lines, _c4_line_keep)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(kept) >= 1).alias("doc_kept"),
+    ).orderBy("doc_id")

@@ -1101,3 +1101,19 @@ NS_ORACLES["ns_heavy_hitters"] = (
     "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok "
     "HAVING COUNT(*) >= 200 ORDER BY n DESC, tok"
 )
+
+
+_C4_KEEP = (
+    "x -> regexp_matches(trim(x), '[.!?\"]$') "
+    "AND len(string_split_regex(trim(x), '\\s+')) >= 3 "
+    "AND NOT contains(lower(trim(x)), 'javascript') "
+    "AND NOT contains(trim(x), '{')"
+)
+NS_ORACLES["ns_line_filter"] = (
+    "WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents), "
+    f"k AS (SELECT doc_id, ls, list_filter(ls, {_C4_KEEP}) AS kept FROM l) "
+    "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+    "CAST(len(kept) AS BIGINT) AS n_kept, "
+    "COALESCE(array_to_string(kept, chr(10)), '') AS clean_text, "
+    "len(kept) >= 1 AS doc_kept FROM k ORDER BY doc_id"
+)

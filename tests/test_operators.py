@@ -940,3 +940,31 @@ def test_heavy_hitters_exact_on_constructed_corpus(spark, tmp_path):
     out = {r["tok"]: r["n"] for r in ns_heavy_hitters(spark, d).collect()}
     assert out == {"alpha": 500, "beta": 250}
     assert HEAVY_MIN_COUNT == 200
+
+
+def test_c4_line_filter_discriminates(spark, tmp_path):
+    """Punctuated multi-line docs: C4 rules keep exactly the good
+    lines, rebuild text in order, and flag empty docs."""
+    from cassandra_extractor_spark.operators.text import ns_line_filter
+
+    good1 = "This sentence ends properly."
+    good2 = "Another proper line stands here!"
+    bad_punct = "no terminal punctuation here"
+    bad_short = "Too short."
+    bad_js = "Enable javascript to continue."
+    bad_brace = "template { placeholder } text."
+    docs = [
+        (1, "\n".join([good1, bad_punct, good2, bad_short]), "en", "s", 0),
+        (2, "\n".join([bad_js, bad_brace]), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "c4")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in ns_line_filter(spark, d).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == good1 + "\n" + good2  # order preserved
+    assert out[1]["doc_kept"] is True
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["doc_kept"] is False
