@@ -344,3 +344,24 @@ def test_substring_dedup_survives_mega_duplicated_gram(spark, tmp_path):
     out = {r.doc_id: r for r in ns_substring_dedup(spark, str(tmp_path)).collect()}
     assert all(out[i].dup_frac == 1.0 for i in range(300))
     assert all(out[1000 + i].dup_tok == 0 for i in range(5))
+
+
+def test_heavy_hitters_probe_filters_in_scan_stage(spark, sf_dir):
+    """The CMS candidate predicate must evaluate as element_at lookups
+    BEFORE the exact-count aggregation — the sketch prunes the stream,
+    the groupBy only sees survivors."""
+    from cassandra_extractor_spark.operators.text import ns_heavy_hitters
+
+    plan = (
+        ns_heavy_hitters(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "element_at" in plan
+    # the filter sits below the aggregate: Spark prints children indented
+    # after parents, so the first HashAggregate must appear before the
+    # element_at filter line in the plan text
+    agg_pos = plan.find("HashAggregate")
+    el_pos = plan.find("element_at")
+    assert agg_pos != -1 and el_pos != -1 and agg_pos < el_pos

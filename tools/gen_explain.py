@@ -50,6 +50,10 @@ SECTIONS = [
      "The hashing trick caps both distribution models at 1024 rows regardless of corpus size: raw and target counts are map-side-combined aggregations DOWN to the bucket space, the log-ratio table broadcast-joins back (look for BroadcastHashJoin — a shuffle join on 1024 keys would put ~1/1024 of the corpus on one reducer), and the per-doc sum runs through DECIMAL(38,18) so the hash is partition-order-proof."),
     ("ns_bm25", "BM25: corpus stats reduce to broadcast scalars",
      "df (3 rows) and avgdl (1 row) broadcast back over the term stream; the query-term filter is a literal array probe BEFORE the aggregation, so non-query tokens never leave the scan stage. Scoring is a codegen'd double expression; the per-doc sum is decimal (order-independent). Two corpus passes (stats, scores), zero corpus-sized shuffles."),
+    ("ns_heavy_hitters", "Heavy hitters: sketch shuffle, not domain shuffle",
+     "The count-min pass aggregates the token stream DOWN to ≤32 k cells map-side (one partial/final HashAggregate pair on uniform cell ids — no token-domain shuffle, no skew); the flattened sketch returns as a one-row broadcast and the candidate predicate is four element_at lookups inside the probe scan stage. Only survivors (true heavies + bounded false positives) reach the exact-count aggregation. The naive plan's shuffle grows with the distinct-token domain; this one's is fixed at the sketch size plus the survivor stream."),
+    ("ns_line_filter", "Line filtering is per-row array arithmetic",
+     "split → filter(lambda) → array_join all evaluate inside the scan stage's projection — zero exchanges except the oracle-contract ORDER BY. The exploded spelling would shuffle every line of the corpus to rebuild document order; this plan never takes a line out of its row, so 100 TB of documents filter in one map pass."),
     ("q78_bloom_join", "Runtime Bloom filter prunes the probe scan",
      "The 16 KiB word array (built by a map-side-combined bit_or aggregation, driver-bounded at 2048 longs regardless of build rows) rides a one-row broadcast; the k bit_get membership tests sit in the probe side's scan stage BEFORE the join exchange, so only candidate rows (true matches + ~0.4% false positives) shuffle. The exact broadcast join afterwards removes false positives — correctness never depends on the filter. This is Spark's InjectRuntimeFilter made explicit and statistics-independent."),
     ("q76_rolling_zscore", "Sliding-frame outlier flag with zero float folds",
