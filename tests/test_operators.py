@@ -584,16 +584,26 @@ def test_timestamp_queries_survive_hostile_session_timezone(spark):
         q10_epoch_millis,
         q35_time_bucket,
         q54_date_arith,
+        q76_rolling_zscore,
+        q79_window_distinct,
+        q80_interval_merge,
     )
 
+    fns = (
+        q10_epoch_millis,
+        q35_time_bucket,
+        q54_date_arith,
+        q76_rolling_zscore,
+        q79_window_distinct,
+        q80_interval_merge,
+    )
     sf = "/root/testdata/sf0.001"
     baseline = {
-        fn.__name__: [tuple(r) for r in fn(spark, sf).collect()]
-        for fn in (q10_epoch_millis, q35_time_bucket, q54_date_arith)
+        fn.__name__: [tuple(r) for r in fn(spark, sf).collect()] for fn in fns
     }
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        for fn in (q10_epoch_millis, q35_time_bucket, q54_date_arith):
+        for fn in fns:
             hostile = [tuple(r) for r in fn(spark, sf).collect()]
             assert hostile == baseline[fn.__name__], fn.__name__
     finally:
