@@ -111,16 +111,19 @@ def bpe_tokenize_corpus(
 
     toks = tokens_col if tokens_col is not None else tokens(F.col(text_col))
     stream = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "word")
+        F.col(id_col).alias("doc_id"),
+        # _outer: a NULL/empty text must still yield an output row
+        # (empty pieces), not silently vanish from the corpus
+        F.posexplode_outer(toks).alias("pos", "word"),
     )
-    distinct_words = stream.select("word").distinct()
+    distinct_words = stream.select("word").where(F.col("word").isNotNull()).distinct()
     pieces = bpe_pieces_for_words(distinct_words, merges)
-    joined = stream.join(F.broadcast(pieces), "word")
+    joined = stream.join(F.broadcast(pieces), "word", "left")
     per_doc = joined.groupBy("doc_id").agg(
         F.flatten(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "pieces"))),
-                lambda s: s["pieces"],
+                lambda s: F.coalesce(s["pieces"], F.array().cast("array<string>")),
             )
         ).alias("pieces")
     )

@@ -225,16 +225,23 @@ def resize_nearest(
     return bytes(out)
 
 
+def sniff_image_format(data: bytes) -> str:
+    """'png' | 'jpeg' by magic — the ONE place the dispatch rule lives."""
+    if data[:4] == b"\x89PNG":
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    raise ValueError("unsupported image format (PNG and baseline JPEG only)")
+
+
 def decode_image_auto(data: bytes) -> tuple[int, int, int, bytes]:
     """Magic-sniffing image decode: PNG → ``decode_png``, JPEG →
     ``jpegcodec.decode_jpeg``; anything else fails loudly."""
-    if data[:4] == b"\x89PNG":
+    if sniff_image_format(data) == "png":
         return decode_png(data)
-    if data[:3] == b"\xff\xd8\xff":
-        from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
+    from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
 
-        return decode_jpeg(data)
-    raise ValueError("unsupported image format (PNG and baseline JPEG only)")
+    return decode_jpeg(data)
 
 
 def decode_images(df: DataFrame, id_col: str, binary_col: str, real: bool = False) -> DataFrame:
@@ -295,13 +302,15 @@ def _mp4_boxes(data: bytes, start: int, end: int):
     """Iterate ISO BMFF boxes in ``data[start:end]`` → (type, body_start,
     body_end).  Handles 32-bit size, 64-bit largesize (size==1), and
     to-end-of-file (size==0) per ISO/IEC 14496-12 §4.2."""
+    import struct as _s
+
     pos = start
     while pos + 8 <= end:
-        (size,) = __import__("struct").unpack(">I", data[pos : pos + 4])
+        (size,) = _s.unpack(">I", data[pos : pos + 4])
         btype = data[pos + 4 : pos + 8].decode("latin-1")
         body = pos + 8
         if size == 1:
-            (size,) = __import__("struct").unpack(">Q", data[pos + 8 : pos + 16])
+            (size,) = _s.unpack(">Q", data[pos + 8 : pos + 16])
             body = pos + 16
         elif size == 0:
             size = end - pos
@@ -485,10 +494,11 @@ def resize_images(
                 ids, payloads = [], []
                 for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
                     raw = bytes(payload)
+                    fmt = sniff_image_format(raw)
                     w, h, c, px = decode_image_auto(raw)
                     resized = resize_nearest(w, h, c, px, width, height)
                     ids.append(int(doc_id))
-                    if raw[:3] == b"\xff\xd8\xff":
+                    if fmt == "jpeg":
                         payloads.append(
                             encode_jpeg(width, height, c, resized, quality=90)
                         )
@@ -633,6 +643,14 @@ def _box_resize_gray(g, out_w: int, out_h: int):
     import numpy as np
 
     h, w = g.shape
+    if h < out_h or w < out_w:
+        # upsample-by-index first: the box formula would produce
+        # zero-area cells (NaN hash bits) below the target grid
+        g = g[
+            (np.arange(out_h) * h // out_h)[:, None].clip(0, h - 1),
+            (np.arange(out_w) * w // out_w)[None, :].clip(0, w - 1),
+        ]
+        h, w = g.shape
     ys = np.arange(out_h + 1) * h // out_h
     xs = np.arange(out_w + 1) * w // out_w
     ii = np.zeros((h + 1, w + 1), dtype=np.float64)

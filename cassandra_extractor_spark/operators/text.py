@@ -920,14 +920,21 @@ def ns_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: explicit whitespace class — Java ``\s`` includes \x0B, RE2's does
+#: not; spelling the class out keeps Spark and the DuckDB oracle (and
+#: any other engine) byte-identical
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def _c4_line_keep(line: Column) -> Column:
     """C4's public line-retention rules (Raffel et al. 2020, §2.2
     subset): terminal punctuation, >= 3 words, no 'javascript', no
-    curly brace."""
-    t = F.trim(line)
+    curly brace.  CR is stripped first so CRLF corpora behave like LF
+    (Java ``$`` matches before a trailing ``\r``, RE2's does not)."""
+    t = F.trim(F.regexp_replace(line, "\r", ""))
     return (
         t.rlike(r'[.!?"]$')
-        & (F.size(F.split(t, r"\s+")) >= 3)
+        & (F.size(F.split(t, _WS_CLASS)) >= 3)
         & ~F.lower(t).contains("javascript")
         & ~t.contains("{")
     )

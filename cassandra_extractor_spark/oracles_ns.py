@@ -1104,10 +1104,11 @@ NS_ORACLES["ns_heavy_hitters"] = (
 
 
 _C4_KEEP = (
-    "x -> regexp_matches(trim(x), '[.!?\"]$') "
-    "AND len(string_split_regex(trim(x), '\\s+')) >= 3 "
-    "AND NOT contains(lower(trim(x)), 'javascript') "
-    "AND NOT contains(trim(x), '{')"
+    "x -> regexp_matches(trim(replace(x, chr(13), '')), '[.!?\"]$') "
+    "AND len(string_split_regex(trim(replace(x, chr(13), '')), "
+    "'[ \\t\\n\\x0B\\f\\r]+')) >= 3 "
+    "AND NOT contains(lower(trim(replace(x, chr(13), ''))), 'javascript') "
+    "AND NOT contains(trim(replace(x, chr(13), '')), '{')"
 )
 NS_ORACLES["ns_line_filter"] = (
     "WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents), "

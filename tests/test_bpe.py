@@ -58,3 +58,14 @@ def test_corpus_tokenize_distinct_word_shape(spark):
     words = spark.createDataFrame([("low",), ("low",), ("lower",)], "word: string")
     enc = bpe_pieces_for_words(words.distinct(), MERGES).collect()
     assert len(enc) == 2
+
+
+def test_null_and_empty_text_docs_survive(spark):
+    """NULL-text docs must appear with empty pieces, not vanish
+    (review finding: posexplode drops them)."""
+    docs = spark.createDataFrame(
+        [(1, "low"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_tokenize_corpus(docs, MERGES).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["pieces"] == [] and out[2]["n_pieces"] == 0

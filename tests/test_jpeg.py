@@ -184,3 +184,48 @@ def test_dhash_cross_codec_and_neardup_pairs(spark):
     # signed-long round trip: hash with bit 63 set must survive Spark
     h = dhash64(2, 1, 1, bytes([255, 0]) )  # single gradient bit
     assert isinstance(h, int)
+
+
+def test_tiny_image_dhash_no_nan_collapse():
+    """Sub-9x8 images must hash via index upsampling, not NaN-collapse
+    to 0 (review finding: zero-area box cells)."""
+    import warnings
+
+    from cassandra_extractor_spark.operators.multimodal import dhash64
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        a = dhash64(3, 2, 1, bytes([0, 128, 255, 255, 128, 0]))
+        b = dhash64(3, 2, 1, bytes([255, 128, 0, 0, 128, 255]))
+    assert a != b  # opposite gradients must differ, not both collapse
+
+
+def test_cmyk_and_two_component_rejected():
+    """nc not in (1,3) must reject loudly, never misdecode (review
+    finding: CMYK silently went through YCbCr math)."""
+    img = np.full((8, 8, 1), 50, dtype=np.uint8)
+    data = bytearray(encode_jpeg(8, 8, 1, img.tobytes()))
+    sof = data.find(b"\xff\xc0")
+    # patch component count byte (SOF body: len(2) prec(1) h(2) w(2) nc(1))
+    nc_off = sof + 2 + 2 + 1 + 2 + 2
+    for bad_nc in (2, 4):
+        patched = bytearray(data)
+        patched[nc_off] = bad_nc
+        with pytest.raises(NotImplementedError, match="components"):
+            decode_jpeg(bytes(patched))
+
+
+def test_grayscale_with_declared_sampling_factors_decodes_raster():
+    """A single-component scan is raster 8x8 regardless of declared
+    sampling factors (T.81 A.2) — patching h=v=2 into the SOF of a
+    grayscale stream must not change the decoded pixels."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 16, 1), dtype=np.uint8)
+    data = bytearray(encode_jpeg(16, 24, 1, img.tobytes(), quality=100))
+    sof = data.find(b"\xff\xc0")
+    hv_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1  # ... nc, comp_id, then h|v
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22  # declare 2x2 sampling on the only component
+    w, h, c, px = decode_jpeg(bytes(data))
+    ref_w, ref_h, ref_c, ref_px = decode_jpeg(bytes(encode_jpeg(16, 24, 1, img.tobytes(), quality=100)))
+    assert (w, h, c) == (ref_w, ref_h, ref_c) and px == ref_px

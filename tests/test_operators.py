@@ -978,3 +978,32 @@ def test_c4_line_filter_discriminates(spark, tmp_path):
     assert out[1]["doc_kept"] is True
     assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
     assert out[2]["doc_kept"] is False
+
+
+def test_c4_line_filter_crlf_parity(spark, tmp_path):
+    """CRLF corpora: Spark result must equal the DuckDB oracle (review
+    finding: Java '$' matches before trailing CR, RE2's does not)."""
+    import duckdb
+
+    from cassandra_extractor_spark.operators.text import ns_line_filter
+    from cassandra_extractor_spark.oracles_ns import NS_ORACLES
+
+    text = "Proper windows line.\r\nno punct here\r\nAnother good line here!"
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "crlf")
+    df.write.parquet(f"{d}/documents.parquet")
+    (srow,) = ns_line_filter(spark, d).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    (orow,) = con.execute(NS_ORACLES["ns_line_filter"]).fetchall()
+    assert (srow["n_lines"], srow["n_kept"], srow["clean_text"]) == (
+        orow[1],
+        orow[2],
+        orow[3],
+    )
+    assert srow["n_kept"] == 2
