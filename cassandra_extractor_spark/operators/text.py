@@ -967,3 +967,56 @@ def ns_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, "\n").alias("clean_text"),
         (F.size(kept) >= 1).alias("doc_kept"),
     ).orderBy("doc_id")
+
+
+def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks: fingerprint every
+    CDC chunk (md5 of its space-joined tokens) and report cross-corpus
+    occurrence stats — the rsync/CAS trick that catches PARTIAL
+    duplication (shared passages) that document-level hashing misses,
+    at chunk granularity that survives edits (CDC boundaries re-align).
+
+    Scale shape: one explode + per-doc window (chunk ids, map-local
+    after the doc_id exchange) + two map-side-combined aggregations
+    (chunk fingerprint, then per-fingerprint stats).  The per-chunk
+    token buffer is bounded by chunk size (~CDC_MOD tokens).  Keeper is
+    the min (doc_id, chunk_id) encoded as one integer for cross-engine
+    arg-min.  Same doc_id <= 200 oracle bound as ``ns_cdc_chunk``.
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") <= 200)
+    tok = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    boundary = F.when(
+        (F.col("pos") == 0) | (_md5_hash64(F.col("tok"), "cdc") % CDC_MOD == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    chunked = tok.select(
+        "doc_id", "pos", "tok", F.sum(boundary).over(w).cast("long").alias("chunk_id")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+        F.count("*").alias("n_tokens"),
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("keeper"),
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("is_dup", F.col("n_occ") >= 2)
+        .orderBy("fp")
+    )

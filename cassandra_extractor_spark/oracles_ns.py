@@ -1118,3 +1118,23 @@ NS_ORACLES["ns_line_filter"] = (
     "COALESCE(array_to_string(kept, chr(10)), '') AS clean_text, "
     "len(kept) >= 1 AS doc_kept FROM k ORDER BY doc_id"
 )
+
+
+NS_ORACLES["ns_chunk_dedup"] = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id <= 200), "
+    "tok AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM ("
+    "SELECT doc_id, unnest(list_transform(range(len(toks)), "
+    "i -> struct_pack(pos := i, tok := toks[i+1]))) AS s FROM t)), "
+    "b AS (SELECT doc_id, pos, tok, CASE WHEN pos = 0 OR "
+    + _hash_sql("tok", "cdc")
+    + " % 16 = 0 THEN 1 ELSE 0 END AS nb FROM tok), "
+    "c AS (SELECT doc_id, pos, tok, CAST(SUM(nb) OVER (PARTITION BY doc_id "
+    "ORDER BY pos) AS BIGINT) AS chunk_id FROM b), "
+    "ch AS (SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp, "
+    "COUNT(*) AS n_tok FROM c GROUP BY doc_id, chunk_id) "
+    "SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(MIN(doc_id * 1000000 + chunk_id) AS BIGINT) AS keeper, "
+    "CAST(MIN(n_tok) AS BIGINT) AS n_tokens, "
+    "COUNT(*) >= 2 AS is_dup FROM ch GROUP BY fp ORDER BY fp"
+)

@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "q81_rank_metrics": R.q81_rank_metrics,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
+    "ns_chunk_dedup": TX.ns_chunk_dedup,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,

@@ -1007,3 +1007,25 @@ def test_c4_line_filter_crlf_parity(spark, tmp_path):
         orow[3],
     )
     assert srow["n_kept"] == 2
+
+
+def test_chunk_dedup_finds_shared_passage(spark, tmp_path):
+    """Two docs sharing a long passage (with different surroundings)
+    must produce at least one chunk fingerprint with n_docs=2 — the
+    partial-duplication case document-level hashing misses."""
+    shared = " ".join(f"shared{i}" for i in range(64))
+    docs = [
+        (1, "intro one two three " + shared + " tail alpha", "en", "s", 0),
+        (2, "different preamble here " + shared + " other ending", "en", "s", 0),
+        (3, "completely unrelated text body with words", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "cd")
+    df.write.parquet(f"{d}/documents.parquet")
+    from cassandra_extractor_spark.operators.text import ns_chunk_dedup
+
+    out = ns_chunk_dedup(spark, d)
+    cross_doc = out.where("is_dup AND n_docs = 2").count()
+    assert cross_doc >= 1
