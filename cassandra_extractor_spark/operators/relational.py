@@ -1607,3 +1607,32 @@ def q81_rank_metrics(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("o_orderkey")
+
+
+def q82_rolling_median(spark, sf_dir):
+    """Rolling exact median over a 10-row trailing frame per user — the
+    robust rolling statistic (median smoothing).  Spark has no median
+    window aggregate, so the frame's values collect into a bounded
+    10-element array, sort, and index: lower median = element
+    ``(n+1) div 2`` (1-based), which equals DuckDB's
+    ``quantile_disc(0.5)`` index ``floor(0.5·(n-1))`` for every n —
+    pinned cross-engine.  Values integerized to cents; buffer is
+    O(frame), never O(partition)."""
+    e = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    vals = F.sort_array(F.collect_list(cents).over(w))
+    n = F.size(vals)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            n.cast("long").alias("n_win"),
+            F.element_at(vals, ((n + 1) / 2).cast("int")).alias("med_cents"),
+        )
+        .orderBy("event_id")
+    )

@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "q79_window_distinct": R.q79_window_distinct,
     "q81_rank_metrics": R.q81_rank_metrics,
+    "q82_rolling_median": R.q82_rolling_median,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
@@ -192,6 +193,14 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q82_rolling_median": (
+        "SELECT event_id, user_id, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_win, "
+        "CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) OVER w "
+        "AS BIGINT) AS med_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) ORDER BY event_id"
+    ),
     "q81_rank_metrics": (
         "SELECT o_orderkey, o_orderpriority, "
         "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
