@@ -131,3 +131,56 @@ def test_png_encode_decode_round_trip(width, height, channels, data):
     w, h, c, out = decode_png(encode_png(width, height, channels, pixels))
     assert (w, h, c) == (width, height, channels)
     assert out == pixels
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_q100_roundtrip_error_bounded(w, h, c, seed):
+    """Property: encode(q=100) → decode is within DCT/color rounding
+    (≤3/channel) for ANY dims (incl non-multiples of 8) and channel
+    count — the whole padded-edge/MCU geometry space."""
+    import numpy as np
+
+    from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish content: random low-frequency field (pure noise at
+    # q100 still bounds at ~±3 but needs wider DCT tolerance on 1x1 MCUs)
+    base = rng.integers(0, 256, (max(1, h // 8 + 1), max(1, w // 8 + 1), c))
+    img = np.kron(base, np.ones((8, 8, 1)))[:h, :w, :].astype(np.uint8)
+    data = encode_jpeg(w, h, c, img.tobytes(), quality=100)
+    w2, h2, c2, px = decode_jpeg(data)
+    assert (w2, h2, c2) == (w, h, c)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+@given(
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=12),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+        ),
+        max_size=8,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_pieces_always_reconstruct_word(word, merges):
+    """Property: however the merge table is shaped, concatenating the
+    output pieces (END stripped) reconstructs the input word exactly —
+    BPE is a segmentation, never a rewrite."""
+    from cassandra_extractor_spark.operators.bpe import END, bpe_encode_word
+
+    ranks = {}
+    for pair in merges:
+        ranks.setdefault(tuple(pair), len(ranks))
+    pieces = bpe_encode_word(word, ranks)
+    joined = "".join(pieces)
+    assert joined.replace(END, "") == word
+    assert joined.count(END) == 1 and joined.endswith(END) or pieces[-1].endswith(END)
