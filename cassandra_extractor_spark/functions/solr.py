@@ -40,8 +40,11 @@ Fielded fuzzy terms ``field:term~N`` (N ≤ 2, Lucene's maximum; bare
 ``~`` = 2) translate to ``levenshtein(field, term) <= N`` — plain edit
 distance, not Lucene's Damerau-Levenshtein (a transposition costs 2
 here, 1 there), documented as the approximation.  Bare full-text fuzzy
-stays rejected: term-level fuzzing inside analyzed text has no sane
-predicate-only translation.
+``term~N`` with a ``default_field`` maps to token-level edit distance
+(``exists(split(lower(field), '\\s+'), t -> levenshtein(t, term) <= N)``)
+— Lucene fuzzes the analyzed token, so token granularity is the right
+unit; the lambda runs interpreted (no codegen), acceptable for the
+filter position it occupies.
 
 Boosts ``^N`` are STRIPPED exactly: they reorder Solr's ranked
 results but never change which documents match, and a predicate
@@ -54,8 +57,8 @@ Bare wildcard terms (``spar*``, ``h?t``) translate with a
 substring-LIKE spelling used for fielded wildcards would be wrong
 here.
 
-Everything else (fuzzy distance > 2, bare full-text fuzzy, ranges
-over text analyzers) raises ``SolrTranslationError``.
+Everything else (fuzzy distance > 2 — Lucene's own cap — and
+fuzzy-on-wildcard combinations) raises ``SolrTranslationError``.
 """
 
 from __future__ import annotations
@@ -281,6 +284,31 @@ def solr_to_sql(query: str, default_field: str | None = None) -> str:
         else:
             neg, clause = _strip_prefix(m.group("other"))
             clause = _strip_boost(clause)
+            fuzzy = re.fullmatch(r"(?P<term>[^~^*?]+)~(?P<dist>\d*)", clause)
+            if fuzzy:
+                # bare full-text fuzzy: token-level edit distance — a
+                # document matches when ANY whitespace token of the
+                # default field is within N edits (Lucene fuzzes the
+                # analyzed token, so token-level is the right unit;
+                # same plain-Levenshtein caveat as fielded fuzzy)
+                if default_field is None:
+                    raise SolrTranslationError(
+                        f"bare fuzzy term {clause!r} has no field: pass "
+                        "default_field= to map it to token-level edit distance"
+                    )
+                dist = int(fuzzy.group("dist") or 2)
+                if dist > 2:
+                    raise SolrTranslationError(
+                        f"fuzzy distance > 2 not supported (Lucene max): {clause}"
+                    )
+                term = _sql_string(fuzzy.group("term").lower())
+                if neg:
+                    out.append("NOT")
+                out.append(
+                    f"(exists(split(lower({default_field}), '\\\\s+'), "
+                    f"t -> levenshtein(t, {term}) <= {dist}))"
+                )
+                continue
             for bad, what in (("~", "fuzzy"), ("^", "boost")):
                 if bad in clause:
                     raise SolrTranslationError(

@@ -111,9 +111,10 @@ def test_bare_terms_rejected_without_default_field():
 
 
 def test_bare_term_hard_syntax_still_rejected():
-    # bare fuzzy (term-level fuzzing inside analyzed text) stays
-    # rejected; boosts strip, wildcards translate (see their tests)
-    for q in ("spark~2", "*", "?*"):
+    # bare fuzzy now translates (token-level levenshtein, see
+    # test_bare_fulltext_fuzzy_token_level); degenerate all-wildcard
+    # terms stay rejected, and fuzzy-on-wildcard is untranslatable
+    for q in ("*", "?*", "spar*~1"):
         with pytest.raises(SolrTranslationError):
             solr_to_sql(q, default_field="text")
 
@@ -170,9 +171,8 @@ def test_fuzzy_term_translation_and_semantics(spark):
     )
     ids = {r["id"] for r in df.where(solr_to_sql("name:rob~1")).collect()}
     assert ids == {0, 1, 2}  # edit distance <= 1 ('orb' is a transposition: 2 here)
-    # bare full-text fuzzy stays rejected even with default_field
-    with pytest.raises(SolrTranslationError):
-        solr_to_sql("rob~1", default_field="text")
+    # bare full-text fuzzy now maps to token-level edit distance
+    assert "levenshtein" in solr_to_sql("rob~1", default_field="text")
 
 
 def test_proximity_translation_shape():
@@ -244,3 +244,43 @@ def test_malformed_field_query_rejected_not_half_translated():
     silently become full-text containment of the literal colon text."""
     with pytest.raises(SolrTranslationError, match="malformed field query"):
         solr_to_sql("9field:value", default_field="text")
+
+
+def test_bare_fulltext_fuzzy_token_level(spark):
+    """Bare ``term~N`` with a default_field: matches documents whose
+    TOKEN is within N edits — behavioral check through a real frame."""
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.functions.solr import solr_to_sql
+
+    df = spark.createDataFrame(
+        [
+            (1, "apache spark streaming"),
+            (2, "sparkling water is unrelated"),
+            (3, "nothing relevant here"),
+        ],
+        "id long, text string",
+    )
+    sql = solr_to_sql("sprak~1", default_field="text")
+    got = {r["id"] for r in df.where(F.expr(sql)).collect()}
+    # 'spark' is 1 transposition = 2 plain-Levenshtein? no: sprak->spark
+    # swaps 'a'/'k' adjacent = distance 2 plain; but 'sprak'~1 edits:
+    # delete/insert => spark is distance 2. So ~1 matches nothing here.
+    assert got == set()
+    sql2 = solr_to_sql("sprak~2", default_field="text")
+    got2 = {r["id"] for r in df.where(F.expr(sql2)).collect()}
+    assert 1 in got2 and 3 not in got2
+
+
+def test_bare_fuzzy_rejections():
+    import pytest
+
+    from cassandra_extractor_spark.functions.solr import (
+        SolrTranslationError,
+        solr_to_sql,
+    )
+
+    with pytest.raises(SolrTranslationError, match="default_field"):
+        solr_to_sql("sprak~1")
+    with pytest.raises(SolrTranslationError, match="Lucene max"):
+        solr_to_sql("sprak~3", default_field="text")
