@@ -1636,3 +1636,75 @@ def q82_rolling_median(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics in pure DataFrame ops: reduce the change
+    stream to the LATEST change per key (one window on the key — the
+    only changes-sized shuffle), then one full-outer join applies it:
+    delete drops the row, update overwrites payload columns, insert
+    materializes keys absent from the base, untouched rows pass
+    through.  The Delta/Iceberg MERGE shape without a table format —
+    base and changes both scale out; nothing collects.
+    """
+    w = W.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    b, c = base.alias("b"), latest.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full")
+    not_deleted = joined.where(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    out_cols = [
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
+        F.when(F.col(f"c.{key}").isNull(), F.lit("K"))
+        .when(F.col(f"b.{key}").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    ]
+    for p in payload_cols:
+        out_cols.append(F.coalesce(F.col(f"c.{p}"), F.col(f"b.{p}")).alias(p))
+    return not_deleted.select(*out_cols)
+
+
+def q83_cdc_apply(spark, sf_dir):
+    """CDC upsert demo over the TPC-H tables: orders act as a change
+    stream against the customer snapshot — the latest order per
+    customer (by date, then orderkey) updates the balance (cents), an
+    'F'-status latest order deletes the customer, customers with no
+    orders pass through.  Registry spelling of ``cdc_apply``; the
+    exact last-writer-wins rule makes it oracle-checkable.
+    """
+    base = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    changes = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("c_name"),
+    )
+    return cdc_apply(
+        base,
+        changes,
+        key="c_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        op_col="op",
+        payload_cols=["c_name", "bal_cents"],
+    ).orderBy("c_custkey")

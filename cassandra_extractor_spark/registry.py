@@ -38,6 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "q79_window_distinct": R.q79_window_distinct,
     "q81_rank_metrics": R.q81_rank_metrics,
     "q82_rolling_median": R.q82_rolling_median,
+    "q83_cdc_apply": R.q83_cdc_apply,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
@@ -193,6 +194,23 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q83_cdc_apply": (
+        "WITH base AS (SELECT c_custkey, c_name, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer), "
+        "chg AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey, "
+        "CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents FROM orders), "
+        "latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY c_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) "
+        "AS rn FROM chg) WHERE rn = 1) "
+        "SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey, "
+        "CASE WHEN c.c_custkey IS NULL THEN 'K' "
+        "WHEN b.c_custkey IS NULL THEN 'I' ELSE 'U' END AS op, "
+        "b.c_name AS c_name, "
+        "COALESCE(c.bal_cents, b.bal_cents) AS bal_cents "
+        "FROM base b FULL OUTER JOIN latest c USING (c_custkey) "
+        "WHERE c.op IS NULL OR c.op <> 'D' ORDER BY c_custkey"
+    ),
     "q82_rolling_median": (
         "SELECT event_id, user_id, "
         "CAST(COUNT(*) OVER w AS BIGINT) AS n_win, "

@@ -1029,3 +1029,38 @@ def test_chunk_dedup_finds_shared_passage(spark, tmp_path):
     out = ns_chunk_dedup(spark, d)
     cross_doc = out.where("is_dup AND n_docs = 2").count()
     assert cross_doc >= 1
+
+
+def test_cdc_apply_all_branches(spark):
+    """Insert / update / delete / keep all in one merge."""
+    from cassandra_extractor_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", 99, None),   # update k=2
+            (3, 1, "D", 0, None),    # delete k=3
+            (3, 2, "U", 55, None),   # ...but a LATER change resurrects it
+            (4, 1, "U", 44, None),   # insert k=4
+        ],
+        "k long, seq long, op string, v long, name string",
+    )
+    out = {
+        r["k"]: (r["op"], r["v"], r["name"])
+        for r in cdc_apply(
+            base, changes, key="k", order_cols=["seq"], op_col="op",
+            payload_cols=["name", "v"],
+        ).collect()
+    }
+    assert out[1] == ("K", 10, "a")      # untouched
+    assert out[2] == ("U", 99, "b")      # updated, name preserved
+    assert out[3] == ("U", 55, "c")      # delete superseded by later update
+    assert out[4] == ("I", 44, None)     # inserted
+    # pure delete: latest change is D
+    changes2 = spark.createDataFrame(
+        [(3, 9, "D", 0, None)], "k long, seq long, op string, v long, name string"
+    )
+    out2 = cdc_apply(base, changes2, "k", ["seq"], "op", ["name", "v"])
+    assert {r["k"] for r in out2.collect()} == {1, 2}
