@@ -1708,3 +1708,35 @@ def q83_cdc_apply(spark, sf_dir):
         op_col="op",
         payload_cols=["c_name", "bal_cents"],
     ).orderBy("c_custkey")
+
+
+def q84_scd2_history(spark, sf_dir):
+    """SCD Type-2 historization of a change stream: each change to a
+    key opens a validity interval, closed by the next change (lead
+    window) — open intervals are flagged current.  The warehouse-
+    history companion to ``cdc_apply``'s last-writer-wins snapshot.
+
+    One exchange on the key, one ordered lead window, map-only
+    everything else; validity bounds in integer epoch millis.  Orders
+    play the change stream: per customer, each order's totalprice is
+    the balance valid until their next order.
+    """
+    chg = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.unix_millis(F.to_timestamp("o_orderdate")).alias("valid_from_ms"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bal_cents"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("valid_from_ms", "o_orderkey")
+    nxt = F.lead("valid_from_ms").over(w)
+    return (
+        chg.select(
+            "c_custkey",
+            "o_orderkey",
+            "valid_from_ms",
+            nxt.alias("valid_to_ms"),
+            nxt.isNull().alias("is_current"),
+            "bal_cents",
+        )
+        .orderBy("c_custkey", "valid_from_ms", "o_orderkey")
+    )

@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "q81_rank_metrics": R.q81_rank_metrics,
     "q82_rolling_median": R.q82_rolling_median,
     "q83_cdc_apply": R.q83_cdc_apply,
+    "q84_scd2_history": R.q84_scd2_history,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
@@ -194,6 +195,17 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q84_scd2_history": (
+        "WITH chg AS (SELECT o_custkey AS c_custkey, o_orderkey, "
+        "epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS valid_from_ms, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents FROM orders) "
+        "SELECT c_custkey, o_orderkey, valid_from_ms, "
+        "LEAD(valid_from_ms) OVER w AS valid_to_ms, "
+        "LEAD(valid_from_ms) OVER w IS NULL AS is_current, bal_cents "
+        "FROM chg WINDOW w AS (PARTITION BY c_custkey "
+        "ORDER BY valid_from_ms, o_orderkey) "
+        "ORDER BY c_custkey, valid_from_ms, o_orderkey"
+    ),
     "q83_cdc_apply": (
         "WITH base AS (SELECT c_custkey, c_name, "
         "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer), "
