@@ -50,6 +50,10 @@ SECTIONS = [
      "The hashing trick caps both distribution models at 1024 rows regardless of corpus size: raw and target counts are map-side-combined aggregations DOWN to the bucket space, the log-ratio table broadcast-joins back (look for BroadcastHashJoin — a shuffle join on 1024 keys would put ~1/1024 of the corpus on one reducer), and the per-doc sum runs through DECIMAL(38,18) so the hash is partition-order-proof."),
     ("ns_bm25", "BM25: corpus stats reduce to broadcast scalars",
      "df (3 rows) and avgdl (1 row) broadcast back over the term stream; the query-term filter is a literal array probe BEFORE the aggregation, so non-query tokens never leave the scan stage. Scoring is a codegen'd double expression; the per-doc sum is decimal (order-independent). Two corpus passes (stats, scores), zero corpus-sized shuffles."),
+    ("q83_cdc_apply", "MERGE INTO without a table format",
+     "The change stream reduces to latest-per-key with one window (the only changes-sized exchange), then ONE full-outer sort-merge join applies insert/update/delete/keep simultaneously — no per-branch scans, no collect. At 100 TB both sides partition on the key; AQE picks broadcast when the reduced change set is small, which is the common nightly-merge case."),
+    ("ns_chunk_dedup", "Chunk dedup: two bounded aggregations after one window",
+     "Explode → per-doc running-sum chunk ids (window partitioned on doc_id — map-local after one exchange) → chunk fingerprint aggregation (buffer bounded by chunk size, ~16 tokens) → per-fingerprint stats aggregation (map-side combined on the uniform md5 key). No pairwise chunk comparison exists anywhere — duplication falls out of the groupBy, the same way exact doc dedup does, at passage granularity."),
     ("ns_heavy_hitters", "Heavy hitters: sketch shuffle, not domain shuffle",
      "The count-min pass aggregates the token stream DOWN to ≤32 k cells map-side (one partial/final HashAggregate pair on uniform cell ids — no token-domain shuffle, no skew); the flattened sketch returns as a one-row broadcast and the candidate predicate is four element_at lookups inside the probe scan stage. Only survivors (true heavies + bounded false positives) reach the exact-count aggregation. The naive plan's shuffle grows with the distinct-token domain; this one's is fixed at the sketch size plus the survivor stream."),
     ("ns_line_filter", "Line filtering is per-row array arithmetic",
