@@ -976,3 +976,74 @@ def ns_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "pos")
     )
+
+
+PREFIX_JAC_T = 0.5  #: Jaccard threshold for the prefix-filtered join
+
+
+def ns_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. 2007) — the LOSSLESS scale path that
+    complements probabilistic MinHash-LSH: 100% recall at threshold t,
+    no tuning, no signatures.
+
+    Shape: shingle sets → global rarity order (document frequency —
+    vocabulary-sized aggregation, tiny vs corpus) → each doc keeps only
+    its p = n − ceil(t·n) + 1 RAREST shingles as its prefix → the
+    candidate self-join runs on prefix shingles only.  The prefix
+    theorem (overlap ≥ ceil(t·max(|A|,|B|)) forces a shared prefix
+    element) guarantees no pair above threshold is missed; an exact
+    intersection verify then removes candidate noise.  Hot boilerplate
+    shingles are COMMON, hence never in a rarity-ordered prefix — the
+    skew that explodes a naive shared-shingle join (and that LSH needs
+    a star-topology guard for) is excluded by construction.
+
+    Same output contract as ``ns_dedup_jaccard`` (whose shared-shingle
+    join is the oracle-tractable spelling); doc_id < 500 keeps the
+    oracle's verify join bounded at the sweep scales.
+    """
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
+    sh = materialize_once(exploded_shingles(d).distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = sh.join(df_counts, "sh")
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    with_idx = ranked.select(
+        "doc_id", "sh", F.row_number().over(w).alias("idx")
+    ).join(sizes, "doc_id")
+    p = F.col("n") - F.ceil(F.lit(PREFIX_JAC_T) * F.col("n")) + 1
+    prefix = with_idx.where(F.col("idx") <= p).select("doc_id", "sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("d2") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", jac.alias("jac"))
+        .where(F.col("jac") >= PREFIX_JAC_T)
+        .orderBy("d1", "d2")
+    )

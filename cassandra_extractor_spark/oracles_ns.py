@@ -233,6 +233,23 @@ NS_ORACLES: dict[str, str] = {
         "SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM f "
         "GROUP BY fp ORDER BY keep_id"
     ),
+    "ns_dedup_prefix_jaccard": (
+        # lossless prefix filtering => the oracle is the PLAIN exact
+        # spelling; only the doc window differs from ns_dedup_jaccard
+        f"WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 500), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) "
+        "ELSE [] END)) AS sh FROM docs), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i FROM sh a "
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) "
+        "AS jac FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+        "JOIN sizes sb ON sb.doc_id = d2 "
+        "WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5 "
+        "ORDER BY d1, d2"
+    ),
     "ns_dedup_jaccard": (
         f"WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 200), "
         "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN "

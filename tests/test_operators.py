@@ -1064,3 +1064,51 @@ def test_cdc_apply_all_branches(spark):
     )
     out2 = cdc_apply(base, changes2, "k", ["seq"], "op", ["name", "v"])
     assert {r["k"] for r in out2.collect()} == {1, 2}
+
+
+def test_prefix_jaccard_lossless_under_boilerplate_skew(spark, tmp_path):
+    """Prefix filtering must find EXACTLY the pairs the naive
+    shared-shingle join finds (100% recall), on a corpus where a
+    boilerplate shingle appears in every doc — the skew case where the
+    naive join generates O(n^2) candidate rows and the rarity-ordered
+    prefix excludes the hot shingle by construction."""
+    import itertools
+
+    boiler = "all rights reserved worldwide"
+    docs = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j} unique{i} filler{j}" for j in range(6))
+        docs.append((i, f"{body} {boiler}", "en", "s", 0))
+    # two true near-dup pairs
+    docs[10] = (10, docs[11][1] + " tiny", "en", "s", 0)
+    docs[20] = (20, docs[21][1], "en", "s", 0)
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "pj")
+    df.write.parquet(f"{d}/documents.parquet")
+    from cassandra_extractor_spark.operators.dedup import (
+        PREFIX_JAC_T,
+        exploded_shingles,
+        ns_dedup_prefix_jaccard,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["d1"], r["d2"]): r["jac"]
+        for r in ns_dedup_prefix_jaccard(spark, d).collect()
+    }
+    # brute-force truth via local sets
+    sh = exploded_shingles(load_table(spark, "documents", d).where(F.col("doc_id") < 500)).distinct()
+    sets: dict[int, set] = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= PREFIX_JAC_T:
+            want[(a, b)] = round(j, 6)
+    assert set(got) == set(want) and (10, 11) in got and (20, 21) in got
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
