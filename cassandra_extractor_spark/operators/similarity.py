@@ -520,3 +520,66 @@ def pq_topk(
 
 def ns_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_load_embeddings(spark, sf_dir))
+
+
+HARD_NEG_K = 3
+
+
+def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the examples a contrastive loss learns most from (high
+    similarity, wrong class).  The per-query positive anchor (best
+    same-label neighbor) rides along as rank 0.
+
+    Same scale shape as ``brute_topk``: query set broadcast, corpus
+    scans once with no shuffle before scoring, per-query top-k is a
+    tiny window; at real scale the scoring pass swaps to the IVF/LSH
+    candidate generators unchanged (the label predicate composes with
+    any of them).
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("label").alias("n_label"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "q_label",
+        "n_id",
+        "n_label",
+        F.round(
+            cosine_prenormed(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    negatives = (
+        scored.where(F.col("n_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= HARD_NEG_K)
+    )
+    positives = (
+        scored.where(F.col("n_label") == F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") == 1)
+        .withColumn("rank", F.lit(0).cast("long"))
+    )
+    return (
+        positives.unionByName(negatives)
+        .select("q_id", "rank", "n_id", "cos", F.col("n_label").cast("long").alias("n_label"))
+        .orderBy("q_id", "rank")
+    )

@@ -304,6 +304,28 @@ NS_ORACLES: dict[str, str] = {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
         "SELECT v1, v2, cos FROM p WHERE cos >= 0.8 ORDER BY v1, v2"
     ),
+    "ns_hard_negatives": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
+        "FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM e "
+        f"WHERE vec_id < {N_QUERIES}), "
+        f"c AS (SELECT vec_id AS n_id, emb AS n_emb, label AS n_label FROM e "
+        f"WHERE vec_id >= {N_QUERIES}), "
+        "scored AS (SELECT q_id, q_label, n_id, n_label, "
+        f"round({_cos_sql('q_emb', 'n_emb')}, 6) AS cos FROM c, q), "
+        "neg AS (SELECT q_id, n_id, cos, n_label, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored "
+        "WHERE n_label <> q_label), "
+        "pos AS (SELECT q_id, n_id, cos, n_label, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored "
+        "WHERE n_label = q_label) "
+        "SELECT q_id, CAST(0 AS BIGINT) AS rank, n_id, cos, "
+        "CAST(n_label AS BIGINT) AS n_label FROM pos WHERE rank = 1 "
+        "UNION ALL "
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cos, "
+        "CAST(n_label AS BIGINT) AS n_label FROM neg WHERE rank <= 3 "
+        "ORDER BY q_id, rank"
+    ),
     "ns_ann_cosine_topk": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
         f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}), "

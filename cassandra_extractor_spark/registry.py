@@ -44,6 +44,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
     "ns_dedup_prefix_jaccard": D.ns_dedup_prefix_jaccard,
+    "ns_hard_negatives": S.ns_hard_negatives,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
