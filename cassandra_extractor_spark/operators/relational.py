@@ -1740,3 +1740,32 @@ def q84_scd2_history(spark, sf_dir):
         )
         .orderBy("c_custkey", "valid_from_ms", "o_orderkey")
     )
+
+
+def q85_interval_lookup(spark, sf_dir):
+    """Broadcast interval-lookup join (the IP-to-geo / tariff-table
+    shape): a SMALL dimension of value ranges joins every event by
+    containment.  The dim broadcasts, so the theta condition evaluates
+    in the probe scan stage — no shuffle of the fact side, no
+    sort-merge; contrast q33's time-bucketed range join, which handles
+    the BIG-dim case.  Bands derive arithmetically (deterministic
+    literals) so both engines see the identical dimension.
+    """
+    e = load_table(spark, "events", sf_dir)
+    bands = spark.createDataFrame(
+        [(i, float(i * 100), float((i + 1) * 100), f"band_{i}") for i in range(10)],
+        "band_id long, lo double, hi double, band_name string",
+    )
+    j = e.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "left",
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("band_name"), F.lit("out_of_range")).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("band")
+    )

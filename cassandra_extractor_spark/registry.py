@@ -40,6 +40,7 @@ QUERIES: dict[str, QueryFn] = {
     "q82_rolling_median": R.q82_rolling_median,
     "q83_cdc_apply": R.q83_cdc_apply,
     "q84_scd2_history": R.q84_scd2_history,
+    "q85_interval_lookup": R.q85_interval_lookup,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
@@ -197,6 +198,15 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q85_interval_lookup": (
+        "WITH bands AS (SELECT i AS band_id, CAST(i * 100 AS DOUBLE) AS lo, "
+        "CAST((i + 1) * 100 AS DOUBLE) AS hi, 'band_' || i AS band_name "
+        "FROM range(10) t(i)) "
+        "SELECT COALESCE(band_name, 'out_of_range') AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n, MIN(event_id) AS first_event "
+        "FROM events LEFT JOIN bands ON value >= lo AND value < hi "
+        "GROUP BY band ORDER BY band"
+    ),
     "q84_scd2_history": (
         "WITH chg AS (SELECT o_custkey AS c_custkey, o_orderkey, "
         "epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS valid_from_ms, "

@@ -365,3 +365,17 @@ def test_heavy_hitters_probe_filters_in_scan_stage(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     el_pos = plan.find("element_at")
     assert agg_pos != -1 and el_pos != -1 and agg_pos < el_pos
+
+
+def test_map_only_operators_single_exchange(spark, sf_dir):
+    """ns_line_filter / ns_text_normalize are per-row array arithmetic:
+    the ONLY exchange in their plans is the oracle-contract ORDER BY
+    (rangepartitioning) — no hash shuffle anywhere."""
+    from cassandra_extractor_spark.operators.text import (
+        ns_line_filter,
+        ns_text_normalize,
+    )
+
+    for fn in (ns_line_filter, ns_text_normalize):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, fn.__name__
