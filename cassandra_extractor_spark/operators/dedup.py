@@ -1047,3 +1047,42 @@ def ns_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jac") >= PREFIX_JAC_T)
         .orderBy("d1", "d2")
     )
+
+
+def ns_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup graph — the
+    local-clustering signal that separates tight duplicate cliques
+    (template families, mirror sets) from chance pairwise collisions:
+    a doc in many triangles sits in a dense duplication neighborhood.
+
+    Standard distributed triangle enumeration: edges kept in one
+    orientation (d1 < d2), one two-hop join builds wedges, one edge
+    join closes them; each triangle (a<b<c) is found exactly once.
+    Pairs materialize once and feed all three roles.  Production note:
+    at extreme skew the id-orientation is swapped for degree
+    orientation (low→high), which bounds wedge counts by arboricity;
+    id-orientation keeps the oracle deterministic and is the identical
+    join shape.
+    """
+    pairs = materialize_once(
+        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    )
+    a, b, c = pairs.alias("a"), pairs.alias("b"), pairs.alias("c")
+    tri = (
+        a.join(b, F.col("b.d1") == F.col("a.d2"))
+        .join(
+            c,
+            (F.col("c.d1") == F.col("a.d1")) & (F.col("c.d2") == F.col("b.d2")),
+        )
+        .select(
+            F.col("a.d1").alias("x"), F.col("a.d2").alias("y"), F.col("b.d2").alias("z")
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("doc_id")
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+        .orderBy("doc_id")
+    )

@@ -1769,3 +1769,43 @@ def q85_interval_lookup(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+def q86_sequence_gaps(spark, sf_dir):
+    """Missing-key detection with compressed gap ranges — the data-
+    integrity audit (did every page/offset land?): expected ids come
+    from an exploded one-row min/max sequence, present ids anti-join
+    away, and consecutive missing ids compress to (gap_start, gap_end)
+    via the classic ``id − row_number()`` island key.
+
+    Scale shape: the expected-id explode is bounded by the key range
+    under audit (here o_orderkey ≤ 2000, the reference's page-window
+    shape, `worker.py:164-201` resume bookkeeping); the anti join
+    broadcasts the bounded expected side against the big present side.
+    """
+    keys = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderkey") <= 2000) & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey")
+    bounds = keys.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    expected = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("id")
+    )
+    missing = expected.join(
+        keys, expected.id == keys.o_orderkey, "left_anti"
+    )
+    w = W.orderBy("id")
+    grouped = missing.select(
+        "id", (F.col("id") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.min("id").alias("gap_start"),
+            F.max("id").alias("gap_end"),
+            F.count("*").cast("long").alias("n_missing"),
+        )
+        .drop("grp")
+        .orderBy("gap_start")
+    )

@@ -738,6 +738,18 @@ def _pagerank_sql() -> str:
 NS_ORACLES["ns_pagerank"] = _pagerank_sql()
 
 
+NS_ORACLES["ns_triangle_count"] = (
+    "WITH pairs AS (" + _minhash_sql() + "), "
+    "tri AS (SELECT a.d1 AS x, a.d2 AS y, b.d2 AS z "
+    "FROM pairs a JOIN pairs b ON b.d1 = a.d2 "
+    "JOIN pairs c ON c.d1 = a.d1 AND c.d2 = b.d2), "
+    "nodes AS (SELECT x AS doc_id FROM tri UNION ALL "
+    "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM nodes "
+    "GROUP BY doc_id ORDER BY doc_id"
+)
+
+
 def _lsh_sql() -> str:
     """Mirror of ``lsh_topk`` (similarity.py): the md5-derived
     hyperplanes are emitted as literal DOUBLE[] rows (repr() is the

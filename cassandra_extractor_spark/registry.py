@@ -41,11 +41,13 @@ QUERIES: dict[str, QueryFn] = {
     "q83_cdc_apply": R.q83_cdc_apply,
     "q84_scd2_history": R.q84_scd2_history,
     "q85_interval_lookup": R.q85_interval_lookup,
+    "q86_sequence_gaps": R.q86_sequence_gaps,
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
     "ns_dedup_prefix_jaccard": D.ns_dedup_prefix_jaccard,
     "ns_hard_negatives": S.ns_hard_negatives,
+    "ns_triangle_count": D.ns_triangle_count,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
@@ -198,6 +200,16 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q86_sequence_gaps": (
+        "WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus = 'O'), "
+        "b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM k), "
+        "e AS (SELECT unnest(range(mn, mx + 1)) AS id FROM b), "
+        "m AS (SELECT id FROM e WHERE id NOT IN (SELECT o_orderkey FROM k)), "
+        "g AS (SELECT id, id - ROW_NUMBER() OVER (ORDER BY id) AS grp FROM m) "
+        "SELECT MIN(id) AS gap_start, MAX(id) AS gap_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_missing "
+        "FROM g GROUP BY grp ORDER BY gap_start"
+    ),
     "q85_interval_lookup": (
         "WITH bands AS (SELECT i AS band_id, CAST(i * 100 AS DOUBLE) AS lo, "
         "CAST((i + 1) * 100 AS DOUBLE) AS hi, 'band_' || i AS band_name "
