@@ -394,3 +394,57 @@ def ns_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-loss funnel: survivor counts after each pipeline gate
+    (quality → near-dup removal → repetition → classifier) — the first
+    observability question of every corpus run ("where did my data
+    go?"), as one query.  Mirrors ``ns_training_corpus``'s gate order.
+
+    Each stage count is a one-row aggregate over the composed
+    keep-frames; the union of six one-row frames costs nothing at any
+    scale — all real work is the same scale-shaped stages the
+    individual operators document.
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.text import (
+        ns_quality_classifier,
+        ns_repetition_filter,
+        ns_text_quality,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    quality = ns_text_quality(spark, sf_dir)
+    s1 = quality.where(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)
+    ).select("doc_id")
+    dropped = (
+        ns_dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(dropped, "doc_id", "left_anti")
+    rep = ns_repetition_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    s3 = s2.join(rep, "doc_id")
+    clf = ns_quality_classifier(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    s4 = s3.join(clf, "doc_id")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+        )
+
+    return (
+        stage(0, "total", docs)
+        .unionByName(stage(1, "quality", s1))
+        .unionByName(stage(2, "dedup", s2))
+        .unionByName(stage(3, "repetition", s3))
+        .unionByName(stage(4, "classifier", s4))
+        .orderBy("stage")
+    )

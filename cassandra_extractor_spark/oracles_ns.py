@@ -1189,3 +1189,36 @@ NS_ORACLES["ns_chunk_dedup"] = (
     "CAST(MIN(n_tok) AS BIGINT) AS n_tokens, "
     "COUNT(*) >= 2 AS is_dup FROM ch GROUP BY fp ORDER BY fp"
 )
+
+
+
+def _filter_funnel_sql() -> str:
+    cluster_core = (
+        f"edges AS (SELECT d1 AS src, d2 AS dst FROM mh "
+        "UNION ALL SELECT d2, d1 FROM mh), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach(node, r) AS (SELECT node, node FROM nodes "
+        "UNION SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node), "
+        "clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node), "
+        "dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"
+    )
+    return (
+        f"WITH RECURSIVE mh AS ({_minhash_sql()}), {cluster_core}, "
+        f"qual AS (SELECT * FROM ({NS_ORACLES['ns_text_quality']})), "
+        f"rep AS (SELECT * FROM ({NS_ORACLES['ns_repetition_filter']})), "
+        f"clf AS (SELECT * FROM ({NS_ORACLES['ns_quality_classifier']})), "
+        "s1 AS (SELECT doc_id FROM qual WHERE quality >= 0.5 AND n_tokens >= 50), "
+        "s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)), "
+        "s3 AS (SELECT s2.doc_id FROM s2 JOIN rep USING (doc_id) WHERE rep.keep), "
+        "s4 AS (SELECT s3.doc_id FROM s3 JOIN clf USING (doc_id) WHERE clf.keep) "
+        "SELECT CAST(0 AS BIGINT) AS stage, 'total' AS stage_name, "
+        "CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs "
+        "UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM s1) "
+        "UNION ALL SELECT 2, 'dedup', (SELECT COUNT(*) FROM s2) "
+        "UNION ALL SELECT 3, 'repetition', (SELECT COUNT(*) FROM s3) "
+        "UNION ALL SELECT 4, 'classifier', (SELECT COUNT(*) FROM s4) "
+        "ORDER BY stage"
+    )
+
+
+NS_ORACLES["ns_filter_funnel"] = _filter_funnel_sql()

@@ -48,6 +48,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dedup_prefix_jaccard": D.ns_dedup_prefix_jaccard,
     "ns_hard_negatives": S.ns_hard_negatives,
     "ns_triangle_count": D.ns_triangle_count,
+    "ns_filter_funnel": X.ns_filter_funnel,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
