@@ -50,6 +50,8 @@ SECTIONS = [
      "The hashing trick caps both distribution models at 1024 rows regardless of corpus size: raw and target counts are map-side-combined aggregations DOWN to the bucket space, the log-ratio table broadcast-joins back (look for BroadcastHashJoin — a shuffle join on 1024 keys would put ~1/1024 of the corpus on one reducer), and the per-doc sum runs through DECIMAL(38,18) so the hash is partition-order-proof."),
     ("ns_bm25", "BM25: corpus stats reduce to broadcast scalars",
      "df (3 rows) and avgdl (1 row) broadcast back over the term stream; the query-term filter is a literal array probe BEFORE the aggregation, so non-query tokens never leave the scan stage. Scoring is a codegen'd double expression; the per-doc sum is decimal (order-independent). Two corpus passes (stats, scores), zero corpus-sized shuffles."),
+    ("ns_dedup_prefix_jaccard", "Lossless set-similarity join: prefixes exclude skew",
+     "The global rarity order costs one vocabulary-sized aggregation; each doc's candidate surface shrinks to its p = n−ceil(t·n)+1 RAREST shingles, so the self-join key distribution is anti-skewed by construction — hot boilerplate shingles are common, hence never prefix members. The exact verify join touches only surviving candidates. 100% recall at the threshold (prefix theorem), which is why the oracle is the plain exact spelling — compare ns_dedup_minhash_lsh, whose probabilistic candidates need recall tests instead."),
     ("q83_cdc_apply", "MERGE INTO without a table format",
      "The change stream reduces to latest-per-key with one window (the only changes-sized exchange), then ONE full-outer sort-merge join applies insert/update/delete/keep simultaneously — no per-branch scans, no collect. At 100 TB both sides partition on the key; AQE picks broadcast when the reduced change set is small, which is the common nightly-merge case."),
     ("ns_chunk_dedup", "Chunk dedup: two bounded aggregations after one window",
