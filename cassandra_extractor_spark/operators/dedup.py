@@ -1086,3 +1086,48 @@ def ns_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_tri"))
         .orderBy("doc_id")
     )
+
+
+def ns_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram coverage — the RefinedWeb /
+    Gopher-repetition corpus metric: what fraction of a document's
+    distinct 3-gram shingles also appear in at least one OTHER
+    document.  Documents whose shingles are mostly corpus-duplicated
+    (``dup_heavy``: ≥30 %) are boilerplate/template candidates that
+    exact dedup misses because the surrounding text differs.
+
+    Ratio is flagged by cross-multiplied integer inequality
+    (``n_dup·10 ≥ n_grams·3``) — no float division, so the oracle
+    comparison cannot drift.
+
+    Scale shape: shingles stream out of the codegen'd posexplode+lead
+    pipeline (`exploded_shingles`); the gram→doc-count aggregation is
+    map-side combined and keyed by gram (uniform md5-ish distribution,
+    no hot reducer); the count joins back on the same gram key so the
+    two shuffles share partitioning.  At 100 TB the exact gram-count
+    join can be swapped for the count-min pruned spelling
+    (`ns_heavy_hitters`) without changing this operator's contract.
+
+    Reference parity: extends the dedup family (SURVEY §2.5 north
+    star); no reference equivalent — the reference ships rows, it does
+    not score corpora (`worker.py` row loop).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    sh = exploded_shingles(d).distinct()
+    gram_docs = sh.groupBy("sh").agg(F.count("*").cast("long").alias("nd"))
+    per = (
+        sh.join(gram_docs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        (F.col("n_dup_grams") * 10 >= F.col("n_grams") * 3).alias("dup_heavy"),
+    ).orderBy("doc_id")

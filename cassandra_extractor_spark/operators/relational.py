@@ -1809,3 +1809,92 @@ def q86_sequence_gaps(spark, sf_dir):
         .drop("grp")
         .orderBy("gap_start")
     )
+
+
+def q87_dense_timeseries(spark, sf_dir):
+    """Gap-filled daily time series per event type — the dashboard /
+    downstream-ML staple where missing days must appear as zero rows,
+    not holes (the reference's stats endpoint reports per-interval
+    rates and a day with no rows still renders, `management.py:55-129`).
+
+    Spark-first shape: the dense day dimension is generated *inside*
+    the engine with ``sequence(min_day, max_day)`` + ``explode`` —
+    one row per (event_type) from a pre-aggregated bounds frame, so
+    the explode side is bounded by (#types × #days), tiny next to the
+    fact table, and AQE broadcasts it into the left join.  No driver
+    loop, no collected calendar, no Python date math.
+
+    100 TB: the fact side is touched exactly once (map-side-combined
+    groupBy); the dense dimension is O(types × days) regardless of
+    fact cardinality.
+    """
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
+    )
+    dense = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    return (
+        dense.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q88_salted_join(spark, sf_dir):
+    """Skew-salted repartition join with bit-identical results to the
+    plain join — the standard remedy when one join key carries a
+    disproportionate share of the fact rows and a single reducer
+    becomes the straggler (AQE's skew-join split handles sort-merge
+    skew at runtime; explicit salting is the portable spelling that
+    also works for pre-AQE engines and for aggregations).
+
+    Mechanics: the small/dim side (orders) is replicated SALT_N ways
+    with an explicit ``explode(sequence(0, SALT_N-1))`` salt column;
+    the fact side (lineitem) computes a *deterministic* salt
+    ``pmod(hash(l_linenumber, l_partkey), SALT_N)`` — no RNG, so the
+    query is replayable and oracle-checkable.  Joining on
+    (orderkey, salt) spreads each hot orderkey over SALT_N reducers;
+    re-aggregating afterwards restores exact per-key totals.  The
+    oracle is the UNSALTED join+agg — proving the rewrite is
+    semantics-preserving is the entire point.
+
+    100 TB: replication factor is paid only on the small side
+    (SALT_N × |orders-subset|); the skewed shuffle becomes uniform.
+    """
+    salt_n = 8
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(salt_n)).alias("salt"),
+    )
+    joined = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt),
+        "inner",
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -583,3 +583,47 @@ def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", "n_id", "cos", F.col("n_label").cast("long").alias("n_label"))
         .orderBy("q_id", "rank")
     )
+
+
+def ns_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA audit per class label — the pre-training
+    sanity gate run before any ANN/clustering job: row counts,
+    dimensionality drift (a single wrong-dim vector poisons every
+    BLAS batch), and L2-norm spread (zero-norm rows break cosine;
+    runaway norms flag un-normalized encoder output).
+
+    Exactness: the per-row norm is the shared sequential fold
+    (`dedup.norm` — same op order as the DuckDB ``list_reduce``
+    mirror, bit-identical), integerized to micro-units per row; every
+    cross-row aggregate (SUM/MIN/MAX/COUNT of BIGINT) is then
+    order-independent, so the group fold order cannot drift between
+    engines.
+
+    Scale shape: single pass, map-side-combined groupBy on label (a
+    low-cardinality key — partial aggs collapse to one row per label
+    per task before the shuffle); no join, no window, no collect.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm_u = F.round(norm(F.col("emb")) * 1e6).cast("long")
+    rows = e.select(
+        "label",
+        F.size("emb").alias("dim"),
+        nrm_u.alias("nrm_u"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("dim").cast("long").alias("dim_min"),
+            F.max("dim").cast("long").alias("dim_max"),
+            F.min("nrm_u").alias("norm_micro_min"),
+            F.max("nrm_u").alias("norm_micro_max"),
+            F.sum("nrm_u").alias("norm_micro_sum"),
+            F.sum(F.when(F.col("nrm_u") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1222,3 +1222,32 @@ def _filter_funnel_sql() -> str:
 
 
 NS_ORACLES["ns_filter_funnel"] = _filter_funnel_sql()
+
+
+NS_ORACLES["ns_dup_ngram_coverage"] = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh "
+    "FROM t WHERE len(toks) >= 3), "
+    "c AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY sh), "
+    "p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams "
+    "FROM g JOIN c USING (sh) GROUP BY doc_id) "
+    "SELECT doc_id, n_grams, n_dup_grams, "
+    "n_dup_grams * 10 >= n_grams * 3 AS dup_heavy "
+    "FROM p ORDER BY doc_id"
+)
+
+
+NS_ORACLES["ns_embedding_audit"] = (
+    "WITH v AS (SELECT label, len(embedding) AS dim, "
+    "CAST(round(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> x * x), (x, y) -> x + y)) * 1000000.0) AS BIGINT) AS nrm_u "
+    "FROM embeddings) "
+    "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+    "CAST(MIN(dim) AS BIGINT) AS dim_min, CAST(MAX(dim) AS BIGINT) AS dim_max, "
+    "MIN(nrm_u) AS norm_micro_min, MAX(nrm_u) AS norm_micro_max, "
+    "CAST(SUM(nrm_u) AS BIGINT) AS norm_micro_sum, "
+    "CAST(SUM(CASE WHEN nrm_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm "
+    "FROM v GROUP BY label ORDER BY label"
+)

@@ -35,6 +35,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
+    "q87_dense_timeseries": R.q87_dense_timeseries,
+    "q88_salted_join": R.q88_salted_join,
+    "ns_dup_ngram_coverage": D.ns_dup_ngram_coverage,
+    "ns_embedding_audit": S.ns_embedding_audit,
     "q79_window_distinct": R.q79_window_distinct,
     "q81_rank_metrics": R.q81_rank_metrics,
     "q82_rolling_median": R.q82_rolling_median,
@@ -201,6 +205,26 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q87_dense_timeseries": (
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), "
+        "b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS mn, "
+        "MAX(CAST(ts AS DATE)) AS mx FROM events GROUP BY event_type), "
+        "dense AS (SELECT event_type, CAST(unnest(generate_series(mn, mx, "
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM b) "
+        "SELECT dense.event_type, dense.day, "
+        "COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events "
+        "FROM dense LEFT JOIN daily USING (event_type, day) "
+        "ORDER BY event_type, day"
+    ),
+    "q88_salted_join": (
+        "SELECT o_orderkey, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderkey <= 4000 "
+        "GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey"
+    ),
     "q86_sequence_gaps": (
         "WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus = 'O'), "
         "b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM k), "

@@ -379,3 +379,48 @@ def test_map_only_operators_single_exchange(spark, sf_dir):
     for fn in (ns_line_filter, ns_text_normalize):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning" not in plan, fn.__name__
+
+
+def test_q88_salted_join_matches_plain_join(spark, sf_dir):
+    """The salted rewrite is semantics-preserving: identical rows to the
+    unsalted join+agg, and the executed plan really carries the salt
+    explode (the dim side is replicated, not broadcast-collapsed)."""
+    from cassandra_extractor_spark.operators.relational import q88_salted_join, _t
+
+    salted = q88_salted_join(spark, sf_dir)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan, plan  # explode(sequence(0, SALT_N-1)) survived
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000)
+    l = _t(spark, sf_dir, "lineitem")
+    plain = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+    assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_q87_dense_timeseries_fills_gaps_with_zero(spark, sf_dir):
+    """Every (event_type, day) between that type's min and max day is
+    present exactly once; days absent from the fact table carry 0."""
+    from cassandra_extractor_spark.operators.relational import q87_dense_timeseries
+
+    out = q87_dense_timeseries(spark, sf_dir).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        days = [r.day for r in rows]
+        assert len(days) == (max(days) - min(days)).days + 1  # dense
+        assert len(set(days)) == len(days)  # no dupes
+    assert all(r.n_events >= 0 for r in out)
+    assert any(r.n_events == 0 for r in out) or all(
+        len(v) == sum(1 for r in v if r.n_events > 0) for v in by_type.values()
+    )
