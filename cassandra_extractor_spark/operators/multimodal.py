@@ -8,9 +8,12 @@ all pure-stdlib(+numpy): PNG decode (``decode_png``: inflate + unfilter
 decode/encode (``jpegcodec``: Huffman entropy decode, dequant, IDCT,
 chroma upsample, written from ITU-T T.81), nearest-neighbor resize for
 both formats, and RIFF/WAV audio features (stdlib ``wave``: true
-rate/frames/RMS).  Video codecs don't exist in this container, so frame
-*decode* raises ``NotImplementedError`` (MP4 container metadata IS
-parsed for real — see ``parse_mp4_meta``); every operator is paired with a
+rate/frames/RMS), MP4 container metadata (``parse_mp4_meta``), and
+video frame sampling for Motion-JPEG MP4s (``build_mjpeg_mp4`` /
+``demux_mp4_samples`` / ``sample_frames(real=True)``: the container's
+own sample table yields per-frame byte ranges and each sampled frame
+is fully Huffman+IDCT-decoded).  Inter-coded bitstreams (H.264 …)
+remain honestly out of scope; every operator is paired with a
 clearly-marked deterministic fake exercising the identical plumbing.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
@@ -424,17 +427,166 @@ def extract_video_meta(df: DataFrame, id_col: str, binary_col: str) -> DataFrame
     )
 
 
+def _full_box(btype: bytes, body: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_mjpeg_mp4(
+    frames: list[tuple[int, int, int, bytes]], fps: int = 30, quality: int = 90
+) -> bytes:
+    """Mux frames (each ``(width, height, channels, pixels)``) into a
+    REAL Motion-JPEG MP4: each sample is an in-repo ``encode_jpeg``
+    bitstream; the container carries the full sample table (``stsd``
+    'jpeg' VisualSampleEntry + ``stts``/``stsc``/``stsz``/``stco``) per
+    ISO/IEC 14496-12 §8.5-8.7, so any demuxer — ours included — can
+    recover exact per-frame byte ranges.  Pure stdlib + the in-repo
+    JPEG encoder; built from the public spec (reference parity:
+    the reference treats media as opaque blobs end-to-end,
+    `worker.py` row loop; this is the decode surface it lacks)."""
+    import struct as _s
+
+    from cassandra_extractor_spark.operators.jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("MJPEG mux: need at least one frame")
+    w0, h0 = frames[0][0], frames[0][1]
+    samples = [encode_jpeg(w, h, c, px, quality=quality) for (w, h, c, px) in frames]
+    ftyp = _full_box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isommp42")
+    timescale = fps
+    duration = len(samples)
+    mvhd = _full_box(
+        b"mvhd",
+        b"\x00" * 4 + _s.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80,
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        b"\x00" * 4
+        + _s.pack(">IIII", 0, 0, 1, 0)
+        + _s.pack(">I", duration)
+        + b"\x00" * 16
+        + b"\x00" * 36
+        + _s.pack(">II", w0 << 16, h0 << 16),
+    )
+    hdlr = _full_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    # VisualSampleEntry('jpeg'): 6 reserved + data_ref_idx, 16 predefined,
+    # dims, 72 dpi fixed-point, frame_count=1, 32-byte name, depth, -1
+    entry = _full_box(
+        b"jpeg",
+        b"\x00" * 6
+        + _s.pack(">H", 1)
+        + b"\x00" * 16
+        + _s.pack(">HH", w0, h0)
+        + _s.pack(">II", 72 << 16, 72 << 16)
+        + b"\x00" * 4
+        + _s.pack(">H", 1)
+        + b"\x00" * 32
+        + _s.pack(">Hh", 24, -1),
+    )
+    stsd = _full_box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", b"\x00" * 4 + _s.pack(">III", 1, len(samples), 1))
+    stsc = _full_box(b"stsc", b"\x00" * 4 + _s.pack(">IIII", 1, 1, len(samples), 1))
+    stsz = _full_box(
+        b"stsz",
+        b"\x00" * 4
+        + _s.pack(">II", 0, len(samples))
+        + b"".join(_s.pack(">I", len(sm)) for sm in samples),
+    )
+    # stco holds the absolute offset of the single chunk (mdat body);
+    # moov size is known once stco's own fixed size is counted in.
+    stbl_wo_stco = stsd + stts + stsc + stsz
+    stco_size = 8 + 4 + 4 + 4
+    minf_sz = 8 + (8 + len(stbl_wo_stco) + stco_size)
+    mdia_sz = 8 + len(hdlr) + minf_sz
+    trak_sz = 8 + len(tkhd) + mdia_sz
+    moov_sz = 8 + len(mvhd) + trak_sz
+    chunk_off = len(ftyp) + moov_sz + 8
+    stco = _full_box(b"stco", b"\x00" * 4 + _s.pack(">II", 1, chunk_off))
+    stbl = _full_box(b"stbl", stbl_wo_stco + stco)
+    minf = _full_box(b"minf", stbl)
+    mdia = _full_box(b"mdia", hdlr + minf)
+    trak = _full_box(b"trak", tkhd + mdia)
+    moov = _full_box(b"moov", mvhd + trak)
+    assert len(moov) == moov_sz, (len(moov), moov_sz)
+    mdat = _full_box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat
+
+
+def demux_mp4_samples(data: bytes) -> list[bytes]:
+    """REAL sample demux: walk moov→trak('vide')→stbl, read the
+    ``stsz`` size table + ``stco`` chunk offset (single-chunk layout,
+    the shape ``build_mjpeg_mp4`` writes and most MJPEG muxers use) and
+    slice each sample's exact byte range out of ``mdat``."""
+    import struct as _s
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    sizes: list[int] | None = None
+    offset: int | None = None
+    for btype, body, bend in _mp4_boxes(data, 0, len(data)):
+        if btype != "moov":
+            continue
+        for mtype, mbody, mend in _mp4_boxes(data, body, bend):
+            if mtype != "trak":
+                continue
+            handler, tsizes, toff = None, None, None
+            for ttype, tbody, tend in _mp4_boxes(data, mbody, mend):
+                if ttype != "mdia":
+                    continue
+                for dtype, dbody, dend in _mp4_boxes(data, tbody, tend):
+                    if dtype == "hdlr":
+                        handler = data[dbody + 8 : dbody + 12]
+                    elif dtype == "minf":
+                        for st, sb, se in _mp4_boxes(data, dbody, dend):
+                            if st != "stbl":
+                                continue
+                            for s2, b2, e2 in _mp4_boxes(data, sb, se):
+                                if s2 == "stsz":
+                                    fixed, n = _s.unpack(">II", data[b2 + 4 : b2 + 12])
+                                    if fixed:
+                                        tsizes = [fixed] * n
+                                    else:
+                                        tsizes = list(
+                                            _s.unpack(
+                                                f">{n}I", data[b2 + 12 : b2 + 12 + 4 * n]
+                                            )
+                                        )
+                                elif s2 == "stco":
+                                    (nc,) = _s.unpack(">I", data[b2 + 4 : b2 + 8])
+                                    if nc != 1:
+                                        raise ValueError(
+                                            "demux: only single-chunk stco supported"
+                                        )
+                                    (toff,) = _s.unpack(">I", data[b2 + 8 : b2 + 12])
+            if handler == b"vide" and tsizes is not None and toff is not None:
+                sizes, offset = tsizes, toff
+    if sizes is None or offset is None:
+        raise ValueError("demux: no video track with stsz+stco found")
+    out, pos = [], offset
+    for sz in sizes:
+        out.append(bytes(data[pos : pos + sz]))
+        pos += sz
+    return out
+
+
 def sample_frames(
     df: DataFrame, id_col: str, binary_col: str, every_n: int = 30, real: bool = False
 ) -> DataFrame:
     """Sample every-nth video frame → (id, frame_idx, frame binary).
 
-    Same contract as ``decode_images``: real codec path is stubbed, the
-    deterministic fake emits hash-slices so partitioning/fan-out shape
-    (one input row → many frame rows) is exercised.
+    ``real=True`` is a REAL demux+decode path for Motion-JPEG MP4s:
+    per-frame byte ranges come from the container's own sample table
+    (``demux_mp4_samples``), every n-th sample's JPEG bitstream is
+    fully decoded with the in-repo baseline decoder (actual Huffman +
+    IDCT — validating the frame, not sniffing it), and the emitted
+    ``frame`` binary is the verbatim JPEG sample, ready for
+    ``decode_images(real=True)`` downstream.  Inter-coded codecs
+    (H.264 etc.) are out of scope — the demux raises on missing JPEG
+    magic rather than emitting garbage.  The default fake emits
+    deterministic hash-slices so the Arrow fan-out shape (one input
+    row → many frame rows) is exercised without any codec.
     """
-    if real:
-        raise NotImplementedError("video codecs are not available in this environment")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -442,6 +594,31 @@ def sample_frames(
             T.StructField("frame", T.BinaryType()),
         ]
     )
+    if real:
+
+        def real_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
+
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                    samples = demux_mp4_samples(bytes(payload))
+                    for i in range(0, len(samples), max(every_n, 1)):
+                        decode_jpeg(samples[i])  # full decode or raise
+                        ids.append(int(doc_id))
+                        idxs.append(i)
+                        frames.append(samples[i])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame": frames,
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            real_frames, schema=schema
+        )
 
     def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -99,3 +99,71 @@ def test_extract_video_meta_dataframe(spark):
     assert (out[1]["width"], out[1]["height"]) == (1920, 1080)
     assert out[2]["duration_s"] == pytest.approx(3.0)
     assert out[2]["n_tracks"] == 1
+
+
+def test_mjpeg_mp4_mux_demux_roundtrip():
+    """build_mjpeg_mp4 emits a container our own metadata parser reads
+    (codec 'jpeg', correct dims) and whose sample table demuxes back to
+    the exact per-frame JPEG bitstreams."""
+    import numpy as np
+
+    from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
+    from cassandra_extractor_spark.operators.multimodal import (
+        build_mjpeg_mp4,
+        demux_mp4_samples,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for _ in range(5):
+        px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        frames.append((32, 24, 3, px.tobytes()))
+    mp4 = build_mjpeg_mp4(frames, fps=10, quality=95)
+
+    m = parse_mp4_meta(mp4)
+    vid = next(t for t in m["tracks"] if t.get("handler") == "vide")
+    assert vid["codec"] == "jpeg"
+    assert (vid["width"], vid["height"]) == (32, 24)
+    assert m["duration_s"] == 0.5  # 5 frames at 10 fps
+
+    samples = demux_mp4_samples(mp4)
+    assert len(samples) == 5
+    for sm, (w, h, c, px) in zip(samples, frames):
+        assert sm[:2] == b"\xff\xd8"  # each sample is a standalone JPEG
+        dw, dh, dc, dpx = decode_jpeg(sm)
+        assert (dw, dh, dc) == (w, h, c)
+        err = np.abs(
+            np.frombuffer(dpx, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        )
+        assert err.mean() < 12  # q95 lossy bound
+
+
+def test_sample_frames_real_decodes_actual_video(spark):
+    """sample_frames(real=True) on a Spark frame of MJPEG videos: frame
+    rows come from the container's sample table (not a fake slice) and
+    each emitted frame decodes to the muxed dimensions."""
+    import numpy as np
+
+    from cassandra_extractor_spark.operators.jpegcodec import decode_jpeg
+    from cassandra_extractor_spark.operators.multimodal import (
+        build_mjpeg_mp4,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for doc_id, n_frames in [(1, 6), (2, 9)]:
+        frames = [
+            (16, 16, 3, rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes())
+            for _ in range(n_frames)
+        ]
+        rows.append(Row(doc_id=doc_id, payload=build_mjpeg_mp4(frames, fps=3)))
+    df = spark.createDataFrame(rows)
+
+    out = sample_frames(df, "doc_id", "payload", every_n=3, real=True).collect()
+    got = {(r.doc_id, r.frame_idx) for r in out}
+    assert got == {(1, 0), (1, 3), (2, 0), (2, 3), (2, 6)}
+    for r in out:
+        w, h, c, _px = decode_jpeg(bytes(r.frame))
+        assert (w, h, c) == (16, 16, 3)
