@@ -1898,3 +1898,62 @@ def q88_salted_join(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+def q89_grouped_quantiles(spark, sf_dir):
+    """Per-group discrete quantile profile (p25/p50/p75/p95 of order
+    value by order status) — the grouped form of q44b's mergeable GK
+    sketch: each task keeps one O(accuracy) sketch per group, partial
+    sketches merge map-side, and no reducer ever buffers a group's
+    raw column.  Max accuracy makes the sketch exact (== DuckDB
+    ``quantile_disc`` per group); production dials it down for
+    O(accuracy) memory with rank error ≤ N/accuracy — the plan shape
+    is identical either way.
+    """
+    acc = 2147483647
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.percentile_approx("o_totalprice", 0.25, acc).alias("p25"),
+            F.percentile_approx("o_totalprice", 0.5, acc).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.75, acc).alias("p75"),
+            F.percentile_approx("o_totalprice", 0.95, acc).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q90_time_rollup(spark, sf_dir):
+    """Calendar-hierarchy rollup (year → month → day) over the event
+    stream — the hypertable/continuous-aggregate shape: one scan, one
+    shuffle, and every hierarchy level materializes from the same
+    partial aggregates (ROLLUP expands grouping sets inside the
+    aggregate, not as N self-reads).  Value sums integerize to cents
+    first so the DOUBLE fold order can't drift between engines.
+
+    100 TB: this is the backfill form of a streaming continuous
+    aggregate — the windowed-stream variant lives in
+    `streaming/pipeline.py`; both share the bucketing expressions.
+    """
+    e = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return (
+        e.select(
+            F.year(d).cast("long").alias("y"),
+            F.month(d).cast("long").alias("m"),
+            F.dayofmonth(d).cast("long").alias("dom"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .rollup("y", "m", "dom")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .orderBy(
+            F.col("y").asc_nulls_last(),
+            F.col("m").asc_nulls_last(),
+            F.col("dom").asc_nulls_last(),
+        )
+    )

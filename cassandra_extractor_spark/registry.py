@@ -35,6 +35,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
+    "q89_grouped_quantiles": R.q89_grouped_quantiles,
+    "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
     "ns_dup_ngram_coverage": D.ns_dup_ngram_coverage,
@@ -205,6 +207,24 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q89_grouped_quantiles": (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "quantile_disc(o_totalprice, 0.25) AS p25, "
+        "quantile_disc(o_totalprice, 0.5) AS p50, "
+        "quantile_disc(o_totalprice, 0.75) AS p75, "
+        "quantile_disc(o_totalprice, 0.95) AS p95 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "q90_time_rollup": (
+        "WITH e AS (SELECT EXTRACT(YEAR FROM CAST(ts AS DATE)) AS y, "
+        "EXTRACT(MONTH FROM CAST(ts AS DATE)) AS m, "
+        "EXTRACT(DAY FROM CAST(ts AS DATE)) AS dom, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT y, m, dom, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(cents) AS BIGINT) AS value_cents "
+        "FROM e GROUP BY ROLLUP(y, m, dom) "
+        "ORDER BY y NULLS LAST, m NULLS LAST, dom NULLS LAST"
+    ),
     "q87_dense_timeseries": (
         "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), "
