@@ -424,3 +424,42 @@ def test_q87_dense_timeseries_fills_gaps_with_zero(spark, sf_dir):
     assert any(r.n_events == 0 for r in out) or all(
         len(v) == sum(1 for r in v if r.n_events > 0) for v in by_type.values()
     )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """At scale the fallback for hot join keys is AQE's runtime skew
+    split (q88's explicit salting is the portable spelling; this pins
+    the engine-native one): with broadcast off and skew thresholds
+    scaled to test data, a sort-merge join against a 90 %-one-key fact
+    side must execute with skew=true splits in the final adaptive plan.
+    """
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        joined = fact.join(dim, "k")
+        # materialize THIS DataFrame's query execution (count() would
+        # plan a separate one), then read the finalized adaptive plan
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
