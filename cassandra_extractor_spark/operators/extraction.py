@@ -448,3 +448,53 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "classifier", s4))
         .orderBy("stage")
     )
+
+
+def ns_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/partition-key skew audit — the pre-flight check a 100 TB
+    job runs before choosing a join strategy: per candidate key, the
+    key cardinality, row volume, hottest-key count, and the discrete
+    p50/p99 of the per-key count distribution.  ``max_cnt`` ≫
+    ``p99_cnt`` is the signal to reach for q88's salting / AQE's skew
+    split; ``n_keys`` vs broadcast threshold decides build-side
+    strategy.
+
+    Exactness: per-key counts are BIGINT; the distribution quantiles
+    use the mergeable GK sketch at max accuracy (exact, == DuckDB
+    ``quantile_disc`` — same spelling as q44b/q89), so every output
+    cell is integer and order-independent.
+
+    Scale shape: one map-side-combined groupBy per audited key, then a
+    single-row sketch aggregate over the (much smaller) per-key count
+    frame; the three audits are independent subtrees unioned at the
+    end — no cross-key shuffle, nothing driver-side.
+    """
+    acc = 2147483647
+
+    def profile(df: DataFrame, key_name: str, col: str) -> DataFrame:
+        c = df.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        return c.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.percentile_approx("cnt", 0.5, acc).alias("p50_cnt"),
+            F.percentile_approx("cnt", 0.99, acc).alias("p99_cnt"),
+        ).select(
+            F.lit(key_name).alias("key"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+        )
+
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    out = (
+        profile(ev, "events.user_id", "user_id")
+        .unionByName(profile(ev, "events.event_type", "event_type"))
+        .unionByName(profile(orders, "orders.o_custkey", "o_custkey"))
+        .unionByName(profile(li, "lineitem.l_orderkey", "l_orderkey"))
+    )
+    return out.orderBy("key")

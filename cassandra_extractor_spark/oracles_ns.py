@@ -1251,3 +1251,26 @@ NS_ORACLES["ns_embedding_audit"] = (
     "CAST(SUM(CASE WHEN nrm_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm "
     "FROM v GROUP BY label ORDER BY label"
 )
+
+
+def _skew_profile_sql(key_name: str, table: str, col: str) -> str:
+    return (
+        f"SELECT '{key_name}' AS key, CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt, "
+        "quantile_disc(cnt, 0.5) AS p50_cnt, quantile_disc(cnt, 0.99) AS p99_cnt "
+        f"FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM {table} GROUP BY {col})"
+    )
+
+
+NS_ORACLES["ns_skew_audit"] = (
+    "SELECT * FROM ("
+    + _skew_profile_sql("events.user_id", "events", "user_id")
+    + " UNION ALL "
+    + _skew_profile_sql("events.event_type", "events", "event_type")
+    + " UNION ALL "
+    + _skew_profile_sql("orders.o_custkey", "orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_profile_sql("lineitem.l_orderkey", "lineitem", "l_orderkey")
+    + ") ORDER BY key"
+)

@@ -36,6 +36,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
+    "ns_skew_audit": X.ns_skew_audit,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
