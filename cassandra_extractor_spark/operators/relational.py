@@ -1957,3 +1957,34 @@ def q90_time_rollup(spark, sf_dir):
             F.col("dom").asc_nulls_last(),
         )
     )
+
+
+def q91_grouping_id(spark, sf_dir):
+    """GROUPING SETS with explicit grouping indicators — the cube/rollup
+    companion that lets a consumer distinguish "NULL because subtotal"
+    from "NULL in the data" (`grouping()` per column; both engines
+    implement the SQL-standard semantics).  Same single-scan grouping-
+    sets expansion as q37; the indicator is computed inside the
+    aggregate, not via self-joins.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+            "g_flag",
+            "g_status",
+        )
+    )

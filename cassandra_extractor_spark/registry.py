@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
     "ns_skew_audit": X.ns_skew_audit,
+    "q91_grouping_id": R.q91_grouping_id,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
@@ -208,6 +209,17 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q91_grouping_id": (
+        "WITH li AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem) "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, "
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS cents "
+        "FROM li GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST, "
+        "g_flag, g_status"
+    ),
     "q89_grouped_quantiles": (
         "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
         "quantile_disc(o_totalprice, 0.25) AS p25, "
