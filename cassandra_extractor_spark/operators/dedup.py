@@ -1131,3 +1131,34 @@ def ns_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_grams",
         (F.col("n_dup_grams") * 10 >= F.col("n_grams") * 3).alias("dup_heavy"),
     ).orderBy("doc_id")
+
+
+def write_signature_store(
+    bands: DataFrame, table_name: str, n_buckets: int = 16
+) -> None:
+    """Persist LSH band signatures as a bucketed+sorted table keyed on
+    (band, sig) — the durable corpus-side half of incremental dedup.
+    Bucketing pre-shuffles the store ONCE at write time; every future
+    batch join against it shuffles only the (small) arriving batch to
+    the store's bucket layout, never the corpus (plan asserted in
+    ``tests/test_scale.py::test_signature_store_join_never_shuffles_the_store``).
+
+    At 100 TB this is the difference between an O(batch) nightly job
+    and re-shuffling a petabyte signature table per batch; append new
+    batches with ``mode("append")`` on the same bucket spec.
+    """
+    from cassandra_extractor_spark.operators.scale import write_bucketed
+
+    write_bucketed(bands, table_name, ["band", "sig"], n_buckets, sort_cols=["band", "sig"])
+
+
+def incremental_dedup_against_store(
+    spark: SparkSession, table_name: str, new_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection against the persisted signature
+    store: sign the batch once, bucket-join it to the store (store side
+    scan is shuffle-free by bucket layout), self-join within the batch.
+    Returns ``(dup_pairs, new_bands)``; append ``new_bands`` to the
+    store table to absorb the batch."""
+    base = spark.table(table_name)
+    return incremental_dedup(base, new_docs)

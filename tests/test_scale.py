@@ -463,3 +463,44 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_signature_store_join_never_shuffles_the_store(spark, sf_dir):
+    """Persisted-signature incremental dedup: the store side of the
+    bucket join must read WITHOUT an Exchange (bucketed layout reused);
+    results must equal the in-memory incremental_dedup on the same
+    split."""
+    from cassandra_extractor_spark.operators.dedup import (
+        bands_for,
+        incremental_dedup,
+        incremental_dedup_against_store,
+        minhash_signatures_for,
+        write_signature_store,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base_docs = docs.where(F.col("doc_id") >= 250)
+    new_docs = docs.where(F.col("doc_id") < 250)
+    base_bands = bands_for(minhash_signatures_for(base_docs))
+    write_signature_store(base_bands, "sig_store_t", n_buckets=8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs, _nb = incremental_dedup_against_store(spark, "sig_store_t", new_docs)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # the store-side scan appears with its bucket layout and no
+        # Exchange between it and the join: Sort sits DIRECTLY over the
+        # bucketed FileScan (batch side is the only exchange)
+        import re
+
+        assert re.search(
+            r"Sort \[band[^\n]*\n[^\n]*Filter[^\n]*\n"
+            r"([^\n]*ColumnarToRow\n)?[^\n]*FileScan parquet[^\n]*Bucketed: true",
+            plan,
+        ), plan[:3000]
+        store_rows = {tuple(r) for r in pairs.collect()}
+        mem_pairs, _ = incremental_dedup(base_bands, new_docs)
+        assert store_rows == {tuple(r) for r in mem_pairs.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS sig_store_t")
