@@ -1988,3 +1988,40 @@ def q91_grouping_id(spark, sf_dir):
             "g_status",
         )
     )
+
+
+def q92_ohlc_resample(spark, sf_dir):
+    """OHLC bar resampling (open/high/low/close per type×day) — the
+    canonical time-series downsample, spelled as a single
+    map-side-combined aggregate: ``min_by``/``max_by`` carry the
+    first/last value out of the partial aggs directly, so there is no
+    per-group sort, no window over the full stream, and one shuffle
+    keyed by (type, day).
+
+    Determinism: ties on ``ts`` are broken by event_id via a
+    lexicographic zero-padded (epoch_ms, event_id) string key —
+    total order, so both engines pick the identical open/close even
+    on colliding timestamps (composite arg_min isn't portable).
+    Values integerize to cents first.
+    """
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    k = F.concat(
+        F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            "event_type", day.alias("day"), cents.alias("cents"), k.alias("k")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(cents, k)").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, k)").alias("close_cents"),
+            F.count("*").cast("long").alias("n_trades"),
+        )
+        .orderBy("event_type", "day")
+    )

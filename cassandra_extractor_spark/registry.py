@@ -38,6 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
     "ns_skew_audit": X.ns_skew_audit,
     "q91_grouping_id": R.q91_grouping_id,
+    "q92_ohlc_resample": R.q92_ohlc_resample,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
@@ -209,6 +210,16 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q92_ohlc_resample": (
+        "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(round(value * 100) AS BIGINT) AS cents, "
+        "lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0') || "
+        "lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events) "
+        "SELECT event_type, day, arg_min(cents, k) AS open_cents, "
+        "MAX(cents) AS high_cents, MIN(cents) AS low_cents, "
+        "arg_max(cents, k) AS close_cents, CAST(COUNT(*) AS BIGINT) AS n_trades "
+        "FROM e GROUP BY event_type, day ORDER BY event_type, day"
+    ),
     "q91_grouping_id": (
         "WITH li AS (SELECT l_returnflag, l_linestatus, "
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem) "
