@@ -2025,3 +2025,59 @@ def q92_ohlc_resample(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+def q93_column_profile(spark, sf_dir):
+    """ANALYZE-style column statistics in ONE scan — the catalog-stats
+    pass every CBO needs (row count, null count, exact NDV per
+    column), computed as a single multi-aggregate over orders and then
+    unpivoted to (column, metric) long form with ``stack``.  Multiple
+    exact count-distincts in one aggregate go through Spark's expand —
+    one scan, k× rows into the partial aggs, still map-side combined;
+    the production variant swaps NDV to HLL sketches (q38's spelling)
+    when k×|rows| dominates.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nulls_{c}, nd_{c}" for c in cols)
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nulls, n_distinct)",
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    )
+
+
+def q94_rank_distributions(spark, sf_dir):
+    """Distribution-rank window functions (percent_rank, cume_dist,
+    ntile) over order value per status — the SQL-standard trio beyond
+    row_number/rank (both engines implement the same
+    ``(rank-1)/(n-1)`` / ``peers/n`` definitions; the division is a
+    single double op, bit-identical).  One shuffle on the partition
+    key, in-partition sort, no global ordering.
+    """
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -39,6 +39,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_skew_audit": X.ns_skew_audit,
     "q91_grouping_id": R.q91_grouping_id,
     "q92_ohlc_resample": R.q92_ohlc_resample,
+    "q93_column_profile": R.q93_column_profile,
+    "q94_rank_distributions": R.q94_rank_distributions,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
@@ -210,6 +212,34 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q93_column_profile": (
+        "WITH w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey, "
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_o_orderkey, "
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey, "
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_o_custkey, "
+        "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderstatus, "
+        "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_o_orderstatus, "
+        "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice, "
+        "CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_o_totalprice "
+        "FROM orders) "
+        "SELECT col_name, n_rows, n_nulls, n_distinct FROM (" 
+        "SELECT 'o_orderkey' AS col_name, n_rows, nulls_o_orderkey AS n_nulls, nd_o_orderkey AS n_distinct FROM w "
+        "UNION ALL SELECT 'o_custkey', n_rows, nulls_o_custkey, nd_o_custkey FROM w "
+        "UNION ALL SELECT 'o_orderstatus', n_rows, nulls_o_orderstatus, nd_o_orderstatus FROM w "
+        "UNION ALL SELECT 'o_totalprice', n_rows, nulls_o_totalprice, nd_o_totalprice FROM w"
+        ") ORDER BY col_name"
+    ),
+    "q94_rank_distributions": (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+        "round(percent_rank() OVER w, 6) AS pr, "
+        "round(cume_dist() OVER w, 6) AS cd, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) "
+        "ORDER BY o_orderkey"
+    ),
     "q92_ohlc_resample": (
         "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "
         "CAST(round(value * 100) AS BIGINT) AS cents, "
