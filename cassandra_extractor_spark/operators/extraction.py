@@ -402,10 +402,14 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     observability question of every corpus run ("where did my data
     go?"), as one query.  Mirrors ``ns_training_corpus``'s gate order.
 
-    Each stage count is a one-row aggregate over the composed
-    keep-frames; the union of six one-row frames costs nothing at any
-    scale — all real work is the same scale-shaped stages the
-    individual operators document.
+    Every gate is evaluated ONCE: the four keep-sets left-join onto the
+    doc spine as boolean flags, and all five survivor counts come out
+    of a single conditional aggregate over that one flag frame (then
+    ``stack`` to long form).  The naive spelling — one aggregate per
+    stage over the composed frames — recomputes the LSH clustering
+    three times and the quality pass four times; at any scale that
+    multiplies the dominant cost by the number of stages for zero
+    extra information.
     """
     from pyspark.sql import functions as F
 
@@ -418,34 +422,51 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    quality = ns_text_quality(spark, sf_dir)
-    s1 = quality.where(
-        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)
-    ).select("doc_id")
+    s1 = (
+        ns_text_quality(spark, sf_dir)
+        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50))
+        .select("doc_id", F.lit(True).alias("q"))
+    )
     dropped = (
         ns_dedup_clusters(spark, sf_dir)
         .where(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("dd"))
     )
-    s2 = s1.join(dropped, "doc_id", "left_anti")
-    rep = ns_repetition_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
-    s3 = s2.join(rep, "doc_id")
-    clf = ns_quality_classifier(spark, sf_dir).where(F.col("keep")).select("doc_id")
-    s4 = s3.join(clf, "doc_id")
-
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(i).cast("long").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            "n_docs",
-        )
-
+    rep = (
+        ns_repetition_filter(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id", F.lit(True).alias("r"))
+    )
+    clf = (
+        ns_quality_classifier(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id", F.lit(True).alias("c"))
+    )
+    flags = (
+        docs.join(s1, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(clf, "doc_id", "left")
+    )
+    keep1 = F.col("q").isNotNull()
+    keep2 = keep1 & F.col("dd").isNull()
+    keep3 = keep2 & F.col("r").isNotNull()
+    keep4 = keep3 & F.col("c").isNotNull()
+    cnt = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    wide = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        cnt(keep1).alias("n1"),
+        cnt(keep2).alias("n2"),
+        cnt(keep3).alias("n3"),
+        cnt(keep4).alias("n4"),
+    )
     return (
-        stage(0, "total", docs)
-        .unionByName(stage(1, "quality", s1))
-        .unionByName(stage(2, "dedup", s2))
-        .unionByName(stage(3, "repetition", s3))
-        .unionByName(stage(4, "classifier", s4))
+        wide.selectExpr(
+            "stack(5, 0, 'total', n0, 1, 'quality', n1, 2, 'dedup', n2, "
+            "3, 'repetition', n3, 4, 'classifier', n4) "
+            "AS (stage, stage_name, n_docs)"
+        )
+        .select(F.col("stage").cast("long"), "stage_name", "n_docs")
         .orderBy("stage")
     )
 
