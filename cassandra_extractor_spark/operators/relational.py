@@ -2081,3 +2081,74 @@ def q94_rank_distributions(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+def q95_event_pattern(spark, sf_dir):
+    """Sequence-pattern matching over per-user event streams
+    (MATCH_RECOGNIZE-lite): each user's events collapse — in total
+    (ts, event_id) order — to a compact symbol string, and conversion
+    patterns are counted with a regex over that string.  This is the
+    complex-event-processing shape that row-by-row engines do with
+    per-stream state machines (the reference has no answer to it);
+    here it is one groupBy plus codegen'd string ops.
+
+    Determinism: the symbol string is built by sorting the collected
+    (ts, event_id, symbol) structs — a total order, so both engines
+    produce the identical string even with duplicate timestamps.
+
+    Scale shape: one shuffle on user_id; per-user state is the
+    symbol string (bounded by events-per-user, the same bound any
+    CEP engine carries).  The regex runs once per user, not per event.
+    """
+    e = _t(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), sym.alias("s")))
+            ),
+            lambda x: x["s"],
+        ),
+        "",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.regexp_count("seq", F.lit("vcp")).cast("long").alias("n_conversions"),
+        )
+        .where(F.col("n_conversions") > 0)
+        .orderBy("user_id")
+    )
+
+
+def q96_relational_division(spark, sf_dir):
+    """Relational division — "customers who placed orders in EVERY
+    order-priority class" (the FOR ALL quantifier, the classic gap in
+    SQL's operator set): spelled as distinct-count-equals-universe,
+    which is one map-side-combined aggregate instead of the textbook
+    double-NOT-EXISTS correlated subquery (which plans as two nested
+    anti joins).
+
+    Scale shape: the universe size is a one-row broadcast scalar; the
+    main pass is groupBy(custkey) over distinct (custkey, priority) —
+    two shuffles total, no correlated re-scans.
+    """
+    o = _t(spark, sf_dir, "orders")
+    universe = o.select("o_orderpriority").distinct().agg(
+        F.count("*").alias("k")
+    )
+    per_cust = (
+        o.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_classes"))
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .where(F.col("n_classes") == F.col("k"))
+        .select("o_custkey", "n_classes")
+        .orderBy("o_custkey")
+    )

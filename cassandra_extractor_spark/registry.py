@@ -41,6 +41,8 @@ QUERIES: dict[str, QueryFn] = {
     "q92_ohlc_resample": R.q92_ohlc_resample,
     "q93_column_profile": R.q93_column_profile,
     "q94_rank_distributions": R.q94_rank_distributions,
+    "q95_event_pattern": R.q95_event_pattern,
+    "q96_relational_division": R.q96_relational_division,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
     "q88_salted_join": R.q88_salted_join,
@@ -212,6 +214,21 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q95_event_pattern": (
+        "WITH s AS (SELECT user_id, "
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+        "FROM events GROUP BY user_id) "
+        "SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events, "
+        "CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_conversions "
+        "FROM s WHERE len(regexp_extract_all(seq, 'vcp')) > 0 ORDER BY user_id"
+    ),
+    "q96_relational_division": (
+        "WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS k FROM orders), "
+        "p AS (SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) "
+        "AS n_classes FROM orders GROUP BY o_custkey) "
+        "SELECT o_custkey, n_classes FROM p, u WHERE n_classes = k "
+        "ORDER BY o_custkey"
+    ),
     "q93_column_profile": (
         "WITH w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey, "
