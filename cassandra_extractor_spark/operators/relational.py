@@ -2152,3 +2152,45 @@ def q96_relational_division(spark, sf_dir):
         .select("o_custkey", "n_classes")
         .orderBy("o_custkey")
     )
+
+
+def q97_constraint_audit(spark, sf_dir):
+    """Declarative data-quality constraint audit (the Deequ/dbt-test
+    shape): uniqueness, non-null, referential containment, accepted
+    values, and range checks evaluated engine-side, each reduced to a
+    violation count — the publish gate a 100 TB pipeline runs before
+    promoting a snapshot.
+
+    Scale shape: single-table checks collapse into ONE shared
+    multi-aggregate scan over orders (not one scan per check); the FK
+    check is a left-anti join from lineitem to the orders key set —
+    at production scale exactly the broadcast-or-SMJ decision
+    `ns_skew_audit` informs.  Every check emits one row; the union of
+    one-row frames is free.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    viol = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    wide = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("uniq"),
+        viol(F.col("o_custkey").isNull()).alias("nonnull"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("accepted"),
+        viol(F.col("o_totalprice") <= 0).alias("range"),
+    )
+    single = wide.selectExpr(
+        "stack(4, 'accepted_values_o_orderstatus', accepted, "
+        "'non_negative_o_totalprice', range, "
+        "'not_null_o_custkey', nonnull, "
+        "'unique_o_orderkey', uniq) AS (check_name, n_violations)"
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("fk_lineitem_orderkey").alias("check_name"), "n_violations")
+    )
+    return (
+        single.unionByName(fk)
+        .select("check_name", "n_violations", (F.col("n_violations") == 0).alias("ok"))
+        .orderBy("check_name")
+    )

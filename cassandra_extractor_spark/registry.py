@@ -42,6 +42,7 @@ QUERIES: dict[str, QueryFn] = {
     "q93_column_profile": R.q93_column_profile,
     "q94_rank_distributions": R.q94_rank_distributions,
     "q95_event_pattern": R.q95_event_pattern,
+    "q97_constraint_audit": R.q97_constraint_audit,
     "q96_relational_division": R.q96_relational_division,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
@@ -214,6 +215,22 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q97_constraint_audit": (
+        "WITH w AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uniq, "
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull, "
+        "CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS accepted, "
+        "CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS rng "
+        "FROM orders), "
+        "fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) "
+        "SELECT check_name, n_violations, n_violations = 0 AS ok FROM ("
+        "SELECT 'accepted_values_o_orderstatus' AS check_name, accepted AS n_violations FROM w "
+        "UNION ALL SELECT 'non_negative_o_totalprice', rng FROM w "
+        "UNION ALL SELECT 'not_null_o_custkey', nonnull FROM w "
+        "UNION ALL SELECT 'unique_o_orderkey', uniq FROM w "
+        "UNION ALL SELECT 'fk_lineitem_orderkey', n FROM fk"
+        ") ORDER BY check_name"
+    ),
     "q95_event_pattern": (
         "WITH s AS (SELECT user_id, "
         "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
