@@ -627,3 +627,40 @@ def ns_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: per-query recall@k of the probe-limited IVF
+    index against exact brute force — the acceptance gate any
+    approximate index must pass before replacing the exact path in a
+    retrieval pipeline (and the number that tunes ``IVF_PROBES``).
+
+    Integer everywhere (hit counts, recall in percent via integer
+    multiply-divide), so cross-engine comparison is exact.
+
+    Scale shape: both inputs are the already-scale-shaped operators
+    (broadcast query side, probe-limited IVF); the comparison itself
+    is a semi join on (q_id, n_id) — k·|queries| rows, trivially
+    broadcast — plus one tiny aggregate.
+    """
+    brute = brute_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
+    approx = ivf_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
+    hits = (
+        brute.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        brute.groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 100 / F.col("k"))
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )

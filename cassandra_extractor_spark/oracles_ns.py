@@ -1274,3 +1274,16 @@ NS_ORACLES["ns_skew_audit"] = (
     + _skew_profile_sql("lineitem.l_orderkey", "lineitem", "l_orderkey")
     + ") ORDER BY key"
 )
+
+
+NS_ORACLES["ns_ann_recall"] = (
+    f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
+    f"approx AS ({NS_ORACLES['ns_ann_ivf']}), "
+    "hits AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM brute b "
+    "WHERE EXISTS (SELECT 1 FROM approx a WHERE a.q_id = b.q_id AND a.n_id = b.n_id) "
+    "GROUP BY b.q_id), "
+    "ks AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY q_id) "
+    "SELECT ks.q_id, ks.k, COALESCE(n_hits, 0) AS n_hits, "
+    "CAST(COALESCE(n_hits, 0) * 100 / ks.k AS BIGINT) AS recall_pct "
+    "FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id ORDER BY ks.q_id"
+)
