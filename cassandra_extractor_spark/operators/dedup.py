@@ -1162,3 +1162,66 @@ def incremental_dedup_against_store(
     store table to absorb the batch."""
     base = spark.table(table_name)
     return incremental_dedup(base, new_docs)
+
+
+def ns_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every overlapping pair
+    (exact 3-shingle Jaccard ≥ 1 %) in the doc_id < 200 window, the
+    signature-position agreement estimate ``m/NUM_PERM`` next to the
+    exact Jaccard — the report that justifies (or indicts) the chosen
+    ``NUM_PERM``/band layout before trusting LSH output at corpus
+    scale.  All percentages are truncated integers (same
+    double-divide-then-cast on both engines), so the comparison is
+    exact.
+
+    Scale note: the all-pairs exact side exists only for this bounded
+    calibration window — production similarity always goes through the
+    banded LSH join; this operator is how you *validate* that the
+    estimator tracks truth before relying on it.
+    """
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    sh = exploded_shingles(d).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    # floor() on BOTH engines: DuckDB CAST(double AS BIGINT) *rounds*
+    # while Spark's cast truncates — floor is the portable spelling
+    exact_pct = F.floor(
+        F.col("i") * 100 / (F.col("n1") + F.col("n2") - F.col("i"))
+    ).cast("long")
+    pairs = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", exact_pct.alias("exact_pct"))
+        .where(F.col("exact_pct") >= 1)
+    )
+    sig = minhash_signatures_for(d)
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(NUM_PERM)]
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(NUM_PERM)]
+    )
+    matches = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(NUM_PERM)
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "exact_pct",
+            F.floor(matches * 100 / NUM_PERM).cast("long").alias("est_pct"),
+        )
+        .withColumn(
+            "err_pct", F.abs(F.col("est_pct") - F.col("exact_pct")).cast("long")
+        )
+        .orderBy("d1", "d2")
+    )

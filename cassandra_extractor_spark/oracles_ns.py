@@ -1287,3 +1287,41 @@ NS_ORACLES["ns_ann_recall"] = (
     "CAST(COALESCE(n_hits, 0) * 100 / ks.k AS BIGINT) AS recall_pct "
     "FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id ORDER BY ks.q_id"
 )
+
+
+def _minhash_calibration_sql() -> str:
+    from cassandra_extractor_spark.operators.dedup import MH_MOD
+
+    sig_cols = ", ".join(
+        f"MIN((h1 + {s} * h2) % {MH_MOD}) AS mh{s}" for s in range(NUM_PERM)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(NUM_PERM)
+    )
+    return (
+        r"WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks "
+        "FROM documents WHERE doc_id < 200), "
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh "
+        "FROM d WHERE len(toks) >= 3), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i "
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT d1, d2, CAST(floor(i * 100 / (sa.n + sb.n - i)) AS BIGINT) AS exact_pct "
+        "FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 "
+        "WHERE CAST(floor(i * 100 / (sa.n + sb.n - i)) AS BIGINT) >= 1), "
+        "hashed AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(t), 1, 10)) AS BIGINT) AS h1, "
+        "CAST(concat('0x', substr(md5(t), 11, 10)) AS BIGINT) AS h2 "
+        "FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS t "
+        "FROM d WHERE len(toks) >= 3)), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id) "
+        f"SELECT d1, d2, exact_pct, CAST(floor(({matches}) * 100 / {NUM_PERM}) AS BIGINT) AS est_pct, "
+        f"CAST(abs(CAST(floor(({matches}) * 100 / {NUM_PERM}) AS BIGINT) - exact_pct) AS BIGINT) AS err_pct "
+        "FROM pairs JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2 "
+        "ORDER BY d1, d2"
+    )
+
+
+NS_ORACLES["ns_minhash_calibration"] = _minhash_calibration_sql()
