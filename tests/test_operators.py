@@ -1112,3 +1112,67 @@ def test_prefix_jaccard_lossless_under_boilerplate_skew(spark, tmp_path):
     assert set(got) == set(want) and (10, 11) in got and (20, 21) in got
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ohlc_tiebreak_total_order_matches_duckdb(spark):
+    """Pin q92's open/close determinism on colliding timestamps
+    independently of the test corpus: min_by/max_by over the zero-
+    padded (epoch_ms, event_id) string key must pick the same rows as
+    DuckDB arg_min/arg_max — including groups where EVERY timestamp is
+    identical and only event_id breaks the tie."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts, value): one group with all-equal ts, one mixed
+        (1, t0, 10.0), (2, t0, 30.0), (3, t0, 20.0),
+        (10, t0, 5.0), (11, t0 + dt.timedelta(seconds=1), 50.0),
+        (12, t0 + dt.timedelta(seconds=1), 40.0),
+    ]
+    sdf = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    k = F.concat(
+        F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    got = {
+        tuple(r)
+        for r in sdf.select(cents.alias("cents"), k.alias("k"))
+        .agg(
+            F.expr("min_by(cents, k)").alias("open_cents"),
+            F.expr("max_by(cents, k)").alias("close_cents"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.sql(
+            "SELECT arg_min(c, k) AS open_cents, arg_max(c, k) AS close_cents FROM ("
+            "SELECT CAST(round(value * 100) AS BIGINT) AS c, "
+            "lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0') || "
+            "lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM e)"
+        ).fetchall()
+    }
+    assert got == want
+    assert got == {(1000, 4000)}  # lowest event_id at t0 opens; id 12 closes
+
+
+def test_portable_floor_percent_division():
+    """Pin the cross-engine integer-percent rule the calibration and
+    recall operators rely on: DuckDB CAST(double AS BIGINT) ROUNDS
+    while Spark's cast truncates, so every oracle-checked percentage
+    must spell floor() explicitly on both sides."""
+    import duckdb
+
+    con = duckdb.connect()
+    rounded, floored = con.sql(
+        "SELECT CAST(3 * 100 / 8 AS BIGINT), CAST(floor(3 * 100 / 8) AS BIGINT)"
+    ).fetchall()[0]
+    assert rounded == 38  # DuckDB cast rounds 37.5 up — the trap
+    assert floored == 37  # floor matches Spark's truncating cast
