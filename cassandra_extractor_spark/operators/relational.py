@@ -2194,3 +2194,54 @@ def q97_constraint_audit(spark, sf_dir):
         .select("check_name", "n_violations", (F.col("n_violations") == 0).alias("ok"))
         .orderBy("check_name")
     )
+
+
+def incremental_agg_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta batch's partial aggregates into a maintained
+    aggregate WITHOUT rescanning the base data — the continuous-
+    aggregate refresh step: union the two partial-agg frames and
+    re-combine (counts and sums are associative; avg re-derives from
+    them).  Input frames share the schema (keys..., n, sum_cents)."""
+    keys = [c for c in base.columns if c not in ("n", "sum_cents")]
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+def q98_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-aggregate refresh, proven equivalent to
+    the full recompute: the orders table splits into a "yesterday"
+    base (orderkey ≤ 10000) and a "today" delta; each aggregates
+    independently (the delta pass touches ONLY delta rows), and
+    ``incremental_agg_merge`` combines the partials.  The oracle is
+    the one-shot full aggregate — the equivalence that makes
+    continuous aggregates trustworthy.
+
+    100 TB: the nightly refresh cost is O(delta) + O(|groups|), never
+    O(base).  Same partial-merge algebra Spark's own map-side combine
+    uses, lifted to cross-job granularity.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    base = part(o.where(F.col("k") <= 10000))
+    delta = part(o.where(F.col("k") > 10000))
+    return (
+        incremental_agg_merge(base, delta)
+        .select("o_orderstatus", "n", "sum_cents")
+        .orderBy("o_orderstatus")
+    )

@@ -45,6 +45,7 @@ QUERIES: dict[str, QueryFn] = {
     "q94_rank_distributions": R.q94_rank_distributions,
     "q95_event_pattern": R.q95_event_pattern,
     "q97_constraint_audit": R.q97_constraint_audit,
+    "q98_incremental_rollup": R.q98_incremental_rollup,
     "q96_relational_division": R.q96_relational_division,
     "q90_time_rollup": R.q90_time_rollup,
     "q87_dense_timeseries": R.q87_dense_timeseries,
@@ -217,6 +218,11 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q98_incremental_rollup": (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
     "q97_constraint_audit": (
         "WITH w AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uniq, "
         "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull, "

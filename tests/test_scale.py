@@ -504,3 +504,21 @@ def test_signature_store_join_never_shuffles_the_store(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS sig_store_t")
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The engine exposes the full join-strategy surface: the same
+    logical join flips between broadcast, shuffle-hash, and sort-merge
+    under hints — the manual override lane when AQE's choice is wrong
+    for a known workload."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, op in cases.items():
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, (hint, plan[:1500])
