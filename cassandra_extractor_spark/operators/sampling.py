@@ -329,3 +329,50 @@ def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ns_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (clip to per-group [p01, p99]) — the
+    standard outlier treatment before a numeric feature enters
+    training, with the clip report a pipeline logs: per event_type,
+    how many values clipped at each tail and the post-clip sum.
+
+    Exactness: values integerize to cents; the bounds are discrete
+    quantiles from the mergeable GK sketch at max accuracy (== DuckDB
+    ``quantile_disc``, the q44b/q89 equivalence); clipping and the
+    final sums are pure integer ops.
+
+    Scale shape: pass 1 computes one (p01, p99) row per group (sketch
+    partials merge map-side, one tiny shuffle); the bounds frame —
+    |groups| rows — broadcasts into pass 2's scan, which clips and
+    re-aggregates map-side.  No window over raw rows, no sort, the
+    fact table is scanned exactly twice (once per pass) — and pass 1's
+    scan prunes to two columns.
+    """
+    acc = 2147483647
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.percentile_approx("cents", 0.01, acc).alias("lo"),
+        F.percentile_approx("cents", 0.99, acc).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cents",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias("w"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_low"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_high"),
+            F.min("lo").alias("lo_cents"),
+            F.min("hi").alias("hi_cents"),
+            F.sum("w").alias("sum_winsorized_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1325,3 +1325,18 @@ def _minhash_calibration_sql() -> str:
 
 
 NS_ORACLES["ns_minhash_calibration"] = _minhash_calibration_sql()
+
+
+NS_ORACLES["ns_winsorize"] = (
+    "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
+    "FROM events), "
+    "b AS (SELECT event_type, quantile_disc(cents, 0.01) AS lo, "
+    "quantile_disc(cents, 0.99) AS hi FROM e GROUP BY event_type) "
+    "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low, "
+    "CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high, "
+    "MIN(lo) AS lo_cents, MIN(hi) AS hi_cents, "
+    "CAST(SUM(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_winsorized_cents "
+    "FROM e JOIN b ON e.event_type = b.event_type "
+    "GROUP BY e.event_type ORDER BY e.event_type"
+)

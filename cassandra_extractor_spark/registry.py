@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_skew_audit": X.ns_skew_audit,
     "ns_ann_recall": S.ns_ann_recall,
     "ns_minhash_calibration": D.ns_minhash_calibration,
+    "ns_winsorize": SM.ns_winsorize,
     "q91_grouping_id": R.q91_grouping_id,
     "q92_ohlc_resample": R.q92_ohlc_resample,
     "q93_column_profile": R.q93_column_profile,
