@@ -1934,8 +1934,10 @@ def q90_time_rollup(spark, sf_dir):
     first so the DOUBLE fold order can't drift between engines.
 
     100 TB: this is the backfill form of a streaming continuous
-    aggregate — the windowed-stream variant lives in
-    `streaming/pipeline.py`; both share the bucketing expressions.
+    aggregate — the live variant is `streaming.stateful.
+    stream_time_rollup` (watermarked tumbling windows, same cents
+    integerization); batch backfill + streaming tail serve one
+    definition.
     """
     e = _t(spark, sf_dir, "events")
     d = F.to_date("ts")

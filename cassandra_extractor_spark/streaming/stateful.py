@@ -312,3 +312,29 @@ def stream_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_time_rollup(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming continuous aggregate — the live half of batch
+    ``q90_time_rollup``: watermarked tumbling-window counts + cent sums
+    per (window, event_type).  In append mode a window row is emitted
+    exactly once, when the watermark closes it; the batch rollup over
+    the same landed data reproduces every closed row
+    (``test_streaming_windowed_agg_with_watermark``), which is what
+    makes backfill + live serving from one definition coherent.
+
+    State is one partial aggregate per open (window, type) — bounded
+    by the watermark horizon, independent of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -43,12 +43,10 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path, sf_dir):
     src = str(tmp_path / "wsrc")
     load_table(spark, "events", sf_dir).limit(500).write.parquet(src)
     schema = spark.read.parquet(src).schema
+    from cassandra_extractor_spark.streaming.stateful import stream_time_rollup
+
     stream = spark.readStream.schema(schema).parquet(src)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("c"))
-    )
+    agg = stream_time_rollup(stream).withColumnRenamed("n_events", "c")
     q = (
         agg.writeStream.format("memory")
         .queryName("windowed_out")
