@@ -469,7 +469,19 @@ def build_mjpeg_mp4(
         + b"\x00" * 36
         + _s.pack(">II", w0 << 16, h0 << 16),
     )
+    mdhd = _full_box(
+        b"mdhd",
+        b"\x00" * 4
+        + _s.pack(">IIII", 0, 0, timescale, duration)
+        + _s.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
     hdlr = _full_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    vmhd = _full_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dref = _full_box(
+        b"dref",
+        b"\x00" * 4 + _s.pack(">I", 1) + _full_box(b"url ", b"\x00\x00\x00\x01"),
+    )
+    dinf = _full_box(b"dinf", dref)
     # VisualSampleEntry('jpeg'): 6 reserved + data_ref_idx, 16 predefined,
     # dims, 72 dpi fixed-point, frame_count=1, 32-byte name, depth, -1
     entry = _full_box(
@@ -497,15 +509,15 @@ def build_mjpeg_mp4(
     # moov size is known once stco's own fixed size is counted in.
     stbl_wo_stco = stsd + stts + stsc + stsz
     stco_size = 8 + 4 + 4 + 4
-    minf_sz = 8 + (8 + len(stbl_wo_stco) + stco_size)
-    mdia_sz = 8 + len(hdlr) + minf_sz
+    minf_sz = 8 + len(vmhd) + len(dinf) + (8 + len(stbl_wo_stco) + stco_size)
+    mdia_sz = 8 + len(mdhd) + len(hdlr) + minf_sz
     trak_sz = 8 + len(tkhd) + mdia_sz
     moov_sz = 8 + len(mvhd) + trak_sz
     chunk_off = len(ftyp) + moov_sz + 8
     stco = _full_box(b"stco", b"\x00" * 4 + _s.pack(">II", 1, chunk_off))
     stbl = _full_box(b"stbl", stbl_wo_stco + stco)
-    minf = _full_box(b"minf", stbl)
-    mdia = _full_box(b"mdia", hdlr + minf)
+    minf = _full_box(b"minf", vmhd + dinf + stbl)
+    mdia = _full_box(b"mdia", mdhd + hdlr + minf)
     trak = _full_box(b"trak", tkhd + mdia)
     moov = _full_box(b"moov", mvhd + trak)
     assert len(moov) == moov_sz, (len(moov), moov_sz)
@@ -530,7 +542,7 @@ def demux_mp4_samples(data: bytes) -> list[bytes]:
         for mtype, mbody, mend in _mp4_boxes(data, body, bend):
             if mtype != "trak":
                 continue
-            handler, tsizes, toff = None, None, None
+            handler, tsizes, toff, nchunks = None, None, None, None
             for ttype, tbody, tend in _mp4_boxes(data, mbody, mend):
                 if ttype != "mdia":
                     continue
@@ -553,13 +565,16 @@ def demux_mp4_samples(data: bytes) -> list[bytes]:
                                             )
                                         )
                                 elif s2 == "stco":
-                                    (nc,) = _s.unpack(">I", data[b2 + 4 : b2 + 8])
-                                    if nc != 1:
-                                        raise ValueError(
-                                            "demux: only single-chunk stco supported"
-                                        )
+                                    (nchunks,) = _s.unpack(">I", data[b2 + 4 : b2 + 8])
                                     (toff,) = _s.unpack(">I", data[b2 + 8 : b2 + 12])
-            if handler == b"vide" and tsizes is not None and toff is not None:
+            if handler != b"vide":
+                continue  # audio/other traks may use any chunk layout
+            # the chunk-layout restriction applies only to the trak we
+            # actually demux, so an interleaved audio trak can't abort
+            # a valid video trak
+            if nchunks is not None and nchunks != 1:
+                raise ValueError("demux: only single-chunk video stco supported")
+            if tsizes is not None and toff is not None:
                 sizes, offset = tsizes, toff
     if sizes is None or offset is None:
         raise ValueError("demux: no video track with stsz+stco found")

@@ -643,24 +643,29 @@ def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a semi join on (q_id, n_id) — k·|queries| rows, trivially
     broadcast — plus one tiny aggregate.
     """
+    # single pass over ONE brute-force result: a left join against the
+    # approx list marks hits, and k + n_hits come out of the same
+    # aggregate (two separate consumers of `brute` would re-execute the
+    # exact cross join — Spark does not dedupe common subplans)
     brute = brute_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
-    approx = ivf_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
-    hits = (
-        brute.join(approx, ["q_id", "n_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+    approx = (
+        ivf_topk(_load_embeddings(spark, sf_dir))
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
     )
     return (
-        brute.groupBy("q_id")
-        .agg(F.count("*").cast("long").alias("k"))
-        .join(hits, "q_id", "left")
+        brute.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
         .select(
             "q_id",
             "k",
-            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) * 100 / F.col("k"))
-            .cast("long")
-            .alias("recall_pct"),
+            "n_hits",
+            # floor() on both engines: DuckDB CAST rounds, Spark truncates
+            F.floor(F.col("n_hits") * 100 / F.col("k")).cast("long").alias("recall_pct"),
         )
         .orderBy("q_id")
     )

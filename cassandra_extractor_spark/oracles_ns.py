@@ -1279,13 +1279,13 @@ NS_ORACLES["ns_skew_audit"] = (
 NS_ORACLES["ns_ann_recall"] = (
     f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
     f"approx AS ({NS_ORACLES['ns_ann_ivf']}), "
-    "hits AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM brute b "
-    "WHERE EXISTS (SELECT 1 FROM approx a WHERE a.q_id = b.q_id AND a.n_id = b.n_id) "
-    "GROUP BY b.q_id), "
-    "ks AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY q_id) "
-    "SELECT ks.q_id, ks.k, COALESCE(n_hits, 0) AS n_hits, "
-    "CAST(COALESCE(n_hits, 0) * 100 / ks.k AS BIGINT) AS recall_pct "
-    "FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id ORDER BY ks.q_id"
+    "per AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k, "
+    "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM approx a "
+    "WHERE a.q_id = b.q_id AND a.n_id = b.n_id) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits "
+    "FROM brute b GROUP BY b.q_id) "
+    "SELECT q_id, k, n_hits, "
+    "CAST(floor(n_hits * 100 / k) AS BIGINT) AS recall_pct "
+    "FROM per ORDER BY q_id"
 )
 
 
@@ -1299,7 +1299,7 @@ def _minhash_calibration_sql() -> str:
         f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(NUM_PERM)
     )
     return (
-        r"WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks "
+        f"WITH d AS (SELECT doc_id, {TOKS} AS toks "
         "FROM documents WHERE doc_id < 200), "
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "
         "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh "

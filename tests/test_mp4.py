@@ -167,3 +167,39 @@ def test_sample_frames_real_decodes_actual_video(spark):
     for r in out:
         w, h, c, _px = decode_jpeg(bytes(r.frame))
         assert (w, h, c) == (16, 16, 3)
+
+
+def test_demux_ignores_multichunk_audio_trak():
+    """An interleaved audio trak with a multi-chunk stco (the normal
+    layout) must not abort demux of a valid single-chunk video trak —
+    the chunk-layout restriction applies only to the trak being
+    demuxed."""
+    from cassandra_extractor_spark.operators.multimodal import demux_mp4_samples
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mvhd = _box(
+        b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 10, 2) + b"\x00" * 80
+    )
+
+    def trak(handler: bytes, stbl_children: bytes) -> bytes:
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+        return _box(b"trak", _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stbl_children))))
+
+    # audio: 2-chunk stco — would previously raise during its scan
+    a_stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">III", 0, 2, 1) + struct.pack(">I", 1))
+    a_stco = _box(b"stco", b"\x00" * 4 + struct.pack(">III", 2, 999, 1000))
+    trak_a = trak(b"soun", a_stsz + a_stco)
+
+    # video: two samples of 3 and 4 bytes in one chunk at mdat body
+    v_stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 2) + struct.pack(">II", 3, 4))
+    # build with a placeholder offset, measure, rebuild with the real one
+    def build(offset: int) -> bytes:
+        v_stco = _box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, offset))
+        trak_v = trak(b"vide", v_stsz + v_stco)
+        moov = _box(b"moov", mvhd + trak_a + trak_v)
+        return ftyp + moov + _box(b"mdat", b"abcdefg")
+
+    probe = build(0)
+    offset = len(probe) - len(_box(b"mdat", b"abcdefg")) + 8
+    data = build(offset)
+    assert demux_mp4_samples(data) == [b"abc", b"defg"]

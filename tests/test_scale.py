@@ -420,10 +420,17 @@ def test_q87_dense_timeseries_fills_gaps_with_zero(spark, sf_dir):
         days = [r.day for r in rows]
         assert len(days) == (max(days) - min(days)).days + 1  # dense
         assert len(set(days)) == len(days)  # no dupes
-    assert all(r.n_events >= 0 for r in out)
-    assert any(r.n_events == 0 for r in out) or all(
-        len(v) == sum(1 for r in v if r.n_events > 0) for v in by_type.values()
+    # zero-fill: a day absent from the raw daily aggregate must appear
+    # with EXACTLY zero (not NULL, not garbage)
+    raw = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
     )
+    raw_counts = {(r.event_type, r.day): r["count"] for r in raw}
+    for r in out:
+        assert r.n_events == raw_counts.get((r.event_type, r.day), 0)
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
