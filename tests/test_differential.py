@@ -1,0 +1,100 @@
+"""Differential property testing: random event tables run through the
+SAME registered Spark query and its DuckDB oracle, compared with the
+driver's own canonicalization (imported from tools/check.py).
+
+This is the adversarial complement to the fixed-corpus gate: hypothesis
+searches the input space (timestamp ties, negative values, singleton
+and empty groups, unicode-free but hostile strings) for any divergence
+the synthetic testdata happens not to contain.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+spec = importlib.util.spec_from_file_location("check", "/root/repo/tools/check.py")
+check = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(check)
+
+from cassandra_extractor_spark.registry import ORACLES, QUERIES  # noqa: E402
+from cassandra_extractor_spark.oracles_ns import NS_ORACLES  # noqa: E402
+
+#: event-table queries under differential test (name → oracle source)
+EVENT_QUERIES = [
+    "q87_dense_timeseries",
+    "q90_time_rollup",
+    "q92_ohlc_resample",
+    "q76_rolling_zscore",
+    "ns_winsorize",
+]
+
+_T0 = dt.datetime(2024, 1, 1)
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3 * 86400),  # ts offset (seconds)
+    st.integers(min_value=0, max_value=5),  # user_id
+    st.sampled_from(["view", "click", "purchase", "refund"]),
+    st.integers(min_value=-99999, max_value=99999),  # value in cents
+)
+
+
+def _oracle_for(name: str) -> str:
+    return ORACLES.get(name) or NS_ORACLES[name]
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=0, max_size=40))
+def test_event_query_differential(spark, tmp_path_factory, name, rows):
+    # Documented engine divergence (PARITY.md): Spark's ROLLUP on an
+    # EMPTY relation emits 0 rows; DuckDB (per the SQL standard's
+    # grand-total grouping set) emits one all-NULL row with count 0.
+    # Driver data is never empty; the differential test honors the
+    # documented boundary instead of hiding it.
+    assume(rows or name != "q90_time_rollup")
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.Series(range(len(rows)), dtype="int64"),
+            "ts": pd.Series(
+                [_T0 + dt.timedelta(seconds=r[0]) for r in rows],
+                dtype="datetime64[us]",
+            ),
+            "user_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "event_type": pd.Series([r[2] for r in rows], dtype="object"),
+            "value": pd.Series([r[3] / 100.0 for r in rows], dtype="float64"),
+            "props": pd.Series(["{}"] * len(rows), dtype="object"),
+        }
+    )
+    d = tmp_path_factory.mktemp("diff")
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    sdf = QUERIES[name](spark, str(d)).toPandas()
+    s_rows = check.pandas_rows(sdf)
+    s_n, s_hash = check.canon_hash(list(sdf.columns), s_rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d / 'events.parquet'}'"
+    )
+    odf = con.sql(_oracle_for(name)).fetchdf()
+    o_rows = check.pandas_rows(odf)
+    o_n, o_hash = check.canon_hash(list(odf.columns), o_rows)
+
+    assert (s_n, s_hash) == (o_n, o_hash), (
+        name,
+        sorted(s_rows)[:5],
+        sorted(o_rows)[:5],
+    )
