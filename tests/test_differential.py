@@ -98,3 +98,68 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
         sorted(s_rows)[:5],
         sorted(o_rows)[:5],
     )
+
+
+ORDER_QUERIES = [
+    "q89_grouped_quantiles",
+    "q94_rank_distributions",
+    "q96_relational_division",
+    "q97_constraint_audit",
+    "q98_incremental_rollup",
+]
+
+_order_row = st.tuples(
+    st.integers(min_value=0, max_value=9),  # custkey
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=-500000, max_value=500000),  # totalprice cents
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+_li_row = st.tuples(
+    st.integers(min_value=0, max_value=60),  # l_orderkey (may dangle -> FK)
+    st.integers(min_value=0, max_value=20),  # partkey
+    st.integers(min_value=1, max_value=7),  # linenumber
+    st.integers(min_value=-99999, max_value=999999),  # extendedprice cents
+)
+
+
+@pytest.mark.parametrize("name", ORDER_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orows=st.lists(_order_row, min_size=1, max_size=40),
+    lrows=st.lists(_li_row, min_size=0, max_size=40),
+)
+def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
+    d = tmp_path_factory.mktemp("diffo")
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(range(1, len(orows) + 1), dtype="int64"),
+            "o_custkey": pd.Series([r[0] for r in orows], dtype="int64"),
+            "o_orderstatus": pd.Series([r[1] for r in orows], dtype="object"),
+            "o_totalprice": pd.Series([r[2] / 100.0 for r in orows], dtype="float64"),
+            "o_orderdate": pd.Series(["1995-01-01"] * len(orows), dtype="object"),
+            "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
+        }
+    ).to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.Series([r[0] for r in lrows], dtype="int64"),
+            "l_partkey": pd.Series([r[1] for r in lrows], dtype="int64"),
+            "l_linenumber": pd.Series([r[2] for r in lrows], dtype="int32"),
+            "l_extendedprice": pd.Series([r[3] / 100.0 for r in lrows], dtype="float64"),
+        }
+    ).to_parquet(d / "lineitem.parquet", index=False)
+
+    sdf = QUERIES[name](spark, str(d)).toPandas()
+    s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d / 'orders.parquet'}'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d / 'lineitem.parquet'}'")
+    odf = con.sql(_oracle_for(name)).fetchdf()
+    o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+
+    assert s_hash == o_hash, (name, len(sdf), len(odf))
