@@ -42,7 +42,10 @@ def brute_topk(e: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> Data
     window over q_id).  ``e``: (vec_id, emb) with vec_id < n_queries
     as the query set.
     """
-    e = e.withColumn("nrm", norm(F.col("emb")))
+    # zero-norm vectors are excluded on BOTH engines: cosine is
+    # undefined for them (0/0 -> NaN, whose sort order is engine-
+    # specific); ns_embedding_audit is the gate that surfaces them
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
     queries = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )

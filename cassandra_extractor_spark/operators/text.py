@@ -28,13 +28,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
+#: explicit ASCII whitespace class — Java ``\s`` includes \x0B, RE2's
+#: (DuckDB's) does not, so every cross-engine regex spells the set out
+WS = r" \t\n\x0B\f\r"
+
 #: BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_PATTERN = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS}]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (lowercased, trimmed)."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Whitespace tokenization (lowercased, trimmed).  The split class
+    is the explicit ``WS`` set, not ``\s`` — identical behavior on
+    both regex engines for every input, not just the test corpus."""
+    return F.split(F.trim(F.lower(col)), rf"[{WS}]+")
 
 
 def distinct_tokens(col: Column) -> Column:
@@ -191,7 +197,7 @@ def ns_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+URL_RE = rf"https?://[^{WS}]+"
 LONG_DIGITS_RE = r"[0-9]{7,}"
 
 

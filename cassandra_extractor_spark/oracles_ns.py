@@ -31,7 +31,10 @@ from cassandra_extractor_spark.operators.extraction import SEQ_BUDGET
 from cassandra_extractor_spark.operators.text import EN_STOPWORDS, LANG_MARKERS
 
 #: DuckDB spelling of the shared tokenizer
-TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+WS_SQL = r' \t\n\x0b\f\r'  #: mirrors text.WS (explicit, engine-portable)
+# trim(x, ' ') NOT trim(x): DuckDB's 1-arg trim strips Unicode spaces
+# (NBSP!) while Spark's F.trim strips only 0x20
+TOKS = rf"string_split_regex(trim(lower(text), ' '), '[{WS_SQL}]+')"
 TOKSD = f"list_distinct({TOKS})"
 
 #: DuckDB spelling of the portable 60-bit md5 hash with salt prefix
@@ -159,7 +162,7 @@ NS_ORACLES: dict[str, str] = {
     "ns_token_count": (
         "SELECT doc_id, "
         f"CAST(len({TOKS}) AS BIGINT) AS ws_tokens, "
-        r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) "
+        r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]')) "
         "AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id"
     ),
     "ns_doc_fingerprint": (
@@ -202,11 +205,11 @@ NS_ORACLES: dict[str, str] = {
         "' id 1234567890') AS dirty FROM documents), "
         "c AS (SELECT doc_id, dirty, regexp_replace(regexp_replace(regexp_replace("
         "dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-        "'https?://[^\\s]+', '<URL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean FROM d) "
+        "'https?://[^ \\t\\n\\x0b\\f\\r]+', '<URL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean FROM d) "
         "SELECT doc_id, "
         "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS emails_before, "
         "CAST(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS emails_after, "
-        "CAST(len(regexp_extract_all(clean, 'https?://[^\\s]+')) AS BIGINT) AS urls_after, "
+        "CAST(len(regexp_extract_all(clean, 'https?://[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS urls_after, "
         "md5(clean) AS clean_md5 FROM c ORDER BY doc_id"
     ),
     "ns_text_quality": (
@@ -328,8 +331,10 @@ NS_ORACLES: dict[str, str] = {
     ),
     "ns_ann_cosine_topk": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
-        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}), "
-        f"c AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES}), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES} "
+        f"AND {_dot_sql('emb', 'emb')} > 0), "
+        f"c AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES} "
+        f"AND {_dot_sql('emb', 'emb')} > 0), "
         "scored AS (SELECT q_id, n_id, "
         f"round({_cos_sql('q_emb', 'n_emb')}, 6) AS cos FROM c, q), "
         "ranked AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER "
@@ -1155,11 +1160,11 @@ NS_ORACLES["ns_heavy_hitters"] = (
 
 
 _C4_KEEP = (
-    "x -> regexp_matches(trim(replace(x, chr(13), '')), '[.!?\"]$') "
-    "AND len(string_split_regex(trim(replace(x, chr(13), '')), "
+    "x -> regexp_matches(trim(replace(x, chr(13), ''), ' '), '[.!?\"]$') "
+    "AND len(string_split_regex(trim(replace(x, chr(13), ''), ' '), "
     "'[ \\t\\n\\x0B\\f\\r]+')) >= 3 "
-    "AND NOT contains(lower(trim(replace(x, chr(13), ''))), 'javascript') "
-    "AND NOT contains(trim(replace(x, chr(13), '')), '{')"
+    "AND NOT contains(lower(trim(replace(x, chr(13), ''), ' ')), 'javascript') "
+    "AND NOT contains(trim(replace(x, chr(13), ''), ' '), '{')"
 )
 NS_ORACLES["ns_line_filter"] = (
     "WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents), "

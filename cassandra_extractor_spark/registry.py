@@ -460,7 +460,7 @@ ORACLES: dict[str, str] = {
     "ns_text_normalize": (
         "WITH n AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace("
         "lower(text), '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
-        "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
+        "'\\s+', ' ', 'g'), ' ') AS norm_text FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len, norm_text, "
         "CAST(length(norm_text) AS BIGINT) AS norm_len, "
         "norm_text <> text AS changed FROM n ORDER BY doc_id"

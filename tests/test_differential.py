@@ -163,3 +163,98 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
     o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
 
     assert s_hash == o_hash, (name, len(sdf), len(odf))
+
+
+DOC_QUERIES = [
+    "ns_token_count",
+    "ns_text_normalize",
+    "ns_entropy",
+    "ns_doc_fingerprint",
+    "ns_dup_ngram_coverage",
+    "ns_line_filter",
+    "ns_lang_id",
+]
+
+#: hostile text: every whitespace class the two regex engines disagree
+#: on historically (tab, CR, LF, vertical tab, NBSP), plus repeats to
+#: exercise dedup/ngram paths
+_text = st.text(
+    alphabet="ab xyZ.,!?\t\n\r\x0b -0123",
+    min_size=0,
+    max_size=80,
+)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_text, min_size=1, max_size=12))
+def test_doc_query_differential(spark, tmp_path_factory, name, texts):
+    d = tmp_path_factory.mktemp("diffd")
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(len(texts)), dtype="int64"),
+            "text": pd.Series(texts, dtype="object"),
+            "lang": pd.Series(["en"] * len(texts), dtype="object"),
+            "source": pd.Series(["web"] * len(texts), dtype="object"),
+            "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    sdf = QUERIES[name](spark, str(d)).toPandas()
+    s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'")
+    odf = con.sql(_oracle_for(name)).fetchdf()
+    o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+
+    assert s_hash == o_hash, (name, len(sdf), len(odf))
+
+
+EMB_QUERIES = [
+    "ns_embedding_audit",
+    "ns_embedding_quantize",
+    "ns_ann_cosine_topk",
+]
+
+_vec = st.lists(
+    st.integers(min_value=-2000, max_value=2000).map(lambda v: v / 1000.0),
+    min_size=6,
+    max_size=6,
+)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_vec, min_size=12, max_size=30))
+def test_embedding_query_differential(spark, tmp_path_factory, name, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("diffe")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+
+    sdf = QUERIES[name](spark, str(d)).toPandas()
+    s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d / 'embeddings.parquet'}'")
+    odf = con.sql(_oracle_for(name)).fetchdf()
+    o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+
+    assert s_hash == o_hash, (name, len(sdf), len(odf))
