@@ -298,7 +298,12 @@ def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stop_hits / n_distinct
     len_sat = F.least(F.lit(1.0), n_tok / F.lit(100.0))
     n_ch = F.length(text).cast("double")
-    punct_ratio = F.length(F.regexp_replace(text, r"[A-Za-z0-9 ]", "")).cast("double") / n_ch
+    # guarded: empty text has no characters to penalize (and ANSI mode
+    # makes 0/0 an error, not NaN)
+    punct_ratio = F.when(
+        n_ch > 0,
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9 ]", "")).cast("double") / n_ch,
+    ).otherwise(F.lit(0.0))
     score = (
         F.lit(0.4) * stop_ratio
         + F.lit(0.3) * len_sat

@@ -224,7 +224,7 @@ NS_ORACLES: dict[str, str] = {
         "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
         "round(stop_hits / n_distinct, 6) AS stop_ratio, "
         "round(0.4 * (stop_hits / n_distinct) + 0.3 * least(1.0, n_tok / 100.0) "
-        "+ 0.3 * (1.0 - n_punct / n_ch), 6) AS quality "
+        "+ 0.3 * (1.0 - CASE WHEN n_ch > 0 THEN n_punct / n_ch ELSE 0.0 END), 6) AS quality "
         "FROM q ORDER BY doc_id"
     ),
     "ns_dedup_exact": (

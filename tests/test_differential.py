@@ -173,6 +173,9 @@ DOC_QUERIES = [
     "ns_dup_ngram_coverage",
     "ns_line_filter",
     "ns_lang_id",
+    "ns_text_quality",
+    "ns_pii_scrub",
+    "ns_winnowing",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
