@@ -35,6 +35,11 @@ EVENT_QUERIES = [
     "q92_ohlc_resample",
     "q76_rolling_zscore",
     "ns_winsorize",
+    "q35_time_bucket",
+    "q63_sliding_window",
+    "q72_funnel",
+    "q75_path_analysis",
+    "ns_sessionize",
 ]
 
 _T0 = dt.datetime(2024, 1, 1)
@@ -65,21 +70,26 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
     # Driver data is never empty; the differential test honors the
     # documented boundary instead of hiding it.
     assume(rows or name != "q90_time_rollup")
-    pdf = pd.DataFrame(
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("diff")
+    # explicit schema: an EMPTY pandas object column would otherwise be
+    # written as parquet `null` type and break string comparisons
+    table = pa.table(
         {
-            "event_id": pd.Series(range(len(rows)), dtype="int64"),
-            "ts": pd.Series(
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
                 [_T0 + dt.timedelta(seconds=r[0]) for r in rows],
-                dtype="datetime64[us]",
+                type=pa.timestamp("us"),
             ),
-            "user_id": pd.Series([r[1] for r in rows], dtype="int64"),
-            "event_type": pd.Series([r[2] for r in rows], dtype="object"),
-            "value": pd.Series([r[3] / 100.0 for r in rows], dtype="float64"),
-            "props": pd.Series(["{}"] * len(rows), dtype="object"),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+            "value": pa.array([r[3] / 100.0 for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
         }
     )
-    d = tmp_path_factory.mktemp("diff")
-    pdf.to_parquet(d / "events.parquet", index=False)
+    pq.write_table(table, d / "events.parquet")
 
     sdf = QUERIES[name](spark, str(d)).toPandas()
     s_rows = check.pandas_rows(sdf)
@@ -176,6 +186,11 @@ DOC_QUERIES = [
     "ns_text_quality",
     "ns_pii_scrub",
     "ns_winnowing",
+    "ns_tfidf",
+    "ns_top_terms",
+    "ns_boilerplate",
+    "ns_dedup_simhash",
+    "ns_dedup_minhash_lsh",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
