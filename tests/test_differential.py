@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "q72_funnel",
     "q75_path_analysis",
     "ns_sessionize",
+    "ns_sample_stratified",
 ]
 
 _T0 = dt.datetime(2024, 1, 1)
@@ -191,6 +192,12 @@ DOC_QUERIES = [
     "ns_boilerplate",
     "ns_dedup_simhash",
     "ns_dedup_minhash_lsh",
+    "ns_sample_uniform",
+    "ns_split_assign",
+    "ns_mixture_sample",
+    "ns_temperature_sample",
+    "ns_decontaminate",
+    "ns_doc_chunk",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
