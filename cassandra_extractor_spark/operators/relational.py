@@ -485,12 +485,25 @@ def q37_grouping_sets(spark, sf_dir):
 
 
 def q38_approx_distinct(spark, sf_dir):
-    """HLL approximate distinct — engine-specific sketch, so the oracle
-    compares the EXACT distinct alongside a sanity band, not the sketch
-    value itself (approx value checked rows-only)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .agg(F.approx_count_distinct("o_custkey").alias("approx_cd"))
+    """HLL approximate distinct with an ACCURACY-CONTRACT oracle: the
+    sketches themselves are engine-specific (Spark HLL++ vs DuckDB
+    HyperLogLog — bit comparison is meaningless), so the checked
+    contract is what a user actually relies on: the exact NDV, plus a
+    boolean asserting each engine's estimate lands within ±5 % of it
+    (Spark runs at rsd=0.01, ~3σ ≈ 3 %; DuckDB's error is <1 %).
+    Both engines evaluate their OWN estimate against the same band, so
+    the row hashes match iff both sketches honor the contract — which
+    turns the one formerly rows-only registry entry fully green
+    without pretending sketch equality.
+    """
+    wide = _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).cast("long").alias("n_approx"),
+    )
+    return wide.select(
+        "n_exact",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) * 100 <= 5 * F.col("n_exact"))
+        .alias("approx_within_5pct"),
     )
 
 

@@ -35,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
+    "q38_approx_distinct": R.q38_approx_distinct,
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
     "ns_skew_audit": X.ns_skew_audit,
     "ns_ann_recall": S.ns_ann_recall,
@@ -148,7 +149,6 @@ QUERIES: dict[str, QueryFn] = {
     "q35_time_bucket": R.q35_time_bucket,
     "q36_cube": R.q36_cube,
     "q37_grouping_sets": R.q37_grouping_sets,
-    "q38_approx_distinct": R.q38_approx_distinct,
     "q39_exists_subquery": R.q39_exists_subquery,
     "q40_scalar_subquery": R.q40_scalar_subquery,
     "q41_cte": R.q41_cte,
@@ -633,6 +633,13 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
         "ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
+    ),
+    "q38_approx_distinct": (
+        "SELECT n_exact, abs(n_approx - n_exact) * 100 <= 5 * n_exact "
+        "AS approx_within_5pct FROM ("
+        "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, "
+        "CAST(approx_count_distinct(o_custkey) AS BIGINT) AS n_approx "
+        "FROM orders)"
     ),
     "q39_exists_subquery": (
         "SELECT c_custkey FROM customer c WHERE EXISTS "
