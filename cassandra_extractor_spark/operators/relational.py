@@ -2260,3 +2260,36 @@ def q98_incremental_rollup(spark, sf_dir):
         .select("o_orderstatus", "n", "sum_cents")
         .orderBy("o_orderstatus")
     )
+
+
+def q99_share_of_total(spark, sf_dir):
+    """Contribution analysis (Oracle's RATIO_TO_REPORT): each order
+    status's revenue share of the grand total, in integer basis
+    points via the portable floor spelling — the partition-wide
+    window aggregate pattern (sum OVER an unbounded frame), distinct
+    from the running-sum frames of q23/q63.
+
+    Scale shape: one map-side-combined groupBy to |statuses| rows,
+    then the window total runs over THOSE few rows (single-partition
+    window over an already-tiny frame — never over raw data).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_orderstatus").agg(F.sum("cents").alias("rev_cents"))
+    w = W.partitionBy()
+    total = F.sum("rev_cents").over(w)
+    # share is undefined when the grand total is zero (ANSI division
+    # error on Spark, inf on DuckDB) -> NULL on both engines
+    return (
+        per.select(
+            "o_orderstatus",
+            "rev_cents",
+            F.when(
+                total != 0,
+                F.floor(F.col("rev_cents") * 10000 / total).cast("long"),
+            ).alias("share_bp"),
+        )
+        .orderBy("o_orderstatus")
+    )

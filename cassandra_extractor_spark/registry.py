@@ -36,6 +36,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # new in round 4 + changed in round 4 — need fresh rows
     "q38_approx_distinct": R.q38_approx_distinct,
+    "q99_share_of_total": R.q99_share_of_total,
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
     "ns_skew_audit": X.ns_skew_audit,
     "ns_ann_recall": S.ns_ann_recall,
@@ -633,6 +634,15 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
         "ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
+    ),
+    "q99_share_of_total": (
+        "WITH per AS (SELECT o_orderstatus, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+        "FROM orders GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, rev_cents, "
+        "CASE WHEN (SELECT SUM(rev_cents) FROM per) <> 0 THEN "
+        "CAST(floor(rev_cents * 10000 / (SELECT SUM(rev_cents) FROM per)) AS BIGINT) "
+        "ELSE NULL END AS share_bp FROM per ORDER BY o_orderstatus"
     ),
     "q38_approx_distinct": (
         "SELECT n_exact, abs(n_approx - n_exact) * 100 <= 5 * n_exact "

@@ -113,6 +113,7 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
 
 ORDER_QUERIES = [
     "q38_approx_distinct",
+    "q99_share_of_total",
     "q89_grouped_quantiles",
     "q94_rank_distributions",
     "q96_relational_division",
