@@ -368,8 +368,15 @@ def ns_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         clipped.groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_low"),
-            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_high"),
+            # when/otherwise, not a bare boolean cast: a NULL value makes
+            # the cast NULL (all-NULL group sums to NULL) while the
+            # oracle's CASE falls to ELSE 0
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_high"),
             F.min("lo").alias("lo_cents"),
             F.min("hi").alias("hi_cents"),
             F.sum("w").alias("sum_winsorized_cents"),

@@ -133,6 +133,13 @@ def cosine_topk_vectorized(
                 continue
             mat = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
+            # zero-norm rows are excluded, matching brute_topk
+            keep = norms > 0
+            if not keep.all():
+                pdf = pdf[keep].reset_index(drop=True)
+                mat, norms = mat[keep], norms[keep]
+            if not len(pdf):
+                continue
             sims = (mat @ q_mat.T) / np.outer(norms, q_norm)
             out = []
             for j, q_id in enumerate(q_ids):
@@ -239,7 +246,9 @@ def ivf_topk(
     set broadcasts, corpus assignment is map-only, and the probe join
     touches ~probes/K of the corpus instead of all of it.
     """
-    e = e.withColumn("nrm", norm(F.col("emb")))
+    # zero-norm exclusion mirrors brute_topk: cosine ranking over a
+    # NaN is engine-specific; the audit surfaces such rows upstream
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
     # deterministic "centroids": first K corpus vectors
     cent = e.where(
         (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
@@ -318,7 +327,7 @@ def lsh_topk(
     batch instead of tables × planes interpreted folds per row.
     """
     with_keys = (
-        e.withColumn("nrm", norm(F.col("emb")))
+        e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
         .withColumn("bks", lsh_bucket_ids(planes, tables, dim)(F.col("emb")))
         .select("vec_id", "emb", "nrm", F.posexplode("bks").alias("tbl", "bucket"))
     )
@@ -544,7 +553,7 @@ def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
-    e = e.withColumn("nrm", norm(F.col("emb")))
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),

@@ -309,7 +309,8 @@ NS_ORACLES: dict[str, str] = {
     ),
     "ns_hard_negatives": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
-        "FROM embeddings), "
+        "FROM embeddings WHERE list_reduce(list_transform("
+        "CAST(embedding AS DOUBLE[]), x -> x * x), (x, y) -> x + y) > 0), "
         f"q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM e "
         f"WHERE vec_id < {N_QUERIES}), "
         f"c AS (SELECT vec_id AS n_id, emb AS n_emb, label AS n_label FROM e "
@@ -343,7 +344,7 @@ NS_ORACLES: dict[str, str] = {
         "ORDER BY q_id, rank"
     ),
     "ns_ann_ivf": (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (x, y) -> x + y) > 0), "
         f"cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= {N_QUERIES} "
         f"AND vec_id < {N_QUERIES + N_IVF_CENTROIDS}), "
         f"corpus AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES}), "
@@ -781,7 +782,7 @@ def _lsh_sql() -> str:
             comps = ", ".join(repr(_projection_component(p, d, t)) for d in range(DIM))
             rows.append(f"({t}, {p}, [{comps}])")
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (x, y) -> x + y) > 0), "
         "pl(tbl, p, plane) AS (VALUES " + ", ".join(rows) + "), "
         "keys AS (SELECT e.vec_id, pl.tbl, "
         "CAST(SUM(CASE WHEN " + _dot_sql("e.emb", "pl.plane") + " > 0 "

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime as dt
 import importlib.util
+import pathlib
 import sys
 
 import duckdb
@@ -19,9 +20,10 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
-sys.path.insert(0, "/root/repo")
+_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+sys.path.insert(0, _ROOT)
 
-spec = importlib.util.spec_from_file_location("check", "/root/repo/tools/check.py")
+spec = importlib.util.spec_from_file_location("check", f"{_ROOT}/tools/check.py")
 check = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(check)
 
@@ -246,6 +248,9 @@ EMB_QUERIES = [
     "ns_embedding_audit",
     "ns_embedding_quantize",
     "ns_ann_cosine_topk",
+    "ns_ann_ivf",
+    "ns_ann_recall",
+    "ns_hard_negatives",
 ]
 
 _vec = st.lists(
