@@ -2022,9 +2022,15 @@ def q92_ohlc_resample(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     day = F.to_date("ts")
     cents = F.round(F.col("value") * 100).cast("long")
-    k = F.concat(
-        F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    # the order key is NULLed for NULL values so min_by/max_by skip
+    # those rows — DuckDB's arg_min/arg_max skip NULL arguments, and a
+    # bar's open/close should come from actual trades
+    k = F.when(
+        F.col("value").isNotNull(),
+        F.concat(
+            F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
     )
     return (
         e.select(

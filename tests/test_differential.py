@@ -51,7 +51,9 @@ _row = st.tuples(
     st.integers(min_value=0, max_value=3 * 86400),  # ts offset (seconds)
     st.integers(min_value=0, max_value=5),  # user_id
     st.sampled_from(["view", "click", "purchase", "refund"]),
-    st.integers(min_value=-99999, max_value=99999),  # value in cents
+    st.one_of(  # value in cents, sometimes NULL
+        st.none(), st.integers(min_value=-99999, max_value=99999)
+    ),
 )
 
 
@@ -88,7 +90,10 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
             ),
             "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
             "event_type": pa.array([r[2] for r in rows], type=pa.string()),
-            "value": pa.array([r[3] / 100.0 for r in rows], type=pa.float64()),
+            "value": pa.array(
+                [None if r[3] is None else r[3] / 100.0 for r in rows],
+                type=pa.float64(),
+            ),
             "props": pa.array(["{}"] * len(rows), type=pa.string()),
         }
     )
