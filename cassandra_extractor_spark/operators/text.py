@@ -37,7 +37,7 @@ BPE_PATTERN = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS}]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (lowercased, trimmed).  The split class
+    r"""Whitespace tokenization (lowercased, trimmed).  The split class
     is the explicit ``WS`` set, not ``\s`` — identical behavior on
     both regex engines for every input, not just the test corpus."""
     return F.split(F.trim(F.lower(col)), rf"[{WS}]+")

@@ -611,16 +611,17 @@ def test_timestamp_queries_survive_hostile_session_timezone(spark):
 
 
 def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
-    """q38 is the single rows-only registry entry (HLL sketches are
-    engine-specific); this pins its ACCURACY instead: Spark's default
-    rsd is 5%, so the estimate must sit within a conservative 3-sigma
-    band of the exact distinct count."""
+    """q38 now ships its accuracy CONTRACT as the query output (the
+    oracle checks each engine's own estimate against the exact NDV):
+    the exact count must match a direct distinct() and the in-band
+    flag must hold at rsd=0.01."""
     from cassandra_extractor_spark.operators.relational import q38_approx_distinct
     from cassandra_extractor_spark.sources.catalog import load_table
 
-    approx = q38_approx_distinct(spark, sf_dir).collect()[0]["approx_cd"]
+    row = q38_approx_distinct(spark, sf_dir).collect()[0]
     exact = load_table(spark, "orders", sf_dir).select("o_custkey").distinct().count()
-    assert abs(approx - exact) <= max(3 * 0.05 * exact, 3), (approx, exact)
+    assert row["n_exact"] == exact
+    assert row["approx_within_5pct"] is True
 
 
 def test_pagerank_mass_conservation_and_positivity(spark, sf_dir):
