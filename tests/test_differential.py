@@ -121,6 +121,9 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
 ORDER_QUERIES = [
     "q38_approx_distinct",
     "q99_share_of_total",
+    "q13_group_agg",
+    "q26_rollup",
+    "q91_grouping_id",
     "q89_grouped_quantiles",
     "q94_rank_distributions",
     "q96_relational_division",
@@ -139,6 +142,9 @@ _li_row = st.tuples(
     st.integers(min_value=0, max_value=20),  # partkey
     st.integers(min_value=1, max_value=7),  # linenumber
     st.integers(min_value=-99999, max_value=999999),  # extendedprice cents
+    st.sampled_from(["A", "N", "R"]),  # returnflag
+    st.sampled_from(["F", "O"]),  # linestatus
+    st.integers(min_value=0, max_value=60),  # quantity
 )
 
 
@@ -153,6 +159,9 @@ _li_row = st.tuples(
     lrows=st.lists(_li_row, min_size=0, max_size=40),
 )
 def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
+    # documented empty-relation ROLLUP divergence (see PARITY.md and
+    # the event-family guard above)
+    assume(lrows or name not in {"q26_rollup", "q91_grouping_id"})
     d = tmp_path_factory.mktemp("diffo")
     pd.DataFrame(
         {
@@ -164,14 +173,27 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
             "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
         }
     ).to_parquet(d / "orders.parquet", index=False)
-    pd.DataFrame(
-        {
-            "l_orderkey": pd.Series([r[0] for r in lrows], dtype="int64"),
-            "l_partkey": pd.Series([r[1] for r in lrows], dtype="int64"),
-            "l_linenumber": pd.Series([r[2] for r in lrows], dtype="int32"),
-            "l_extendedprice": pd.Series([r[3] / 100.0 for r in lrows], dtype="float64"),
-        }
-    ).to_parquet(d / "lineitem.parquet", index=False)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lrows], type=pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lrows], type=pa.int64()),
+                "l_linenumber": pa.array([r[2] for r in lrows], type=pa.int32()),
+                "l_extendedprice": pa.array(
+                    [r[3] / 100.0 for r in lrows], type=pa.float64()
+                ),
+                "l_returnflag": pa.array([r[4] for r in lrows], type=pa.string()),
+                "l_linestatus": pa.array([r[5] for r in lrows], type=pa.string()),
+                "l_quantity": pa.array(
+                    [float(r[6]) for r in lrows], type=pa.float64()
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
 
     sdf = QUERIES[name](spark, str(d)).toPandas()
     s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
