@@ -1040,11 +1040,15 @@ def ns_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
         6,
     )
+    # threshold on the EXACT integer form (3·inter >= n1+n2 ⟺ true
+    # jaccard >= 0.5) — never on the rounded display value: a pair with
+    # true jac in [t−ε, t) must not round UP into the result, because
+    # the prefix theorem only guarantees recall for true jac >= t
     return (
         inter.join(n1, "d1")
         .join(n2, "d2")
+        .where(F.lit(3) * F.col("inter") >= F.col("n1") + F.col("n2"))
         .select("d1", "d2", jac.alias("jac"))
-        .where(F.col("jac") >= PREFIX_JAC_T)
         .orderBy("d1", "d2")
     )
 

@@ -1630,7 +1630,13 @@ def q82_rolling_median(spark, sf_dir):
     ``(n+1) div 2`` (1-based), which equals DuckDB's
     ``quantile_disc(0.5)`` index ``floor(0.5·(n-1))`` for every n —
     pinned cross-engine.  Values integerized to cents; buffer is
-    O(frame), never O(partition)."""
+    O(frame), never O(partition).
+
+    NULL semantics: ``n_win`` counts every row in the frame
+    (``COUNT(*) OVER w``), while the median is taken over the
+    frame's NON-NULL values only (``collect_list`` skips NULLs,
+    exactly like DuckDB's ``quantile_disc``); an all-NULL frame
+    yields a NULL median rather than an index error."""
     e = load_table(spark, "events", sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     w = (
@@ -1639,13 +1645,15 @@ def q82_rolling_median(spark, sf_dir):
         .rowsBetween(-9, 0)
     )
     vals = F.sort_array(F.collect_list(cents).over(w))
-    n = F.size(vals)
+    m = F.size(vals)
     return (
         e.select(
             "event_id",
             "user_id",
-            n.cast("long").alias("n_win"),
-            F.element_at(vals, ((n + 1) / 2).cast("int")).alias("med_cents"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+            F.when(
+                m > 0, F.element_at(vals, ((m + 1) / 2).cast("int"))
+            ).alias("med_cents"),
         )
         .orderBy("event_id")
     )
@@ -2029,7 +2037,7 @@ def q92_ohlc_resample(spark, sf_dir):
         F.col("value").isNotNull(),
         F.concat(
             F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 19, "0"),
         ),
     )
     return (

@@ -250,7 +250,9 @@ NS_ORACLES: dict[str, str] = {
         "SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) "
         "AS jac FROM inter JOIN sizes sa ON sa.doc_id = d1 "
         "JOIN sizes sb ON sb.doc_id = d2 "
-        "WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5 "
+        # exact integer threshold (3i >= n1+n2 <=> true jac >= 0.5);
+        # round() is display-only — mirrors the Spark operator
+        "WHERE 3 * i >= sa.n + sb.n "
         "ORDER BY d1, d2"
     ),
     "ns_dedup_jaccard": (

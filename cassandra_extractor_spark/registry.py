@@ -288,7 +288,7 @@ ORACLES: dict[str, str] = {
         "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "
         "CAST(round(value * 100) AS BIGINT) AS cents, "
         "lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0') || "
-        "lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events) "
+        "lpad(CAST(event_id AS VARCHAR), 19, '0') AS k FROM events) "
         "SELECT event_type, day, arg_min(cents, k) AS open_cents, "
         "MAX(cents) AS high_cents, MIN(cents) AS low_cents, "
         "arg_max(cents, k) AS close_cents, CAST(COUNT(*) AS BIGINT) AS n_trades "

@@ -35,6 +35,7 @@ EVENT_QUERIES = [
     "q87_dense_timeseries",
     "q90_time_rollup",
     "q92_ohlc_resample",
+    "q82_rolling_median",
     "q76_rolling_zscore",
     "ns_winsorize",
     "q35_time_bucket",

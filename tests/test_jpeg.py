@@ -80,6 +80,43 @@ def test_rejects_garbage_and_truncation():
         decode_jpeg(data[:40])
 
 
+def test_truncated_scan_raises_valueerror_not_indexerror():
+    """Entropy-coded data cut mid-scan must surface the module's
+    promised 'rejected loudly' ValueError — never a raw IndexError
+    from the bit reader running past the buffer."""
+    img = (np.indices((32, 32)).sum(axis=0) % 97).astype(np.uint8)
+    img = np.stack([img, img.T, 255 - img], axis=-1)
+    data = encode_jpeg(32, 32, 3, img.tobytes())
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    # cut at several points inside the entropy-coded segment
+    for cut in (sos + 20, sos + 40, len(data) - 8):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(data[:cut])
+
+
+def test_multi_scan_baseline_rejected_loudly():
+    """A 3-component frame whose SOS covers only 1 component (multi-
+    scan non-interleaved baseline) must raise NotImplementedError,
+    not return a 1-plane array that crashes in YCbCr conversion."""
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    data = bytearray(encode_jpeg(8, 8, 3, img.tobytes()))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    # SOS segment: FF DA <len:2> <ns> <cs1 tt1> <cs2 tt2> <cs3 tt3> ...
+    # rewrite to cover only the first component and shrink the length
+    ln = (data[sos + 2] << 8) | data[sos + 3]
+    ns = data[sos + 4]
+    assert ns == 3
+    tail_start = sos + 4 + 1 + 2 * ns  # Ss/Se/Ah-Al + entropy data
+    new_seg = bytes(
+        [0, 8, 1, data[sos + 5], data[sos + 6]]
+    ) + bytes(data[tail_start : sos + 2 + ln])
+    patched = bytes(data[: sos + 2]) + new_seg + bytes(data[sos + 2 + ln :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
 def test_progressive_rejected_loudly():
     """A SOF2 frame header must raise NotImplementedError, not
     misdecode."""
