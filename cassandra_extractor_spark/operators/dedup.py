@@ -1229,3 +1229,44 @@ def ns_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+def ns_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection for near-dup clusters — the
+    step that turns cluster IDs into an actionable keep/redirect map:
+    each cluster keeps its longest document (ties → smallest doc_id),
+    every other member points at it.  This is the production dedup
+    OUTPUT contract (keep-list + redirect edges), downstream of
+    ``ns_dedup_clusters``.
+
+    Scale shape: clusters join documents on doc_id (co-partitioned
+    hash join), one window per cluster_id (clusters are small by
+    construction — the star-topology guard bounds them), and the
+    canonical map is cluster-count-sized, hence broadcast.
+    """
+    pairs = lsh_candidate_pairs(
+        minhash_bands(spark, sf_dir), max_bucket=64
+    ).localCheckpoint(eager=True)
+    clusters = connected_components(pairs, n_edges=pairs.count())
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    ranked = clusters.join(docs, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    canon = ranked.where(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        ranked.join(F.broadcast(canon), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

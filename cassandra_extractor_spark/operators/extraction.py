@@ -519,3 +519,65 @@ def ns_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(li, "lineitem.l_orderkey", "l_orderkey"))
     )
     return out.orderBy("key")
+
+
+ASSOC_MIN_SUPPORT = 3  #: minimum pair co-occurrence count
+ASSOC_TOP = 100  #: rules reported
+
+
+def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: pairwise
+    part co-occurrence with support and lift — the co-occurrence
+    statistic behind "documents that share X also share Y" corpus
+    curation and retrieval-augmentation heuristics.
+
+    Scale shape (the Apriori property in DataFrame form): baskets are
+    BOUNDED (a TPC-H order holds ~4-7 lines), so the within-basket
+    pair self-join is O(basket²)·|orders| — linear in the corpus, not
+    quadratic.  Item supports are a vocabulary-sized aggregate that
+    broadcast-joins back onto the pair counts; the min-support filter
+    prunes before the join.  Lift's integer inputs make the double
+    division deterministic cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").cast("long").alias("c12"))
+        .where(F.col("c12") >= ASSOC_MIN_SUPPORT)
+    )
+    s1 = supp.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    s2 = supp.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    lift = F.round(
+        F.col("c12").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+        6,
+    )
+    w = W.orderBy(F.col("lift").desc(), F.col("p1"), F.col("p2"))
+    return (
+        pair_counts.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select("p1", "p2", "c12", "c1", "c2", lift.alias("lift"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ASSOC_TOP)
+        .orderBy("rank")
+    )

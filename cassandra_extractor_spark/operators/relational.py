@@ -2307,3 +2307,222 @@ def q99_share_of_total(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- round-5 analytic operators ---------------------------------------
+
+import math  # noqa: E402  (module-scope constants below)
+
+#: Benford first-digit expected frequencies, computed ONCE in Python
+#: and embedded as identical literals in both engines — engine libm
+#: log10 differences can never surface
+BENFORD_EXP: dict[int, float] = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q100_crosstab_chi2(spark, sf_dir):
+    """Chi-square test of independence between two categorical columns
+    (priority × status) — the drift/association audit every feature
+    store runs.  Observed counts are exact integers; expected counts
+    and per-cell contributions are single deterministic double
+    expressions; the final fold over cells goes through
+    DECIMAL(38,18) so summation order can't move the result.
+
+    Scale shape: one map-side-combined groupBy to |R×C| cells, then
+    all windows/aggregates run over that tiny cell frame — never over
+    raw rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    wr = W.partitionBy("o_orderpriority")
+    wc = W.partitionBy("o_orderstatus")
+    wt = W.partitionBy()
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        cells.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "obs",
+            F.sum("obs").over(wr).alias("rt"),
+            F.sum("obs").over(wc).alias("ct"),
+            F.sum("obs").over(wt).alias("n"),
+        )
+        .agg(
+            (
+                (F.countDistinct("o_orderpriority") - 1)
+                * (F.countDistinct("o_orderstatus") - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+            F.round(
+                F.sum(contrib.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("chi2"),
+        )
+    )
+
+
+def q101_weighted_median(spark, sf_dir):
+    """Weighted median price per return flag (weight = quantity) — the
+    order-statistic that q66's plain median can't express.  Spelled as
+    a RANGE-framed cumulative weight (peers share one cumulative
+    value, so ties are engine-order-proof) and the selector
+    ``min(value where 2·cum ≥ total)``.  Integer weights and cents
+    throughout — no floats anywhere.
+
+    Scale shape: one shuffle on the group key; the window is the
+    standard running-total plan.  No collect, no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "price_cents",
+            F.sum("w").over(cum_w).alias("cum"),
+            F.sum("w").over(W.partitionBy("l_returnflag")).alias("total"),
+        )
+        .where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("long").alias("wmedian_cents"),
+            F.max("total").cast("long").alias("total_w"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q102_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of NULL gaps per user — the
+    gap-fill step between q71's fill-forward and real resampling.
+    Neighbors come from IGNORE NULLS window endpoints (value and its
+    timestamp ride the same conditional column, so the pair can never
+    disagree); interior gaps interpolate on epoch-millis, leading /
+    trailing gaps degrade to bfill / ffill, and an all-NULL user stays
+    NULL.  All inputs to the one double expression are exact integers.
+
+    Scale shape: one shuffle on user_id; two unbounded-but-lazy frames
+    over each partition (Spark evaluates last/first incrementally) —
+    no self-join, no collect.
+    """
+    e = load_table(spark, "events", sf_dir)
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ms", "event_id")
+    prev_w = ow.rowsBetween(W.unboundedPreceding, -1)
+    next_w = ow.rowsBetween(1, W.unboundedFollowing)
+    c_ms = F.when(F.col("c").isNotNull(), F.col("ms"))
+    j = base.select(
+        "event_id",
+        "user_id",
+        "ms",
+        "c",
+        F.last("c", ignorenulls=True).over(prev_w).alias("pc"),
+        F.last(c_ms, ignorenulls=True).over(prev_w).alias("pms"),
+        F.first("c", ignorenulls=True).over(next_w).alias("nc"),
+        F.first(c_ms, ignorenulls=True).over(next_w).alias("nms"),
+    )
+    interp = F.col("pc") + (F.col("nc") - F.col("pc")) * (
+        F.col("ms") - F.col("pms")
+    ) / (F.col("nms") - F.col("pms"))
+    has_p, has_n = F.col("pc").isNotNull(), F.col("nc").isNotNull()
+    obs = F.col("c").isNotNull()
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(obs, F.col("c").cast("double"))
+        .when(has_p & has_n, F.round(interp, 6))
+        .when(has_p, F.col("pc").cast("double"))
+        .when(has_n, F.col("nc").cast("double"))
+        .alias("filled_cents"),
+        F.when(obs, F.lit("obs"))
+        .when(has_p & has_n, F.lit("interp"))
+        .when(has_p, F.lit("ffill"))
+        .when(has_n, F.lit("bfill"))
+        .otherwise(F.lit("none"))
+        .alias("fill_kind"),
+    ).orderBy("event_id")
+
+
+def q103_benford(spark, sf_dir):
+    """Benford first-significant-digit audit over order totals — the
+    classic anomaly screen for fabricated numeric columns.  Digit
+    comes from the integer cents' decimal string; expected
+    frequencies are Python-computed literals shared verbatim with the
+    oracle, so the only floating point is one division and one
+    subtraction per digit row.
+    """
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    exp = F.lit(None).cast("double")
+    for d, v in BENFORD_EXP.items():
+        exp = F.when(F.col("digit") == d, F.lit(v)).otherwise(exp)
+    freq = F.col("obs").cast("double") / F.col("n").cast("double")
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .select("digit", "obs", F.sum("obs").over(W.partitionBy()).alias("n"))
+        .select(
+            "digit",
+            "obs",
+            F.round(freq, 6).alias("freq"),
+            F.round(exp, 6).alias("exp_freq"),
+            F.round(F.abs(freq - exp), 6).alias("dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q104_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of event values per user — the
+    time-series memory diagnostic (is this signal noise or trend?).
+    Consecutive (x, y=lag(x)) pairs with NULLs dropped pairwise; all
+    five sufficient statistics are EXACT integer sums (cents), and
+    the Pearson formula is then one deterministic double expression —
+    the textbook distributed-corr shape (one pass, map-side combined,
+    no second scan).  Degenerate (zero-variance or n<2) groups yield
+    NULL.
+    """
+    e = load_table(spark, "events", sf_dir)
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.lag(F.round(F.col("value") * 100).cast("long"), 1).over(ow).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    agg = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxyd, sxxd, syyd = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    r = (nd * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), F.round(r, 6)).alias(
+            "autocorr"
+        ),
+    ).orderBy("user_id")

@@ -681,3 +681,108 @@ def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- round-5 embedding analytics ---------------------------------------
+
+import math  # noqa: E402  (module-scope constants below)
+
+#: NDCG position discounts 1/log2(i+1), Python-computed once and shared
+#: verbatim with the oracle so engine libm differences can't surface
+NDCG_DISCOUNT: dict[int, float] = {
+    i: 1.0 / math.log2(i + 1) for i in range(1, TOP_K + 1)
+}
+IDCG_AT_K: float = sum(NDCG_DISCOUNT.values())
+
+
+def ns_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus embeddings' top
+    principal direction: w = Σₓ x·(xᵀv₀) with v₀ = 1⃗, normalized and
+    sign-fixed — the building block of distributed PCA (and the
+    variance-direction diagnostic an embedding-drift monitor wants).
+
+    The d×d Gram matrix is NEVER materialized: per row, the scalar
+    t = xᵀv₀ is one array fold, and each dimension contributes
+    x[j]·t — a map-only explode into (dim, contrib) followed by a
+    64-group aggregate.  Cross-engine exactness: the per-row double
+    products are identical single expressions, and both the per-dim
+    fold and the norm fold go through DECIMAL(38,18) (order-
+    independent exact sums).  Sign is fixed by dim 1's loading so the
+    eigvector's inherent ±ambiguity can't flip between engines.
+
+    100 TB shape: map + one combine-enabled agg to d rows + one
+    broadcast of a 1-row stats frame.  Iterating k steps = k such
+    passes (v broadcast each round); no driver-side linear algebra.
+    """
+    e = _load_embeddings(spark, sf_dir)
+    e = e.where(
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("emb"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    )
+    t = F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v)
+    ex = e.select(
+        t.alias("t"), F.explode(F.expr("sequence(1, size(emb))")).alias("dim"), "emb"
+    ).select("dim", (F.element_at("emb", F.col("dim")) * F.col("t")).alias("contrib"))
+    wdf = (
+        ex.groupBy("dim")
+        .agg(F.sum(F.col("contrib").cast("decimal(38,18)")).alias("w_dec"))
+        .select(F.col("dim").cast("long").alias("dim"), F.col("w_dec").cast("double").alias("w"))
+    )
+    stats = wdf.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")
+        ).alias("nrm"),
+        F.min(F.when(F.col("dim") == 1, F.col("w"))).alias("w1"),
+    )
+    signed = F.when(F.col("w1") < 0, -F.col("w")).otherwise(F.col("w"))
+    return (
+        wdf.crossJoin(F.broadcast(stats))
+        .select("dim", F.round(signed / F.col("nrm"), 6).alias("loading"))
+        .orderBy("dim")
+    )
+
+
+def ns_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the probe-limited IVF ranking against exact brute
+    force — the position-weighted retrieval-quality companion to
+    ``ns_ann_recall`` (recall treats rank 1 and rank k alike; NDCG
+    does not).  Binary relevance: a system result is relevant iff it
+    appears in the exact top-k.  Discounts 1/log2(i+1) and the ideal
+    DCG are Python literals shared with the oracle; the per-query
+    fold over k terms goes through DECIMAL(38,18).
+
+    Scale shape: both rankings are the already-scale-shaped operators;
+    the relevance join is k·|queries| rows, broadcast-sized.
+    """
+    exact = brute_topk(_load_embeddings(spark, sf_dir)).select(
+        "q_id", "n_id", F.lit(1).alias("rel")
+    )
+    sys = ivf_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id", "rank")
+    disc = F.lit(None).cast("double")
+    for i, v in NDCG_DISCOUNT.items():
+        disc = F.when(F.col("rank") == i, F.lit(v)).otherwise(disc)
+    j = sys.join(F.broadcast(exact), ["q_id", "n_id"], "left").select(
+        "q_id",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        disc.alias("disc"),
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_hits"),
+            F.sum((F.col("rel") * F.col("disc")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dcg"),
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            F.round(F.col("dcg") / F.lit(IDCG_AT_K), 6).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

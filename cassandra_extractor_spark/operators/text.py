@@ -1031,3 +1031,52 @@ def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.col("n_occ") >= 2)
         .orderBy("fp")
     )
+
+
+BPE_TOP_PAIRS = 50  #: pairs reported by the BPE training-step query
+
+
+def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE TRAINING step, distributed: corpus-weighted adjacent
+    symbol-pair frequencies (Sennrich et al. 2016, the merge-selection
+    statistic), complementing ``operators/bpe.py`` which *applies* an
+    existing merge table.
+
+    The standard two-level scale shape: pair counting runs over the
+    DISTINCT-word vocabulary weighted by word frequency (Zipf: the
+    vocabulary is orders of magnitude smaller than the token stream),
+    so the per-character explode touches |vocab|·avg_len rows, not the
+    corpus.  Symbols are characters plus the ``</w>`` end-of-word
+    marker; alphabetic words only (the BPE alphabet of this demo).
+    Top pairs selected with a full deterministic tie-break
+    (count DESC, pair lexicographic) so the reported SET is stable.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).where(
+        F.col("w").rlike("^[a-z]+$")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    sym_pairs = vocab.select(
+        "cnt",
+        F.explode(F.expr("sequence(1, length(w))")).alias("i"),
+        F.col("w"),
+    ).select(
+        "cnt",
+        F.expr("substring(w, i, 1)").alias("a"),
+        F.when(
+            F.col("i") < F.length("w"), F.expr("substring(w, i + 1, 1)")
+        )
+        .otherwise(F.lit("</w>"))
+        .alias("b"),
+    )
+    counted = sym_pairs.groupBy("a", "b").agg(
+        F.sum("cnt").cast("long").alias("pair_count")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("pair_count").desc(), F.col("a"), F.col("b"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BPE_TOP_PAIRS)
+        .orderBy("rank")
+    )

@@ -1348,3 +1348,99 @@ NS_ORACLES["ns_winsorize"] = (
     "FROM e JOIN b ON e.event_type = b.event_type "
     "GROUP BY e.event_type ORDER BY e.event_type"
 )
+
+
+# --- round-5 operators --------------------------------------------------
+
+from cassandra_extractor_spark.operators.text import BPE_TOP_PAIRS  # noqa: E402
+from cassandra_extractor_spark.operators.extraction import (  # noqa: E402
+    ASSOC_MIN_SUPPORT,
+    ASSOC_TOP,
+)
+from cassandra_extractor_spark.operators.similarity import (  # noqa: E402
+    IDCG_AT_K,
+    NDCG_DISCOUNT,
+)
+
+NS_ORACLES["ns_bpe_pair_counts"] = (
+    f"WITH words AS (SELECT unnest({TOKS}) AS w FROM documents), "
+    "fw AS (SELECT w FROM words WHERE regexp_full_match(w, '^[a-z]+$')), "
+    "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM fw GROUP BY w), "
+    "sp AS (SELECT cnt, substring(w, i, 1) AS a, "
+    "CASE WHEN i < len(w) THEN substring(w, i + 1, 1) ELSE '</w>' END AS b "
+    "FROM (SELECT w, cnt, unnest(generate_series(1, len(w))) AS i FROM vocab)), "
+    "counted AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count "
+    "FROM sp GROUP BY a, b), "
+    "r AS (SELECT a, b, pair_count, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY pair_count DESC, a, b) AS BIGINT) AS rank FROM counted) "
+    f"SELECT a, b, pair_count, rank FROM r WHERE rank <= {BPE_TOP_PAIRS} "
+    "ORDER BY rank"
+)
+
+NS_ORACLES["ns_assoc_rules"] = (
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items), "
+    "supp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM items GROUP BY l_partkey), "
+    "pc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, "
+    "CAST(COUNT(*) AS BIGINT) AS c12 FROM items a "
+    "JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}), "
+    "j AS (SELECT p1, p2, c12, s1.c AS c1, s2.c AS c2, "
+    "round(CAST(c12 AS DOUBLE) * CAST(n_orders AS DOUBLE) / "
+    "(CAST(s1.c AS DOUBLE) * CAST(s2.c AS DOUBLE)), 6) AS lift "
+    "FROM pc JOIN supp s1 ON s1.l_partkey = p1 "
+    "JOIN supp s2 ON s2.l_partkey = p2 CROSS JOIN no), "
+    "r AS (SELECT p1, p2, c12, c1, c2, lift, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY lift DESC, p1, p2) AS BIGINT) AS rank FROM j) "
+    f"SELECT p1, p2, c12, c1, c2, lift, rank FROM r WHERE rank <= {ASSOC_TOP} "
+    "ORDER BY rank"
+)
+
+NS_ORACLES["ns_pca_power_iter"] = (
+    "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings "
+    "WHERE list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])), s -> s[1] * s[2]), (x, y) -> x + y) > 0), "
+    "te AS (SELECT emb, list_reduce(emb, (x, y) -> x + y) AS t FROM e), "
+    "ex AS (SELECT i AS dim, emb[i] * t AS contrib FROM "
+    "(SELECT emb, t, unnest(generate_series(1, len(emb))) AS i FROM te)), "
+    "pd AS (SELECT CAST(dim AS BIGINT) AS dim, "
+    "CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS w FROM ex GROUP BY dim), "
+    "st AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm, "
+    "MIN(CASE WHEN dim = 1 THEN w END) AS w1 FROM pd) "
+    "SELECT dim, round((CASE WHEN w1 < 0 THEN -w ELSE w END) / nrm, 6) AS loading "
+    "FROM pd, st ORDER BY dim"
+)
+
+_NDCG_DISC_CASE = (
+    "CASE rank "
+    + " ".join(
+        f"WHEN {i} THEN CAST({v!r} AS DOUBLE)" for i, v in NDCG_DISCOUNT.items()
+    )
+    + " END"
+)
+
+NS_ORACLES["ns_ranking_ndcg"] = (
+    f"WITH exact AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
+    f"sys AS ({NS_ORACLES['ns_ann_ivf']}), "
+    "j AS (SELECT s.q_id, s.rank, CASE WHEN EXISTS (SELECT 1 FROM exact e "
+    "WHERE e.q_id = s.q_id AND e.n_id = s.n_id) THEN 1 ELSE 0 END AS rel "
+    "FROM sys s), "
+    "d AS (SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_hits, "
+    f"CAST(SUM(CAST(rel * ({_NDCG_DISC_CASE}) AS DECIMAL(38,18))) AS DOUBLE) AS dcg "
+    "FROM j GROUP BY q_id) "
+    f"SELECT q_id, n_hits, round(dcg / CAST({IDCG_AT_K!r} AS DOUBLE), 6) AS ndcg "
+    "FROM d ORDER BY q_id"
+)
+
+NS_ORACLES["ns_cluster_canonical"] = (
+    f"WITH cl AS ({NS_ORACLES['ns_dedup_clusters']}), "
+    "j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars FROM cl "
+    "JOIN documents d USING (doc_id)), "
+    "r AS (SELECT doc_id, cluster_id, ROW_NUMBER() OVER "
+    "(PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn FROM j), "
+    "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rn = 1) "
+    "SELECT r.doc_id, r.cluster_id, c.canonical_id, "
+    "r.doc_id = c.canonical_id AS is_canonical "
+    "FROM r JOIN canon c USING (cluster_id) ORDER BY r.doc_id"
+)

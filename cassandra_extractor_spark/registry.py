@@ -34,7 +34,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
-    # new in round 4 + changed in round 4 — need fresh rows
+    # new in round 5 — need fresh rows
+    "q100_crosstab_chi2": R.q100_crosstab_chi2,
+    "q101_weighted_median": R.q101_weighted_median,
+    "q102_interpolate": R.q102_interpolate,
+    "q103_benford": R.q103_benford,
+    "q104_autocorr": R.q104_autocorr,
+    "ns_bpe_pair_counts": TX.ns_bpe_pair_counts,
+    "ns_assoc_rules": X.ns_assoc_rules,
+    "ns_pca_power_iter": S.ns_pca_power_iter,
+    "ns_ranking_ndcg": S.ns_ranking_ndcg,
+    "ns_cluster_canonical": D.ns_cluster_canonical,
+    # changed in round 5 (review fixes) — need fresh rows
+    "q82_rolling_median": R.q82_rolling_median,
+    "q92_ohlc_resample": R.q92_ohlc_resample,
+    "ns_dedup_prefix_jaccard": D.ns_dedup_prefix_jaccard,
+    # new in round 4 + changed in round 4
     "q38_approx_distinct": R.q38_approx_distinct,
     "q99_share_of_total": R.q99_share_of_total,
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
@@ -218,8 +233,98 @@ def _zorder_spread_sql(col: str, offset: int) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+#: Benford expected-frequency CASE arm, shared literals with the Spark
+#: side (R.BENFORD_EXP) so engine libm can never diverge
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in R.BENFORD_EXP.items()
+    )
+    + " END"
+)
+
+_CHI2_EXP = "(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))"
+
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
+    "q100_crosstab_chi2": (
+        "WITH cells AS (SELECT o_orderpriority, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2), "
+        "m AS (SELECT o_orderpriority, o_orderstatus, obs, "
+        "CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rt, "
+        "CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS ct, "
+        "CAST(SUM(obs) OVER () AS BIGINT) AS n FROM cells) "
+        "SELECT CAST((COUNT(DISTINCT o_orderpriority) - 1) * "
+        "(COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof, "
+        f"round(CAST(SUM(CAST((obs - {_CHI2_EXP}) * (obs - {_CHI2_EXP}) "
+        f"/ {_CHI2_EXP} AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2 FROM m"
+    ),
+    "q101_weighted_median": (
+        "WITH li AS (SELECT l_returnflag, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), "
+        "c AS (SELECT l_returnflag, price_cents, "
+        "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "SUM(w) OVER (PARTITION BY l_returnflag) AS total FROM li) "
+        "SELECT l_returnflag, CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents, "
+        "CAST(MAX(total) AS BIGINT) AS total_w FROM c "
+        "WHERE cum * 2 >= total GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "q102_interpolate": (
+        "WITH b AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, "
+        "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+        "j AS (SELECT event_id, user_id, ms, c, "
+        "last_value(c IGNORE NULLS) OVER wp AS pc, "
+        "last_value(CASE WHEN c IS NOT NULL THEN ms END IGNORE NULLS) OVER wp AS pms, "
+        "first_value(c IGNORE NULLS) OVER wn AS nc, "
+        "first_value(CASE WHEN c IS NOT NULL THEN ms END IGNORE NULLS) OVER wn AS nms "
+        "FROM b WINDOW "
+        "wp AS (PARTITION BY user_id ORDER BY ms, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "wn AS (PARTITION BY user_id ORDER BY ms, event_id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+        "SELECT event_id, user_id, "
+        "CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) "
+        "WHEN pc IS NOT NULL AND nc IS NOT NULL "
+        "THEN round(pc + (nc - pc) * (ms - pms) / (nms - pms), 6) "
+        "WHEN pc IS NOT NULL THEN CAST(pc AS DOUBLE) "
+        "WHEN nc IS NOT NULL THEN CAST(nc AS DOUBLE) END AS filled_cents, "
+        "CASE WHEN c IS NOT NULL THEN 'obs' "
+        "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN 'interp' "
+        "WHEN pc IS NOT NULL THEN 'ffill' "
+        "WHEN nc IS NOT NULL THEN 'bfill' ELSE 'none' END AS fill_kind "
+        "FROM j ORDER BY event_id"
+    ),
+    "q103_benford": (
+        "WITH o AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit "
+        "FROM orders WHERE o_totalprice > 0), "
+        "g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM o GROUP BY digit), "
+        "t AS (SELECT digit, obs, CAST(SUM(obs) OVER () AS BIGINT) AS n FROM g) "
+        "SELECT digit, obs, "
+        "round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS freq, "
+        f"round({_BENFORD_CASE}, 6) AS exp_freq, "
+        f"round(abs(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) - {_BENFORD_CASE}), 6) AS dev "
+        "FROM t ORDER BY digit"
+    ),
+    "q104_autocorr": (
+        "WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x, "
+        "lag(CAST(round(value * 100) AS BIGINT), 1) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events), "
+        "f AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL AND y IS NOT NULL), "
+        "a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM f GROUP BY user_id) "
+        "SELECT user_id, n AS n_pairs, CASE WHEN n >= 2 "
+        "AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 "
+        "THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+        "END AS autocorr FROM a ORDER BY user_id"
+    ),
     "q98_incremental_rollup": (
         "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "

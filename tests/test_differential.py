@@ -36,6 +36,8 @@ EVENT_QUERIES = [
     "q90_time_rollup",
     "q92_ohlc_resample",
     "q82_rolling_median",
+    "q102_interpolate",
+    "q104_autocorr",
     "q76_rolling_zscore",
     "ns_winsorize",
     "q35_time_bucket",
@@ -130,6 +132,10 @@ ORDER_QUERIES = [
     "q96_relational_division",
     "q97_constraint_audit",
     "q98_incremental_rollup",
+    "q100_crosstab_chi2",
+    "q101_weighted_median",
+    "q103_benford",
+    "ns_assoc_rules",
 ]
 
 _order_row = st.tuples(
@@ -230,6 +236,8 @@ DOC_QUERIES = [
     "ns_temperature_sample",
     "ns_decontaminate",
     "ns_doc_chunk",
+    "ns_bpe_pair_counts",
+    "ns_cluster_canonical",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
@@ -279,6 +287,8 @@ EMB_QUERIES = [
     "ns_ann_ivf",
     "ns_ann_recall",
     "ns_hard_negatives",
+    "ns_pca_power_iter",
+    "ns_ranking_ndcg",
 ]
 
 _vec = st.lists(
