@@ -727,7 +727,12 @@ def ns_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select(
         t.alias("t"), F.explode(F.expr("sequence(1, size(emb))")).alias("dim"), "emb"
     ).select("dim", (F.element_at("emb", F.col("dim")) * F.col("t")).alias("contrib"))
-    wdf = (
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    # materialize the d-row per-dim frame ONCE: it feeds both the
+    # output and the norm/sign stats row, and Catalyst would otherwise
+    # re-run the full corpus explode+aggregate for each consumer
+    wdf = materialize_once(
         ex.groupBy("dim")
         .agg(F.sum(F.col("contrib").cast("decimal(38,18)")).alias("w_dec"))
         .select(F.col("dim").cast("long").alias("dim"), F.col("w_dec").cast("double").alias("w"))

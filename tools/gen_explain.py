@@ -68,6 +68,14 @@ SECTIONS = [
      "Two ordered windows per user_id (running MAX finds island starts, running SUM assigns ids) + one bounded aggregate: O(n log n) per key vs the quadratic pairwise-overlap join a naive formulation uses. All timestamps are integer epoch seconds — hash-stable."),
     ("q72_funnel", "Ordered funnel: every shuffle shares the user_id key",
      "Step N is a filtered min-aggregation joined to step N-1's output — all exchanges hash on user_id, so AQE reuses the partitioning across the chain instead of re-shuffling; the strictly-after predicate is a plain filter between join and aggregate. Step counts union three one-row aggregates. No window over the full event stream, no collect."),
+    ("ns_pca_power_iter", "Gram-free power iteration: corpus maps once, d rows shuffle",
+     "The d×d Gram matrix never materializes: each row contributes x[j]·(xᵀv₀) via one codegen'd fold + explode, the per-dim decimal sums are a map-side-combined HashAggregate down to d=64 rows, and the norm/sign stats ride back as a one-row broadcast. The d-row frame is localCheckpointed once so its two consumers (loadings and stats) don't re-run the corpus pass. k iterations = k such passes — no driver-side linear algebra at any scale."),
+    ("ns_assoc_rules", "Bounded-basket pair join with Apriori pruning",
+     "Baskets are bounded (~4-7 items), so the within-order self-join is linear in the corpus, not quadratic; the min-support HAVING prunes before the support joins, item supports broadcast back (vocabulary-sized), and the top-100 selection is a TakeOrderedAndProject — the rank window then runs over 100 rows, not the rule space. At 100 TB both self-join sides hash on l_orderkey (co-partitioned)."),
+    ("ns_bpe_pair_counts", "BPE pair counting runs over the vocabulary, not the corpus",
+     "The token stream collapses to DISTINCT words with counts first (Zipf: vocabulary ≪ corpus), so the per-character explode touches |vocab|·avg_len rows; pair counts are a second map-side-combined aggregate weighted by word frequency, and the deterministic top-50 is a TakeOrderedAndProject. This is the standard two-level trick every BPE trainer uses, in DataFrame form."),
+    ("q102_interpolate", "Gap interpolation: two lazy unbounded frames, one exchange",
+     "One hash exchange + sort per user_id; the IGNORE NULLS last/first endpoints evaluate incrementally over the sorted partition (no self-join, no per-gap scan), and value+timestamp ride the same conditional column so the neighbor pair can never disagree. The interpolation itself is a codegen'd double expression of exact integers."),
 ]
 
 out = ["# EXPLAIN — captured physical plans (sf0.01, local[32], AQE on)",
