@@ -82,6 +82,16 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # CORRECTNESS TRAP — keep scale INLINE.  Hoisting it into a
+    # withColumn and referencing F.col("scale") inside the nested
+    # transform/zip_with/aggregate lambdas makes the optimized narrow
+    # projection silently miscompute the fold (mae drifts ~3e-8 vs the
+    # first-principles value; reproduced on Spark 4.1 whenever ONLY the
+    # final columns are selected — selecting the intermediate arrays
+    # alongside yields the correct fold).  The inline spelling is
+    # evaluation-order-safe and first-principles-exact (pinned by
+    # test_quantize_mae_first_principles); it re-evaluates the max-scan
+    # per element (O(d²) per row, ~2s extra at sf0.1) — accepted.
     scale = F.array_max(F.transform(F.col("emb"), lambda v: F.abs(v))) / F.lit(127.0)
 
     def quantize(v):  # single-param closure (2-param lambda binds index)

@@ -199,3 +199,51 @@ def test_kmeans_decimal_sum_equals_sorted_fold(spark, sf_dir):
         for r in folded.collect()
     }
     assert shipped == fold
+
+
+def test_quantize_mae_first_principles(spark, sf_dir):
+    """Pin ns_embedding_quantize's mae to a first-principles NumPy
+    computation.  Regression guard for a Spark nested-HOF evaluation
+    hazard: hoisting the per-row `scale` into a withColumn and
+    referencing it inside the transform/zip_with/aggregate lambdas
+    makes the optimized NARROW projection silently drift the fold by
+    ~3e-8 (Spark 4.1, reproduced at sf0.01) — only the inline spelling
+    is evaluation-order-safe.  This test computes the expected value
+    from raw parquet with no Spark expressions at all."""
+    import decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.similarity import (
+        ns_embedding_quantize,
+    )
+
+    got = {
+        r["vec_id"]: (r["scale"], r["mae"])
+        for r in ns_embedding_quantize(spark, sf_dir).collect()
+    }
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    rng = np.random.default_rng(0)
+    check_ids = set(rng.choice(len(ids), size=min(40, len(ids)), replace=False))
+    def round_half_up(x, nd=0):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+    for i in check_ids:
+        v = np.array(embs[i], dtype=np.float32).astype(np.float64)
+        scale = float(np.max(np.abs(v))) / 127.0
+        if scale == 0:
+            exp_scale, exp_mae = 0.0, 0.0
+        else:
+            q = [round_half_up(x / scale) for x in v]
+            acc = 0.0
+            for qi, vi in zip(q, v):
+                acc += abs(qi * scale - vi)
+            exp_scale = round_half_up(scale, 8)
+            exp_mae = round_half_up(acc / len(v), 8)
+        assert got[ids[i]] == (exp_scale, exp_mae), ids[i]
