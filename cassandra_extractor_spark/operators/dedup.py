@@ -980,6 +980,15 @@ def ns_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_JAC_T = 0.5  #: Jaccard threshold for the prefix-filtered join
 
+# the exact-integer filter form of the threshold, derived from the SAME
+# constant that sizes the prefixes (inter/union >= p/q ⟺
+# (p+q)·inter >= p·(n1+n2)) — retuning PREFIX_JAC_T keeps prefix
+# length, final filter, and oracle in lockstep
+from fractions import Fraction as _Fraction  # noqa: E402
+
+PREFIX_JAC_NUM = _Fraction(PREFIX_JAC_T).limit_denominator(1000).numerator
+PREFIX_JAC_DEN = _Fraction(PREFIX_JAC_T).limit_denominator(1000).denominator
+
 
 def ns_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs /
@@ -1040,14 +1049,18 @@ def ns_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
         6,
     )
-    # threshold on the EXACT integer form (3·inter >= n1+n2 ⟺ true
-    # jaccard >= 0.5) — never on the rounded display value: a pair with
-    # true jac in [t−ε, t) must not round UP into the result, because
-    # the prefix theorem only guarantees recall for true jac >= t
+    # threshold on the EXACT integer form derived from PREFIX_JAC_T
+    # ((p+q)·inter >= p·(n1+n2) ⟺ true jaccard >= p/q) — never on the
+    # rounded display value: a pair with true jac in [t−ε, t) must not
+    # round UP into the result, because the prefix theorem only
+    # guarantees recall for true jac >= t
     return (
         inter.join(n1, "d1")
         .join(n2, "d2")
-        .where(F.lit(3) * F.col("inter") >= F.col("n1") + F.col("n2"))
+        .where(
+            F.lit(PREFIX_JAC_NUM + PREFIX_JAC_DEN) * F.col("inter")
+            >= F.lit(PREFIX_JAC_NUM) * (F.col("n1") + F.col("n2"))
+        )
         .select("d1", "d2", jac.alias("jac"))
         .orderBy("d1", "d2")
     )
@@ -1244,10 +1257,9 @@ def ns_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the star-topology guard bounds them), and the
     canonical map is cluster-count-sized, hence broadcast.
     """
-    pairs = lsh_candidate_pairs(
-        minhash_bands(spark, sf_dir), max_bucket=64
-    ).localCheckpoint(eager=True)
-    clusters = connected_components(pairs, n_edges=pairs.count())
+    # the cluster construction (LSH parameters, skew cap, checkpoint
+    # discipline, iteration sizing) lives in ONE place — reuse it
+    clusters = ns_dedup_clusters(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     ranked = clusters.join(docs, "doc_id").withColumn(
         "rn",

@@ -541,7 +541,12 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    items = (
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    # items feeds FOUR consumers (n_orders, supports, both self-join
+    # sides); Catalyst does not dedupe common subplans, so without
+    # materialization the scan+distinct would run four times
+    items = materialize_once(
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
         .distinct()

@@ -2338,7 +2338,12 @@ def q100_crosstab_chi2(spark, sf_dir):
     wr = W.partitionBy("o_orderpriority")
     wc = W.partitionBy("o_orderstatus")
     wt = W.partitionBy()
-    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    # cast BEFORE multiplying: rt·ct in BIGINT overflows around 1e10
+    # rows per margin (silent wrap on Spark, loud error on DuckDB);
+    # double·double is exact until ~9e15 and merely rounds beyond
+    exp = (
+        F.col("rt").cast("double") * F.col("ct").cast("double")
+    ) / F.col("n").cast("double")
     contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
     return (
         cells.select(
@@ -2407,8 +2412,10 @@ def q102_interpolate(spark, sf_dir):
     Neighbors come from IGNORE NULLS window endpoints (value and its
     timestamp ride the same conditional column, so the pair can never
     disagree); interior gaps interpolate on epoch-millis, leading /
-    trailing gaps degrade to bfill / ffill, and an all-NULL user stays
-    NULL.  All inputs to the one double expression are exact integers.
+    trailing gaps degrade to bfill / ffill, an all-NULL user stays
+    NULL, and a gap whose neighbors share its timestamp (zero-width
+    interval, the 0/0 case) degrades to ffill.  All inputs to the one
+    double expression are exact integers.
 
     Scale shape: one shuffle on user_id; two unbounded-but-lazy frames
     over each partition (Spark evaluates last/first incrementally) —
@@ -2439,17 +2446,21 @@ def q102_interpolate(spark, sf_dir):
         F.col("ms") - F.col("pms")
     ) / (F.col("nms") - F.col("pms"))
     has_p, has_n = F.col("pc").isNotNull(), F.col("nc").isNotNull()
+    # interpolation needs a strictly positive time span: neighbors on
+    # the SAME timestamp as the gap row would divide 0/0 (NULL on both
+    # engines) — those gaps degrade to ffill like a zero-width interval
+    can_interp = has_p & has_n & (F.col("nms") > F.col("pms"))
     obs = F.col("c").isNotNull()
     return j.select(
         "event_id",
         "user_id",
         F.when(obs, F.col("c").cast("double"))
-        .when(has_p & has_n, F.round(interp, 6))
+        .when(can_interp, F.round(interp, 6))
         .when(has_p, F.col("pc").cast("double"))
         .when(has_n, F.col("nc").cast("double"))
         .alias("filled_cents"),
         F.when(obs, F.lit("obs"))
-        .when(has_p & has_n, F.lit("interp"))
+        .when(can_interp, F.lit("interp"))
         .when(has_p, F.lit("ffill"))
         .when(has_n, F.lit("bfill"))
         .otherwise(F.lit("none"))
@@ -2506,13 +2517,17 @@ def q104_autocorr(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.lag(F.round(F.col("value") * 100).cast("long"), 1).over(ow).alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # sums accumulate in DECIMAL(38,0): the per-row products (cents²,
+    # ≤ ~1e14) fit BIGINT, but their SUM overflows int64 around 1e5
+    # high-value events per user — decimal sums stay exact to 1e38
+    # (Spark would wrap silently; DuckDB's HUGEINT is the same width)
     agg = base.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
     nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxyd, sxxd, syyd = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]

@@ -16,6 +16,8 @@ from cassandra_extractor_spark.operators.dedup import (
     HAMMING_MAX,
     N_SEM_CELLS,
     NUM_PERM,
+    PREFIX_JAC_DEN,
+    PREFIX_JAC_NUM,
     SEM_TAU,
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
@@ -250,9 +252,11 @@ NS_ORACLES: dict[str, str] = {
         "SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) "
         "AS jac FROM inter JOIN sizes sa ON sa.doc_id = d1 "
         "JOIN sizes sb ON sb.doc_id = d2 "
-        # exact integer threshold (3i >= n1+n2 <=> true jac >= 0.5);
-        # round() is display-only — mirrors the Spark operator
-        "WHERE 3 * i >= sa.n + sb.n "
+        # exact integer threshold derived from PREFIX_JAC_T
+        # ((p+q)·i >= p·(n1+n2) <=> true jac >= p/q); round() is
+        # display-only — mirrors the Spark operator
+        f"WHERE {PREFIX_JAC_NUM + PREFIX_JAC_DEN} * i >= "
+        f"{PREFIX_JAC_NUM} * (sa.n + sb.n) "
         "ORDER BY d1, d2"
     ),
     "ns_dedup_jaccard": (

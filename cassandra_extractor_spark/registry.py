@@ -243,7 +243,7 @@ _BENFORD_CASE = (
     + " END"
 )
 
-_CHI2_EXP = "(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))"
+_CHI2_EXP = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
 
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
@@ -286,12 +286,12 @@ ORACLES: dict[str, str] = {
         "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
         "SELECT event_id, user_id, "
         "CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) "
-        "WHEN pc IS NOT NULL AND nc IS NOT NULL "
+        "WHEN pc IS NOT NULL AND nc IS NOT NULL AND nms > pms "
         "THEN round(pc + (nc - pc) * (ms - pms) / (nms - pms), 6) "
         "WHEN pc IS NOT NULL THEN CAST(pc AS DOUBLE) "
         "WHEN nc IS NOT NULL THEN CAST(nc AS DOUBLE) END AS filled_cents, "
         "CASE WHEN c IS NOT NULL THEN 'obs' "
-        "WHEN pc IS NOT NULL AND nc IS NOT NULL THEN 'interp' "
+        "WHEN pc IS NOT NULL AND nc IS NOT NULL AND nms > pms THEN 'interp' "
         "WHEN pc IS NOT NULL THEN 'ffill' "
         "WHEN nc IS NOT NULL THEN 'bfill' ELSE 'none' END AS fill_kind "
         "FROM j ORDER BY event_id"
@@ -313,10 +313,12 @@ ORACLES: dict[str, str] = {
         "lag(CAST(round(value * 100) AS BIGINT), 1) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events), "
         "f AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL AND y IS NOT NULL), "
+        # sums stay in DuckDB's exact HUGEINT (mirrors Spark's
+        # DECIMAL(38,0) sums — same width, same nearest-double cast)
         "a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy FROM f GROUP BY user_id) "
+        "SUM(x) AS sx, SUM(y) AS sy, "
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx, "
+        "SUM(y * y) AS syy FROM f GROUP BY user_id) "
         "SELECT user_id, n AS n_pairs, CASE WHEN n >= 2 "
         "AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
         "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 "
