@@ -529,3 +529,56 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
         j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert op in plan, (hint, plan[:1500])
+
+
+def test_bpe_pair_counts_vocabulary_level(spark, sf_dir):
+    """BPE pair counting must aggregate to the distinct-word vocabulary
+    BEFORE the per-character explode (two partial/final aggregate
+    pairs), select the top pairs with TakeOrdered (never a full global
+    sort of the pair space), and stay Python-free."""
+    from cassandra_extractor_spark.operators.text import ns_bpe_pair_counts
+
+    plan = _executed_plan(ns_bpe_pair_counts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_assoc_rules_scale_shape(spark, sf_dir):
+    """Association mining must (a) materialize the basket-item frame
+    once (InMemoryTableScan / checkpoint scan feeding all consumers),
+    (b) broadcast the vocabulary-sized support tables, and (c) pick the
+    top rules via TakeOrdered rather than globally sorting the rule
+    space."""
+    from cassandra_extractor_spark.operators.extraction import ns_assoc_rules
+
+    plan = _executed_plan(ns_assoc_rules(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pca_power_iter_no_gram_matrix(spark, sf_dir):
+    """The power-iteration step must reduce to d rows via a map-side-
+    combined HashAggregate (partial+final around one exchange) with the
+    norm/sign stats riding a one-row broadcast — no collect_list, no
+    Python, no d×d intermediate."""
+    from cassandra_extractor_spark.operators.similarity import ns_pca_power_iter
+
+    plan = _executed_plan(ns_pca_power_iter(spark, sf_dir))
+    assert "collect_list" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_interpolate_single_exchange_per_key(spark, sf_dir):
+    """Gap interpolation is one hash exchange on user_id plus ordered
+    window frames — no self-join, no Python, and exactly one
+    data-sized exchange (the trailing Sort exchange is the oracle
+    contract's ORDER BY event_id)."""
+    from cassandra_extractor_spark.operators.relational import q102_interpolate
+
+    plan = _executed_plan(q102_interpolate(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
