@@ -2541,3 +2541,53 @@ def q104_autocorr(spark, sf_dir):
             "autocorr"
         ),
     ).orderBy("user_id")
+
+
+def q105_skyline(spark, sf_dir):
+    """2-D skyline / Pareto frontier over orders: the cheapest-AND-
+    earliest non-dominated set (order a dominates b when it is ≤ on
+    both price and date and strictly < on at least one) — the
+    multi-criteria shortlist query behind "best tradeoff" analytics.
+
+    The naive spelling is the O(n²) NOT-EXISTS dominance join (that is
+    the oracle); the engine spelling is the classic sort-scan skyline:
+    one window ordered by (price, date) per... no partition — but over
+    the PRE-AGGREGATED distinct (price, date) frame, which is orders of
+    magnitude smaller than the fact table and bounded by the price
+    domain.  A point survives iff no point with smaller-or-equal price
+    has a strictly smaller date earlier in the order (running MIN), with
+    the price-tie case handled by taking the MIN date per price first —
+    both reductions are map-side-combined aggregates; the single-
+    partition window runs over |distinct prices| rows only.
+
+    Output: the skyline (price_cents, ship_date) pairs with the count
+    of orders sitting exactly on each skyline point.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    # collapse to the candidate frontier: min date per distinct price
+    # (any same-price later date is dominated), with exact point counts
+    per_price = o.groupBy("price_cents").agg(
+        F.min("d").alias("ship_date")
+    )
+    counts = o.groupBy("price_cents", F.col("d").alias("ship_date")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    w = (
+        W.orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("prev_min", F.min("ship_date").over(w))
+        .where(
+            F.col("prev_min").isNull()
+            | (F.col("ship_date") < F.col("prev_min"))
+        )
+        .select("price_cents", "ship_date")
+    )
+    return (
+        frontier.join(counts, ["price_cents", "ship_date"])
+        .orderBy("price_cents")
+    )

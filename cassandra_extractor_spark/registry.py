@@ -45,6 +45,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_pca_power_iter": S.ns_pca_power_iter,
     "ns_ranking_ndcg": S.ns_ranking_ndcg,
     "ns_cluster_canonical": D.ns_cluster_canonical,
+    "q105_skyline": R.q105_skyline,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -258,6 +259,17 @@ ORACLES: dict[str, str] = {
         "(COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof, "
         f"round(CAST(SUM(CAST((obs - {_CHI2_EXP}) * (obs - {_CHI2_EXP}) "
         f"/ {_CHI2_EXP} AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2 FROM m"
+    ),
+    "q105_skyline": (
+        "WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(o_orderdate AS DATE) AS ship_date FROM orders), "
+        "sky AS (SELECT DISTINCT price_cents, ship_date FROM o a "
+        "WHERE NOT EXISTS (SELECT 1 FROM o b "
+        "WHERE b.price_cents <= a.price_cents AND b.ship_date <= a.ship_date "
+        "AND (b.price_cents < a.price_cents OR b.ship_date < a.ship_date))) "
+        "SELECT s.price_cents, s.ship_date, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM sky s JOIN o USING (price_cents, ship_date) "
+        "GROUP BY 1, 2 ORDER BY price_cents"
     ),
     "q101_weighted_median": (
         "WITH li AS (SELECT l_returnflag, "

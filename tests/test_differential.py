@@ -135,6 +135,7 @@ ORDER_QUERIES = [
     "q100_crosstab_chi2",
     "q101_weighted_median",
     "q103_benford",
+    "q105_skyline",
     "ns_assoc_rules",
 ]
 
@@ -143,6 +144,7 @@ _order_row = st.tuples(
     st.sampled_from(["O", "F", "P"]),
     st.integers(min_value=-500000, max_value=500000),  # totalprice cents
     st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    st.integers(min_value=0, max_value=27),  # orderdate day offset (2-D skyline needs variety)
 )
 _li_row = st.tuples(
     st.integers(min_value=0, max_value=60),  # l_orderkey (may dangle -> FK)
@@ -176,7 +178,9 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
             "o_custkey": pd.Series([r[0] for r in orows], dtype="int64"),
             "o_orderstatus": pd.Series([r[1] for r in orows], dtype="object"),
             "o_totalprice": pd.Series([r[2] / 100.0 for r in orows], dtype="float64"),
-            "o_orderdate": pd.Series(["1995-01-01"] * len(orows), dtype="object"),
+            "o_orderdate": pd.Series(
+                [f"1995-01-{r[4] + 1:02d}" for r in orows], dtype="object"
+            ),
             "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
         }
     ).to_parquet(d / "orders.parquet", index=False)
