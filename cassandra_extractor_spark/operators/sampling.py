@@ -383,3 +383,41 @@ def ns_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SAMPLE_K_PER_GROUP = 20  #: exact per-group sample size
+
+
+def ns_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k uniform sample per group (k docs per source) — the
+    companion to rate-based sampling when downstream needs a fixed
+    budget per stratum (eval panels, per-domain inspection sets,
+    labeling batches).  Rate gates (``ns_sample_stratified``) only hit
+    k in expectation; this ranks each group by a deterministic
+    md5-derived key and keeps the first k — exact count, reproducible
+    on any engine or cluster size, no RNG state.
+
+    Scale shape: one hash exchange on the group key + an in-partition
+    TOP-K window (rank ≤ k cuts early under AQE); group count × k
+    rows survive.  With heavily skewed groups the window is still
+    linear per partition — no global sort, no collect.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    # zero-padded hash key: string order == numeric order, so the
+    # oracle's lpad spelling is bit-identical
+    key = F.lpad(
+        (_md5_hash64(F.col("doc_id").cast("string"), "kpg") % 1_000_000_000)
+        .cast("string"),
+        9,
+        "0",
+    )
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", key.alias("k"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= SAMPLE_K_PER_GROUP)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    )

@@ -801,3 +801,50 @@ def ns_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+def ns_embedding_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids plus their offset from the global
+    centroid — the mean-centering / class-separation statistic an
+    embedding-quality monitor tracks (collapsed classes show near-zero
+    offsets; drifted ones move).  Per (label, dim): exact
+    DECIMAL(38,18) sums of the double components divided by exact
+    counts; the global centroid derives from the SAME per-label sums
+    (one corpus pass total), so both levels are bit-identical on any
+    engine or partitioning.
+
+    Scale shape: explode to (label, dim, val) → ONE map-side-combined
+    aggregate down to |labels|·d rows; the global roll-up and the
+    offset join run over that tiny frame.  No second corpus scan,
+    no collect.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ex = e.select(
+        "label", F.explode(F.expr("sequence(1, size(emb))")).alias("dim"), "emb"
+    ).select("label", "dim", F.element_at("emb", F.col("dim")).alias("val"))
+    per_label = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    g = per_label.groupBy("dim").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("gmean")
+    )
+    return (
+        per_label.select(
+            "label",
+            "dim",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("lmean"),
+        )
+        .join(F.broadcast(g), "dim")
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("lmean", 6).alias("label_mean"),
+            # "delta" not "offset": OFFSET is a reserved word in the
+            # oracle dialect
+            F.round(F.col("lmean") - F.col("gmean"), 6).alias("delta"),
+        )
+        .orderBy("label", "dim")
+    )

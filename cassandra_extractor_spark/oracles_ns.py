@@ -1448,3 +1448,33 @@ NS_ORACLES["ns_cluster_canonical"] = (
     "r.doc_id = c.canonical_id AS is_canonical "
     "FROM r JOIN canon c USING (cluster_id) ORDER BY r.doc_id"
 )
+
+
+from cassandra_extractor_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_K_PER_GROUP,
+)
+
+NS_ORACLES["ns_sample_k_per_group"] = (
+    "WITH d AS (SELECT doc_id, source, "
+    "lpad(CAST("
+    + _hash_sql("CAST(doc_id AS VARCHAR)", "kpg")
+    + " % 1000000000 AS VARCHAR), 9, '0') AS k FROM documents), "
+    "r AS (SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS rank FROM d) "
+    f"SELECT source, rank, doc_id FROM r WHERE rank <= {SAMPLE_K_PER_GROUP} "
+    "ORDER BY source, rank"
+)
+
+NS_ORACLES["ns_embedding_centering"] = (
+    "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "ex AS (SELECT label, i AS dim, emb[i] AS val FROM "
+    "(SELECT label, emb, unnest(generate_series(1, len(emb))) AS i FROM e)), "
+    "pl AS (SELECT label, dim, SUM(CAST(val AS DECIMAL(38,18))) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY label, dim), "
+    "g AS (SELECT dim, CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gmean "
+    "FROM pl GROUP BY dim) "
+    "SELECT label, CAST(pl.dim AS BIGINT) AS dim, "
+    "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS label_mean, "
+    "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - gmean, 6) AS delta "
+    "FROM pl JOIN g ON g.dim = pl.dim ORDER BY label, dim"
+)

@@ -46,6 +46,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ranking_ndcg": S.ns_ranking_ndcg,
     "ns_cluster_canonical": D.ns_cluster_canonical,
     "q105_skyline": R.q105_skyline,
+    "ns_sample_k_per_group": SM.ns_sample_k_per_group,
+    "ns_embedding_centering": S.ns_embedding_centering,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -239,6 +241,7 @@ _PRIORITY_PREFIX = [
     "q103_benford", "q104_autocorr", "ns_bpe_pair_counts",
     "ns_assoc_rules", "ns_pca_power_iter", "ns_ranking_ndcg",
     "ns_cluster_canonical", "q105_skyline",
+    "ns_sample_k_per_group", "ns_embedding_centering",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",

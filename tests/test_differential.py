@@ -242,6 +242,7 @@ DOC_QUERIES = [
     "ns_doc_chunk",
     "ns_bpe_pair_counts",
     "ns_cluster_canonical",
+    "ns_sample_k_per_group",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
@@ -293,6 +294,7 @@ EMB_QUERIES = [
     "ns_hard_negatives",
     "ns_pca_power_iter",
     "ns_ranking_ndcg",
+    "ns_embedding_centering",
 ]
 
 _vec = st.lists(
