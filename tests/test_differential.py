@@ -48,6 +48,13 @@ EVENT_QUERIES = [
     "ns_sample_stratified",
 ]
 
+#: differential depth: default examples per (query, family) are kept
+#: small for the CI-speed suite; set SPARK_GRAFT_DIFF_EXAMPLES to run a
+#: deeper hunt (e.g. 40) — used for the per-round divergence sweep
+import os as _os
+
+_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_DIFF_EXAMPLES", "0"))
+
 _T0 = dt.datetime(2024, 1, 1)
 
 _row = st.tuples(
@@ -66,7 +73,7 @@ def _oracle_for(name: str) -> str:
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 @settings(
-    max_examples=6,
+    max_examples=_EXAMPLES or 6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -159,7 +166,7 @@ _li_row = st.tuples(
 
 @pytest.mark.parametrize("name", ORDER_QUERIES)
 @settings(
-    max_examples=6,
+    max_examples=_EXAMPLES or 6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -257,7 +264,7 @@ _text = st.text(
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES or 5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -306,7 +313,7 @@ _vec = st.lists(
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_EXAMPLES or 5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
