@@ -2591,3 +2591,82 @@ def q105_skyline(spark, sf_dir):
         frontier.join(counts, ["price_cents", "ship_date"])
         .orderBy("price_cents")
     )
+
+
+ATTR_LOOKBACK_MS = 86_400_000  #: attribution lookback window (24 h)
+
+
+def q106_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's view/click touches in the 24 h before it
+    (touchless conversions credit a 'direct' channel) — the marketing
+    /conversion analytics companion to the q72 funnel and the
+    streaming attribution join.
+
+    Credits are INTEGER micro-cents via the portable floor spelling
+    (floor(cents·1e6 / n) — same floor on both engines), so the final
+    per-channel sums are exact and partition-order-proof.
+
+    Scale shape: the conversion↔touch range join is TIME-BUCKETED
+    (bucket = ms div lookback; each conversion probes exactly two
+    buckets per user) — an equi-join on (user, bucket) with the exact
+    range predicate applied after, never an unbounded theta join.  The
+    per-conversion touch count and the channel rollup are map-side-
+    combined aggregates.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    conv = base.where(
+        (F.col("event_type") == "purchase") & F.col("cents").isNotNull()
+    ).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("u"),
+        F.col("ms").alias("cms"),
+        F.col("cents").alias("conv_cents"),
+    )
+    touch = base.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"),
+        F.col("ms").alias("tms"),
+        F.col("event_type").alias("channel"),
+        # floor division, not cast-truncation: buckets must align for
+        # pre-epoch (negative-ms) timestamps too
+        F.floor(F.col("ms") / F.lit(ATTR_LOOKBACK_MS)).cast("long").alias("bkt"),
+    )
+    cb = F.floor(F.col("cms") / F.lit(ATTR_LOOKBACK_MS)).cast("long")
+    conv_b = conv.select(
+        "*", F.explode(F.array(cb - 1, cb)).alias("bkt")
+    )
+    j = conv_b.join(touch, ["u", "bkt"]).where(
+        (F.col("tms") <= F.col("cms"))
+        & (F.col("tms") > F.col("cms") - ATTR_LOOKBACK_MS)
+    )
+    per = j.groupBy("conv_id", "conv_cents").agg(F.count("*").alias("n"))
+    credit = j.join(per.select("conv_id", "n"), "conv_id").select(
+        "channel",
+        F.floor(F.col("conv_cents") * 1_000_000 / F.col("n"))
+        .cast("long")
+        .alias("micros"),
+    )
+    direct = (
+        conv.join(
+            j.select("conv_id").distinct(), "conv_id", "left_anti"
+        ).select(
+            F.lit("direct").alias("channel"),
+            (F.col("conv_cents") * 1_000_000).cast("long").alias("micros"),
+        )
+    )
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.sum("micros").cast("long").alias("attributed_micros"),
+        )
+        .orderBy("channel")
+    )

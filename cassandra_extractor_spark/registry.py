@@ -48,6 +48,7 @@ QUERIES: dict[str, QueryFn] = {
     "q105_skyline": R.q105_skyline,
     "ns_sample_k_per_group": SM.ns_sample_k_per_group,
     "ns_embedding_centering": S.ns_embedding_centering,
+    "q106_attribution": R.q106_attribution,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -241,7 +242,7 @@ _PRIORITY_PREFIX = [
     "q103_benford", "q104_autocorr", "ns_bpe_pair_counts",
     "ns_assoc_rules", "ns_pca_power_iter", "ns_ranking_ndcg",
     "ns_cluster_canonical", "q105_skyline",
-    "ns_sample_k_per_group", "ns_embedding_centering",
+    "ns_sample_k_per_group", "ns_embedding_centering", "q106_attribution",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
@@ -304,6 +305,29 @@ ORACLES: dict[str, str] = {
         "(COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof, "
         f"round(CAST(SUM(CAST((obs - {_CHI2_EXP}) * (obs - {_CHI2_EXP}) "
         f"/ {_CHI2_EXP} AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2 FROM m"
+    ),
+    "q106_attribution": (
+        "WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "conv AS (SELECT event_id AS conv_id, user_id AS u, ms AS cms, "
+        "cents AS conv_cents FROM base "
+        "WHERE event_type = 'purchase' AND cents IS NOT NULL), "
+        "touch AS (SELECT user_id AS u, ms AS tms, event_type AS channel "
+        "FROM base WHERE event_type IN ('view', 'click')), "
+        "j AS (SELECT c.conv_id, c.conv_cents, t.channel FROM conv c "
+        "JOIN touch t ON t.u = c.u AND t.tms <= c.cms "
+        "AND t.tms > c.cms - 86400000), "
+        "per AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY conv_id), "
+        "credit AS (SELECT j.channel, "
+        "CAST(floor(j.conv_cents * 1000000 / per.n) AS BIGINT) AS micros "
+        "FROM j JOIN per USING (conv_id)), "
+        "direct AS (SELECT 'direct' AS channel, "
+        "CAST(conv_cents * 1000000 AS BIGINT) AS micros FROM conv c "
+        "WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)) "
+        "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits, "
+        "CAST(SUM(micros) AS BIGINT) AS attributed_micros "
+        "FROM (SELECT * FROM credit UNION ALL SELECT * FROM direct) "
+        "GROUP BY channel ORDER BY channel"
     ),
     "q105_skyline": (
         "WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
