@@ -38,6 +38,7 @@ EVENT_QUERIES = [
     "q82_rolling_median",
     "q102_interpolate",
     "q104_autocorr",
+    "q106_attribution",
     "q76_rolling_zscore",
     "ns_winsorize",
     "q35_time_bucket",
