@@ -1,0 +1,209 @@
+"""Faithful TPC-H query adaptations over the synthetic star schema.
+
+The relational registry already exercises every operator class in
+isolation (q01-q106); these are the CLASSIC composed benchmark shapes
+— the queries a user migrating an analytics workload actually runs —
+adapted only where the synthetic schema lacks a TPC-H column (no
+partsupp table, no l_shipmode/l_commitdate, abbreviated p_type
+domain).  Money arithmetic follows the repo's exact-decimal pattern
+(`relational._money`): products are deterministic double expressions,
+sums accumulate in DECIMAL(18,6) (order-independent), and the final
+ROUND(..., 2) agrees bit-for-bit with the oracle.
+
+Plan notes (the 100 TB shapes, verified via EXPLAIN at sf0.01):
+- Q1/Q6 are single-scan map-side-combined aggregates with the date
+  filter pushed to parquet.
+- Q3/Q10/Q18 shuffle on the join keys with AQE choosing broadcast for
+  the dimension sides; top-k outputs are TakeOrderedAndProject.
+- Q5 joins six tables; nation/region broadcast, the local-supplier
+  condition (c_nationkey = s_nationkey) rides the supplier join.
+- Q14's promo share is two conditional decimal sums in ONE aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cassandra_extractor_spark.operators.relational import _money, _t
+
+Q1_CUTOFF = "2000-09-02"
+Q3_DATE = "1998-03-15"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+Q6_FROM, Q6_TO = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+Q10_FROM, Q10_TO = "1996-10-01", "1997-01-01"
+Q14_FROM, Q14_TO = "1997-09-01", "1997-10-01"
+Q18_QTY = 300
+
+
+def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary report (full column set)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= Q1_CUTOFF)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*").cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(_money(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_money(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_money(charge)), 2).cast("double").alias("sum_charge"),
+            # averages divide the EXACT decimal sum as a double by the
+            # exact count — one deterministic double division (decimal
+            # division precision/scale rules differ between engines)
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / n.cast("double"),
+                2,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money(F.col("l_extendedprice"))).cast("double")
+                / n.cast("double"),
+                2,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_money(F.col("l_discount"))).cast("double")
+                / n.cast("double"),
+                4,
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority: top-10 unshipped-order revenue."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < Q3_DATE)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > Q3_DATE)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(F.round(F.sum(_money(rev)), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the full six-table join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= Q5_FROM) & (F.col("o_orderdate") < Q5_TO)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_money(rev)), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: one pushdown-filtered scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q6_FROM)
+        & (F.col("l_shipdate") < Q6_TO)
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY)
+    )
+    return li.agg(
+        F.round(
+            F.sum(_money(F.col("l_extendedprice") * F.col("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 lossy customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= Q10_FROM) & (F.col("o_orderdate") < Q10_TO)
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_money(rev)), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: promo revenue share in percent."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q14_FROM) & (F.col("l_shipdate") < Q14_TO)
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).alias("pr"), F.sum(rev).alias("tr")
+    )
+    return agg.select(
+        F.when(
+            F.col("tr") != 0,
+            F.round(
+                F.lit(100.0) * F.col("pr").cast("double") / F.col("tr").cast("double"),
+                4,
+            ),
+        ).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (sum(qty) > threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )

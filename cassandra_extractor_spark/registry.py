@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_extractor_spark.operators import (
+    tpch as TP,
     dedup as D,
     extraction as X,
     multimodal as M,
@@ -49,6 +50,13 @@ QUERIES: dict[str, QueryFn] = {
     "ns_sample_k_per_group": SM.ns_sample_k_per_group,
     "ns_embedding_centering": S.ns_embedding_centering,
     "q106_attribution": R.q106_attribution,
+    "tpch_q01": TP.tpch_q01,
+    "tpch_q03": TP.tpch_q03,
+    "tpch_q05": TP.tpch_q05,
+    "tpch_q06": TP.tpch_q06,
+    "tpch_q10": TP.tpch_q10,
+    "tpch_q14": TP.tpch_q14,
+    "tpch_q18": TP.tpch_q18,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -243,6 +251,8 @@ _PRIORITY_PREFIX = [
     "ns_assoc_rules", "ns_pca_power_iter", "ns_ranking_ndcg",
     "ns_cluster_canonical", "q105_skyline",
     "ns_sample_k_per_group", "ns_embedding_centering", "q106_attribution",
+    "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q10",
+    "tpch_q14", "tpch_q18",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
@@ -305,6 +315,73 @@ ORACLES: dict[str, str] = {
         "(COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof, "
         f"round(CAST(SUM(CAST((obs - {_CHI2_EXP}) * (obs - {_CHI2_EXP}) "
         f"/ {_CHI2_EXP} AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2 FROM m"
+    ),
+    "tpch_q01": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge, "
+        "round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_qty, "
+        "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_price, "
+        "round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_disc, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '2000-09-02' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "tpch_q03": (
+        "SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-03-15' "
+        "AND l_shipdate > '1998-03-15' "
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "tpch_q05": (
+        "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "tpch_q06": (
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    ),
+    "tpch_q10": (
+        "SELECT c_custkey, c_name, n_name, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    "tpch_q14": (
+        "WITH a AS (SELECT "
+        "SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS pr, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS tr "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01') "
+        "SELECT CASE WHEN tr <> 0 THEN "
+        "round(100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE), 4) END "
+        "AS promo_revenue_pct FROM a"
+    ),
+    "tpch_q18": (
+        "WITH big AS (SELECT l_orderkey, "
+        "SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300) "
+        "SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+        "CAST(total_qty AS DOUBLE) AS total_qty "
+        "FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "ORDER BY total_qty DESC, o_orderkey"
     ),
     "q106_attribution": (
         "WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, "

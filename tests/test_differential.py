@@ -145,6 +145,9 @@ ORDER_QUERIES = [
     "q103_benford",
     "q105_skyline",
     "ns_assoc_rules",
+    "tpch_q01",
+    "tpch_q06",
+    "tpch_q18",
 ]
 
 _order_row = st.tuples(
@@ -162,6 +165,9 @@ _li_row = st.tuples(
     st.sampled_from(["A", "N", "R"]),  # returnflag
     st.sampled_from(["F", "O"]),  # linestatus
     st.integers(min_value=0, max_value=60),  # quantity
+    st.integers(min_value=0, max_value=10),  # discount (%, /100)
+    st.integers(min_value=0, max_value=8),  # tax (%, /100)
+    st.integers(min_value=0, max_value=27),  # shipdate day offset
 )
 
 
@@ -192,6 +198,19 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
             "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
         }
     ).to_parquet(d / "orders.parquet", index=False)
+    # small fixed customer dimension matching the o_custkey domain
+    pd.DataFrame(
+        {
+            "c_custkey": pd.Series(range(10), dtype="int64"),
+            "c_name": pd.Series([f"Customer#{i}" for i in range(10)], dtype="object"),
+            "c_nationkey": pd.Series([i % 3 for i in range(10)], dtype="int32"),
+            "c_acctbal": pd.Series([100.0 * i for i in range(10)], dtype="float64"),
+            "c_mktsegment": pd.Series(
+                ["BUILDING" if i % 2 else "MACHINERY" for i in range(10)],
+                dtype="object",
+            ),
+        }
+    ).to_parquet(d / "customer.parquet", index=False)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -209,6 +228,19 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
                 "l_quantity": pa.array(
                     [float(r[6]) for r in lrows], type=pa.float64()
                 ),
+                "l_discount": pa.array(
+                    [r[7] / 100.0 for r in lrows], type=pa.float64()
+                ),
+                "l_tax": pa.array([r[8] / 100.0 for r in lrows], type=pa.float64()),
+                # split across the tpch_q06 boundary (1997 vs 1998) so
+                # the date-range filter sees both populated and empty
+                "l_shipdate": pa.array(
+                    [
+                        dt.datetime(1997 if r[9] < 14 else 1998, 3, r[9] % 14 + 1)
+                        for r in lrows
+                    ],
+                    type=pa.timestamp("us"),
+                ),
             }
         ),
         d / "lineitem.parquet",
@@ -220,6 +252,7 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d / 'orders.parquet'}'")
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d / 'lineitem.parquet'}'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{d / 'customer.parquet'}'")
     odf = con.sql(_oracle_for(name)).fetchdf()
     o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
 
