@@ -74,6 +74,10 @@ SECTIONS = [
      "Baskets are bounded (~4-7 items), so the within-order self-join is linear in the corpus, not quadratic; the min-support HAVING prunes before the support joins, item supports broadcast back (vocabulary-sized), and the top-100 selection is a TakeOrderedAndProject — the rank window then runs over 100 rows, not the rule space. At 100 TB both self-join sides hash on l_orderkey (co-partitioned)."),
     ("ns_bpe_pair_counts", "BPE pair counting runs over the vocabulary, not the corpus",
      "The token stream collapses to DISTINCT words with counts first (Zipf: vocabulary ≪ corpus), so the per-character explode touches |vocab|·avg_len rows; pair counts are a second map-side-combined aggregate weighted by word frequency, and the deterministic top-50 is a TakeOrderedAndProject. This is the standard two-level trick every BPE trainer uses, in DataFrame form."),
+    ("tpch_q05", "TPC-H Q5: six-table join, AQE picks the strategy per side",
+     "The full local-supplier-volume join: nation and region broadcast unconditionally (tiny dims), customer/orders/lineitem/supplier shuffle on their keys with AQE converting to broadcast where the filtered side is small at this SF — at 100 TB the fact joins become sort-merge on the same exchanges while the dims stay broadcast. The local-supplier predicate (c_nationkey = s_nationkey) rides the supplier join condition, not a post-filter, so candidate rows never materialize."),
+    ("q106_attribution", "Attribution range join is time-bucketed, never theta",
+     "Each conversion probes exactly TWO (user, bucket) keys (bucket = ms div lookback, exploded), so the conversion↔touch join is an equi-join with the exact range predicate applied after — shuffle volume is 2× conversions + touches, independent of window length in rows. Credits are integer micro-cents via the portable floor spelling; the channel rollup is map-side combined."),
     ("q102_interpolate", "Gap interpolation: two lazy unbounded frames, one exchange",
      "One hash exchange + sort per user_id; the IGNORE NULLS last/first endpoints evaluate incrementally over the sorted partition (no self-join, no per-gap scan), and value+timestamp ride the same conditional column so the neighbor pair can never disagree. The interpolation itself is a codegen'd double expression of exact integers."),
 ]
