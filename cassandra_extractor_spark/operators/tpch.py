@@ -207,3 +207,175 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
     )
+
+
+Q4_FROM, Q4_TO = "1996-07-01", "1996-10-01"
+Q12_FROM, Q12_TO = "1997-01-01", "1998-01-01"
+Q12_CLASSES = ("A", "R")
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q15_FROM, Q15_TO = "1997-01-01", "1997-04-01"
+Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+Q22_LAPSE = "2000-01-01"
+
+
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking.
+
+    Adaptation: the synthetic lineitem has no l_commitdate /
+    l_receiptdate, so the Q4 lateness EXISTS becomes "some item
+    shipped after the order date" (l_shipdate > o_orderdate) — the
+    same correlated-semijoin shape with a non-equi conjunct riding
+    the join.  Plan: date filter pushed to the orders scan, LEFT SEMI
+    join on l_orderkey with AQE free to broadcast the filtered
+    orders side, map-side-combined count.
+    """
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= Q4_FROM) & (F.col("o_orderdate") < Q4_TO)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority split.
+
+    Adaptation: no l_shipmode column, so the two-mode IN filter and
+    grouping run on l_returnflag ('A','R'), and the receipt-year
+    filter runs on l_shipdate — identical join + dual conditional
+    count shape.  The priority split is two conditional integer sums
+    in ONE aggregate (single scan, map-side combined); the
+    orders↔lineitem join shuffles on the order key.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin(*Q12_CLASSES)
+        & (F.col("l_shipdate") >= Q12_FROM)
+        & (F.col("l_shipdate") < Q12_TO)
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier (view + scalar-max subquery).
+
+    Per-supplier quarterly revenue accumulates in DECIMAL(18,6) and
+    rounds to cents BEFORE the max comparison, so the argmax is an
+    exact decimal equality on both engines.  Plan: one map-side-
+    combined aggregate over the date-pruned lineitem scan; the
+    single-row MAX broadcasts back (scalar subquery → broadcast
+    nested loop), and the supplier dimension joins broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q15_FROM) & (F.col("l_shipdate") < Q15_TO)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(top, revenue.total_revenue == top.mx)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under a disjunctive predicate.
+
+    Adaptation: no p_container, so each OR branch pairs a brand with
+    a p_size band and an l_quantity band (same three-branch
+    disjunction over join-mixed columns).  The part-only conjuncts
+    (brand IN, size ≥ 1) are pushed below the join as a pre-filter so
+    the joined row set is already brand-restricted; the full
+    disjunction applies post-join.  Revenue is one decimal sum.
+    """
+    brands = sorted({b for b, *_ in Q19_BRANCHES})
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(brands))
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_BRANCHES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(qty_lo, qty_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    return j.where(cond).agg(
+        F.round(
+            F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity.
+
+    Adaptation: no c_phone, so the country code is c_nationkey and
+    the candidate set is every nation; and because every synthetic
+    customer has at least one order, "no orders" becomes "no orders
+    since Q22_LAPSE" (lapsed customers — the realistic churn variant
+    of the same anti-join).  Otherwise the same shape:
+    positive-balance customers above the positive-balance average,
+    minus recently-active customers, rolled up per country.  The
+    above-average test is the exact integer cross-multiplication
+    cents·n > total_cents (no engine-dependent double average), the
+    single-row global aggregate broadcasts back, and the orders
+    exclusion is a LEFT ANTI join on the customer key.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = c.where(F.col("bal_cents") > 0)
+    glob = pos.agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(F.col("bal_cents").cast("decimal(38,0)")).alias("total_cents"),
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= Q22_LAPSE)
+    rich = pos.crossJoin(F.broadcast(glob)).where(
+        F.col("bal_cents").cast("decimal(38,0)") * F.col("n_pos")
+        > F.col("total_cents")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -57,6 +57,11 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q10": TP.tpch_q10,
     "tpch_q14": TP.tpch_q14,
     "tpch_q18": TP.tpch_q18,
+    "tpch_q04": TP.tpch_q04,
+    "tpch_q12": TP.tpch_q12,
+    "tpch_q15": TP.tpch_q15,
+    "tpch_q19": TP.tpch_q19,
+    "tpch_q22": TP.tpch_q22,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -253,6 +258,7 @@ _PRIORITY_PREFIX = [
     "ns_sample_k_per_group", "ns_embedding_centering", "q106_attribution",
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q10",
     "tpch_q14", "tpch_q18",
+    "tpch_q04", "tpch_q12", "tpch_q15", "tpch_q19", "tpch_q22",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
@@ -382,6 +388,61 @@ ORACLES: dict[str, str] = {
         "FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "ORDER BY total_qty DESC, o_orderkey"
+    ),
+    "tpch_q04": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders o "
+        "WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "tpch_q12": (
+        "SELECT l_returnflag AS ship_class, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l_returnflag IN ('A', 'R') "
+        "AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q15": (
+        "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        "ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) "
+        "AS total_revenue FROM lineitem "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue "
+        "FROM supplier s JOIN revenue ON s.s_suppkey = supplier_no "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+        "ORDER BY s_suppkey"
+    ),
+    "tpch_q19": (
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "tpch_q22": (
+        "WITH c AS (SELECT c_custkey, c_nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer), "
+        "pos AS (SELECT * FROM c WHERE bal_cents > 0), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos, "
+        "SUM(CAST(bal_cents AS HUGEINT)) AS total_cents FROM pos) "
+        "SELECT c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents "
+        "FROM pos, g "
+        "WHERE CAST(bal_cents AS HUGEINT) * n_pos > total_cents "
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
+        "AND o.o_orderdate >= '2000-01-01') "
+        "GROUP BY 1 ORDER BY 1"
     ),
     "q106_attribution": (
         "WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, "
