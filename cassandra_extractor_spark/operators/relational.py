@@ -2670,3 +2670,222 @@ def q106_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+def q107_full_outer_reconcile(spark, sf_dir):
+    """Period-over-period customer reconciliation via FULL OUTER join
+    — the snapshot-diff every billing/finance pipeline runs (who
+    appeared, who churned, whose spend changed).
+
+    Both sides are map-side-combined aggregates (orders in 1997 vs
+    1998 per customer, exact integer cents); the FULL OUTER join
+    shuffles both on c_custkey, and the classification is a codegen'd
+    CASE over the coalesced keys.  At 100 TB both snapshot aggregates
+    shrink the fact table to |customers| before the join.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def snap(yr):
+        return (
+            o.where(F.col("yr") == yr)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("long").alias(f"cents_{yr}"))
+        )
+
+    a, b = snap(1997), snap(1998)
+    joined = a.join(b, "o_custkey", "full_outer")
+    c97, c98 = F.col("cents_1997"), F.col("cents_1998")
+    return joined.select(
+        "o_custkey",
+        c97,
+        c98,
+        F.when(c97.isNull(), F.lit("added"))
+        .when(c98.isNull(), F.lit("churned"))
+        .when(c98 > c97, F.lit("grew"))
+        .when(c98 < c97, F.lit("shrank"))
+        .otherwise(F.lit("flat"))
+        .alias("status"),
+    ).orderBy("o_custkey")
+
+
+EWMA_ALPHA = 0.3  #: smoothing factor (shared literal on both engines)
+EWMA_WINDOW = 10  #: bounded lookback — the state the stream job would keep
+
+
+def q108_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of event values per user
+    over a bounded 10-event lookback — the smoothing pass behind every
+    monitoring dashboard, in its streaming-state shape (bounded
+    buffer, not unbounded recursion).
+
+    The frame's values ride ONE ordered collect_list; the EWMA is a
+    deterministic left fold seeded with the OLDEST value
+    (``aggregate(slice(vals, 2, ...), vals[1], acc·(1-α)+x·α)``) —
+    bitwise-identical to DuckDB's ``list_reduce`` because both engines
+    evaluate the same IEEE ops in the same list order.  NULL values
+    are excluded up front (Spark's collect_list drops NULLs silently;
+    DuckDB's list() keeps them — pre-filtering makes both sides see
+    the identical list).  One hash exchange + sort per user.
+    """
+    e = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    ow = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    vals = F.collect_list(F.round(F.col("value") * 100).cast("double")).over(ow)
+    base = e.select("user_id", "event_id", vals.alias("vals"))
+    a = F.lit(EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * (F.lit(1.0) - a) + x * a,
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round(ewma / 100.0, 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
+def q109_cusum(spark, sf_dir):
+    """One-sided CUSUM change detection per user: the largest clamped
+    cumulative excursion of event values above the global mean, and
+    when it peaked — the classic drift alarm (has this user's signal
+    shifted up?).
+
+    The clamped recursion C_i = max(0, C_{i-1} + dev_i) is NOT a
+    window aggregate, but its closed form is: C_i = S_i - min_{j≤i}
+    S_j over the plain cumulative sum S — two stacked windows, no
+    recursion, no UDF.  Deviations stay EXACT integers by scaling
+    through the global count (dev = cents·n − total, DECIMAL(38,0)
+    sums, HUGEINT on the oracle); the single division to real units
+    happens once at the end.  The global (n, total) is a single-row
+    broadcast; everything else is one exchange + sort per user.
+    """
+    e = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    glob = base.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        base.crossJoin(F.broadcast(glob))
+        .withColumn(
+            "dev",
+            F.col("cents").cast("decimal(38,0)") * F.col("n_all") - F.col("total"),
+        )
+        .withColumn("s", F.sum("dev").over(ow.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn(
+            "run_min",
+            F.least(
+                F.lit(0).cast("decimal(38,0)"),
+                F.min("s").over(ow.rowsBetween(W.unboundedPreceding, 0)),
+            ),
+        )
+        .withColumn("c", F.col("s") - F.col("run_min"))
+    )
+    pk = W.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("ts"), F.col("event_id")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pk))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("n_all").cast("double") * 100.0),
+                6,
+            ).alias("peak_cusum"),
+            F.col("ts").alias("peak_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q110_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event-type
+    stream: P(next event type | current) per ordered user session —
+    the behavioral model behind next-action prediction and anomaly
+    scoring on clickstreams.
+
+    One window pass builds (from, to) pairs via lag; the counts and
+    the per-source totals are ONE grouped aggregate plus a broadcast-
+    size rollup join (|event types|² matrix), so the fact table is
+    touched once.  The probability is a single exact division at the
+    end (both engines divide the same two BIGINTs).
+    """
+    e = load_table(spark, "events", sf_dir)
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type", 1).over(ow).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6)
+            .alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q111_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: the period-over-period KPI
+    query (absolute delta + percent change vs the previous month).
+
+    The fact table collapses to |months| rows in one map-side-combined
+    integer-cents aggregate; the lag window then runs over that tiny
+    frame (single partition of ~dozens of rows — intentional, the
+    aggregate IS the reduction).  Percent change is one guarded double
+    division, NULL for the first month and any zero base.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    monthly = o.groupBy("month").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    ow = W.orderBy("month")
+    prev = F.lag("rev_cents", 1).over(ow)
+    return (
+        monthly.withColumn("prev_cents", prev)
+        .select(
+            F.to_date("month").alias("month"),
+            "rev_cents",
+            "prev_cents",
+            (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+            F.when(
+                F.col("prev_cents") > 0,
+                F.round(
+                    (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+                    * 100.0
+                    / F.col("prev_cents").cast("double"),
+                    4,
+                ),
+            ).alias("growth_pct"),
+        )
+        .orderBy("month")
+    )

@@ -62,6 +62,11 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q15": TP.tpch_q15,
     "tpch_q19": TP.tpch_q19,
     "tpch_q22": TP.tpch_q22,
+    "q107_full_outer_reconcile": R.q107_full_outer_reconcile,
+    "q108_ewma": R.q108_ewma,
+    "q109_cusum": R.q109_cusum,
+    "q110_markov_transitions": R.q110_markov_transitions,
+    "q111_mom_growth": R.q111_mom_growth,
     # changed in round 5 (review fixes) — need fresh rows
     "q82_rolling_median": R.q82_rolling_median,
     "q92_ohlc_resample": R.q92_ohlc_resample,
@@ -259,6 +264,8 @@ _PRIORITY_PREFIX = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q10",
     "tpch_q14", "tpch_q18",
     "tpch_q04", "tpch_q12", "tpch_q15", "tpch_q19", "tpch_q22",
+    "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
+    "q110_markov_transitions", "q111_mom_growth",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
@@ -443,6 +450,78 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q107_full_outer_reconcile": (
+        "WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cents_1997 "
+        "FROM o WHERE yr = 1997 GROUP BY o_custkey), "
+        "b AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cents_1998 "
+        "FROM o WHERE yr = 1998 GROUP BY o_custkey) "
+        "SELECT o_custkey, cents_1997, cents_1998, "
+        "CASE WHEN cents_1997 IS NULL THEN 'added' "
+        "WHEN cents_1998 IS NULL THEN 'churned' "
+        "WHEN cents_1998 > cents_1997 THEN 'grew' "
+        "WHEN cents_1998 < cents_1997 THEN 'shrank' "
+        "ELSE 'flat' END AS status "
+        "FROM a FULL OUTER JOIN b USING (o_custkey) ORDER BY o_custkey"
+    ),
+    "q108_ewma": (
+        "WITH e AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS DOUBLE) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        "c AS (SELECT user_id, event_id, "
+        "list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals FROM e) "
+        "SELECT user_id, event_id, "
+        "round(list_reduce(vals, (acc, x) -> acc * (1 - 0.3) + x * 0.3) "
+        "/ 100, 6) AS ewma "
+        "FROM c ORDER BY user_id, event_id"
+    ),
+    "q109_cusum": (
+        "WITH base AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, "
+        "SUM(CAST(cents AS HUGEINT)) AS total FROM base), "
+        "cum AS (SELECT user_id, event_id, ts, n_all, "
+        "SUM(CAST(cents AS HUGEINT) * n_all - total) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+        "FROM base, g), "
+        "cl AS (SELECT *, s - LEAST(CAST(0 AS HUGEINT), "
+        "MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c FROM cum), "
+        "pk AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY c DESC, ts, event_id) AS rn FROM cl) "
+        "SELECT user_id, round(CAST(c AS DOUBLE) / "
+        "(CAST(n_all AS DOUBLE) * 100), 6) AS peak_cusum, ts AS peak_ts "
+        "FROM pk WHERE rn = 1 ORDER BY user_id"
+    ),
+    "q110_markov_transitions": (
+        "WITH pairs AS (SELECT lag(event_type, 1) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS from_type, "
+        "event_type AS to_type FROM events), "
+        "counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2), "
+        "totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from "
+        "FROM counts GROUP BY 1) "
+        "SELECT from_type, to_type, n, "
+        "round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS prob "
+        "FROM counts JOIN totals USING (from_type) ORDER BY from_type, to_type"
+    ),
+    "q111_mom_growth": (
+        "WITH monthly AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+        "FROM orders GROUP BY 1), "
+        "lg AS (SELECT month, rev_cents, "
+        "lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM monthly) "
+        "SELECT CAST(month AS DATE) AS month, rev_cents, prev_cents, "
+        "rev_cents - prev_cents AS delta_cents, "
+        "CASE WHEN prev_cents > 0 THEN "
+        "round(CAST(rev_cents - prev_cents AS DOUBLE) * 100 "
+        "/ CAST(prev_cents AS DOUBLE), 4) END AS growth_pct "
+        "FROM lg ORDER BY month"
     ),
     "q106_attribution": (
         "WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, "
