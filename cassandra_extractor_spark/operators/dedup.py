@@ -1282,3 +1282,61 @@ def ns_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LPA_ROUNDS = 3  #: synchronous label-propagation rounds (unrolled in the oracle)
+
+
+def ns_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    MinHash-LSH candidate graph — the dedup-neighborhood grouping that
+    (unlike connected components, ``ns_dedup_clusters``) splits
+    chained near-dup blobs at their weak links: a node adopts the MODE
+    of its neighbors' labels, not the transitive minimum.
+
+    Fully deterministic, hence exactly oracle-checkable: labels start
+    as doc_id, each of LPA_ROUNDS rounds every node simultaneously
+    takes its neighborhood's most frequent label with ties broken by
+    the SMALLEST label (row_number over count DESC, label ASC) — no
+    randomized visit order, no float scores.
+
+    100 TB shape: per round, one hash join (edge ⋈ label, both sides
+    partitioned by node) + one map-side-combined count + one
+    per-node window argmax — the standard Pregel superstep as three
+    DataFrame ops; the edge list is the banded LSH graph (never
+    all-pairs) materialized ONCE across rounds.  Isolated docs keep
+    their own label (left join back to the full doc set).
+    """
+    pairs = materialize_once(
+        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    )
+    edges = materialize_once(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(lab, edges.src == lab.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        cnt = nb.groupBy("node", "lab").agg(F.count("*").alias("c"))
+        lab = materialize_once(
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("node")
+    )
+    return (
+        docs.join(lab, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lab", "node").alias("community"),
+        )
+        .orderBy("doc_id")
+    )

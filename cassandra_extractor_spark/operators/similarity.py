@@ -848,3 +848,127 @@ def ns_embedding_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+JL_DIMS = 16  #: Johnson-Lindenstrauss target dimensionality
+JL_SCALE = 1.0 / (JL_DIMS ** 0.5)  #: 1/sqrt(k) variance normalizer
+
+
+def _jl_sign(j: int, d: int) -> int:
+    """Deterministic ±1 projection entry, derived from md5 so any
+    engine reproduces the matrix (same device as ``_projection_component``)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"jl|{j}|{d}".encode()).hexdigest()[:2], 16) & 1 else -1
+
+
+def ns_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection DIM→JL_DIMS with a ±1
+    (Achlioptas) sign matrix — the dimensionality-reduction pass run
+    before clustering / dedup at corpus scale (16 doubles per doc
+    instead of 64 floats, distances preserved to 1±ε).
+
+    The sign matrix is md5-derived, broadcast (JL_DIMS·DIM = 1024
+    rows), and the projection is explode → broadcast-join → one
+    map-side-combined aggregate per (vec_id, out-dim).  Multiplying by
+    ±1 is EXACT in IEEE, and the sum accumulates in DECIMAL(38,18), so
+    the only float rounding is the final 1/√k scale (shared literal)
+    — exact oracle parity despite a float pipeline.
+    """
+    signs = spark.createDataFrame(
+        [(j, d + 1, _jl_sign(j, d + 1)) for j in range(JL_DIMS) for d in range(DIM)],
+        "j INT, d INT, s INT",
+    )
+    e = _load_embeddings(spark, sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode("emb").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    return (
+        ex.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum((F.col("x") * F.col("s")).cast("decimal(38,18)")).alias("acc")
+        )
+        .select(
+            "vec_id",
+            F.col("j").cast("long").alias("out_dim"),
+            F.round(F.col("acc").cast("double") * F.lit(JL_SCALE), 6).alias("proj"),
+        )
+        .orderBy("vec_id", "out_dim")
+    )
+
+
+PROBE_LR = 0.1  #: learning rate for the linear-probe gradient steps
+
+
+def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact full-batch gradient-descent steps of a least-squares
+    linear probe (is-label-0 target) on the embedding table — the
+    "train a cheap probe on frozen embeddings" step of every
+    representation-quality pipeline, in its distributed Gram-free
+    shape (only Xᵀ·vector products, never the DIM×DIM Gram matrix).
+
+    From w₀=0: w₁ = (2λ/n)·Xᵀy, then w₂ = w₁ − (2λ/n)·Xᵀ(Xw₁ − y).
+    Every Xᵀ-product accumulates per-dimension in DECIMAL(38,18)
+    (order-independent); w₁ is rounded to 12 decimals BEFORE reuse so
+    both engines carry the identical weight into step two; n and the
+    learning-rate ratio are exact scalars.
+
+    100 TB shape: the exploded (row, dim) frame hashes on vec_id for
+    the prediction pass and on dim for the two gradient reductions
+    (64 groups — map-side combine does all the work); the weight
+    vector broadcasts (64 rows).  The frame is materialized once and
+    reused by all three passes.
+    """
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    ex = materialize_once(
+        e.select("vec_id", "y", F.posexplode("emb").alias("pos", "x")).select(
+            "vec_id", "y", (F.col("pos") + 1).alias("dim"), "x"
+        )
+    )
+    n = e.agg(F.count("*").cast("long").alias("n_rows"))
+    lr2 = F.lit(2.0 * PROBE_LR)
+    w1 = (
+        ex.groupBy("dim")
+        .agg(F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).alias("g0"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim",
+            F.round(
+                F.col("g0").cast("double") * lr2 / F.col("n_rows").cast("double"),
+                12,
+            ).alias("w1"),
+        )
+    )
+    pred = (
+        ex.join(F.broadcast(w1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") * F.col("w1")).cast("decimal(38,18)")).alias("p"))
+        .select("vec_id", F.col("p").cast("double").alias("pred"))
+    )
+    resid = e.select("vec_id", "y").join(pred, "vec_id").select(
+        "vec_id", (F.col("pred") - F.col("y")).alias("r")
+    )
+    return (
+        ex.join(resid, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum((F.col("x") * F.col("r")).cast("decimal(38,18)")).alias("g1"))
+        .join(F.broadcast(w1), "dim")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("w1"),
+            F.round(
+                F.col("w1")
+                - F.col("g1").cast("double") * lr2 / F.col("n_rows").cast("double"),
+                8,
+            ).alias("w2"),
+        )
+        .orderBy("dim")
+    )

@@ -1080,3 +1080,207 @@ def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BPE_TOP_PAIRS)
         .orderBy("rank")
     )
+
+
+CMSQ_ROWS = 4  #: count-min sketch depth (independent md5-salted rows)
+CMSQ_WIDTH = 256  #: buckets per row
+CMSQ_TOP = 20  #: report estimates for the exact top-k tokens
+
+
+def ns_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, oracle-checked cell by
+    cell: build a CMSQ_ROWS×CMSQ_WIDTH sketch over the token stream
+    (md5-salted bucket per row — portable, unlike xxhash) and report
+    est = min_r cell(r, bucket_r(tok)) next to the TRUE count for the
+    exact top-CMSQ_TOP tokens.  est >= true always (CMS never
+    under-counts); the gap IS the collision error a 100 TB deployment
+    sizes its width against — this query is the calibration readout
+    (the ``ns_minhash_calibration`` companion for frequency sketches).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    down to ≤ ROWS·WIDTH cells regardless of corpus size; the exact
+    top-k pass is the usual count + TakeOrdered; the probe joins each
+    top token to its ROWS cells via a broadcast of the (tiny) sketch.
+    """
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def bucket(r: int) -> Column:
+        return F.pmod(_md5_hash64(F.col("tok"), f"cms{r}"), F.lit(CMSQ_WIDTH))
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                    for r in range(CMSQ_ROWS)
+                ])
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "tok")
+        .limit(CMSQ_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                for r in range(CMSQ_ROWS)
+            ])
+        ).alias("p"),
+    ).select("tok", "true_n", "p.r", "p.b")
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .orderBy(F.col("true_n").desc(), "tok")
+    )
+
+
+BIGRAM_V_SMOOTH = True  #: add-one smoothing over the unigram vocabulary
+
+
+def ns_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under a bigram language model trained on
+    the corpus itself (add-one smoothing): avg log P(w_i | w_{i-1})
+    with P = (c(w1,w2)+1)/(c(w1)+V) — the cheap LM-scoring pass used
+    to rank raw crawl text before an expensive model ever sees it
+    (same family as ``ns_lm_fluency_bucket``, but a REAL conditional
+    model, not a unigram product).
+
+    Engine parity: each ln() term is truncated into DECIMAL(38,18)
+    before summation, so the per-doc sum is order-independent; the
+    single double division (sum/n) and round happen once at the end.
+
+    Scale shape: bigram and unigram counts are map-side-combined
+    aggregates over one exploded pass; scoring joins hash on the
+    bigram key (both sides partitioned alike), so the corpus is read
+    twice and shuffled twice — no per-doc loops, no driver state.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    uni = (
+        t.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+    scored = (
+        bg.join(bg_counts, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            )
+            .cast("decimal(38,18)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+HLL_BUCKET_BITS = 8  #: 2^8 = 256 HyperLogLog registers
+HLL_BUCKETS = 1 << HLL_BUCKET_BITS
+HLL_VALUE_BITS = 52  #: rank field width out of the 60-bit md5 hash
+#: HLL bias constant for m = 256 (Flajolet et al. 2007, §4)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+
+
+def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate built EXACTLY from first
+    principles — unlike ``q38_approx_distinct`` (Spark's built-in HLL,
+    rows-only waiver) this one is bit-for-bit oracle-checkable because
+    every register is deterministic md5 arithmetic and the harmonic
+    mean is computed over EXACT integers: Σ 2^(52−M_j) instead of
+    Σ 2^−M_j (scale by 2^52 and the dyadic floats become integers that
+    a DECIMAL(38,0)/HUGEINT sum carries exactly; one double division
+    at the very end).
+
+    rho (leading-zero rank) is integer-only too: 53 − bitlength(v),
+    with bitlength spelled as length(binary-string) on both engines —
+    no log2() parity risk.
+
+    Scale shape: one map-side-combined MAX per register (256 groups)
+    — the canonical distributed-sketch merge; the register table then
+    collapses to one row.  The exact count for the error readout is
+    the usual COUNT(DISTINCT).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    h = _md5_hash64(F.col("tok"), "hll")
+    bucket = F.pmod(h, F.lit(HLL_BUCKETS))
+    v = F.expr(f"h div {HLL_BUCKETS}")  # upper 52 bits
+    rho = F.when(
+        F.col("v") > 0,
+        F.lit(HLL_VALUE_BITS + 1) - F.length(F.conv(F.col("v").cast("string"), 10, 2)),
+    ).otherwise(F.lit(HLL_VALUE_BITS + 1))
+    regs = (
+        toks.select(bucket.alias("bucket"), h.alias("h"))
+        .withColumn("v", v)
+        .select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # registers never hit: rho contribution 2^52 (m=0 ⇒ 2^(52-0))
+    n_hit = regs.count()  # plan-time scalar: 256 max
+    missing = HLL_BUCKETS - n_hit
+    s = regs.agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(HLL_VALUE_BITS) - F.col("m")).cast("double"))
+                .cast("decimal(38,0)")
+            )
+            + F.lit(missing) * F.lit(2 ** HLL_VALUE_BITS).cast("decimal(38,0)")
+        ).alias("ssum")
+    )
+    exact = toks.agg(F.countDistinct("tok").cast("long").alias("n_exact"))
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_BUCKETS))
+        * F.lit(float(HLL_BUCKETS))
+        * F.lit(float(2 ** HLL_VALUE_BITS))
+        / F.col("ssum").cast("double")
+    )
+    return (
+        s.crossJoin(exact)
+        .select(
+            F.lit(HLL_BUCKETS).cast("long").alias("m_registers"),
+            "n_exact",
+            F.round(est, 2).alias("hll_est"),
+            F.round(est / F.col("n_exact").cast("double") - 1.0, 4).alias("rel_err"),
+        )
+    )

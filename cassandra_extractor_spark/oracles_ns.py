@@ -1478,3 +1478,180 @@ NS_ORACLES["ns_embedding_centering"] = (
     "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - gmean, 6) AS delta "
     "FROM pl JOIN g ON g.dim = pl.dim ORDER BY label, dim"
 )
+
+
+def _lpa_sql() -> str:
+    """Mirror of ``dedup.ns_label_propagation``: the LSH candidate
+    graph from ``_minhash_sql`` with LPA_ROUNDS synchronous mode-
+    adoption rounds unrolled as CTE pairs (count → windowed argmax
+    with the identical (c DESC, lab ASC) tie-break)."""
+    from cassandra_extractor_spark.operators.dedup import LPA_ROUNDS
+
+    ctes = [
+        "pairs AS (" + _minhash_sql() + ")",
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM pairs "
+        "UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs)",
+        "lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)",
+    ]
+    prev = "lab0"
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"cnt{r} AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c "
+            f"FROM edges e JOIN {prev} l ON l.node = e.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"lab{r} AS (SELECT node, lab FROM (SELECT node, lab, "
+            "row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn "
+            f"FROM cnt{r}) WHERE rn = 1)"
+        )
+        prev = f"lab{r}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS community "
+        f"FROM documents d LEFT JOIN {prev} l ON l.node = d.doc_id "
+        "ORDER BY d.doc_id"
+    )
+
+
+NS_ORACLES["ns_label_propagation"] = _lpa_sql()
+
+
+def _jl_sql() -> str:
+    """Mirror of ``similarity.ns_random_projection``: the md5-derived
+    ±1 matrix emitted as literal VALUES rows, exact ±x terms summed in
+    DECIMAL(38,18), one shared 1/√k literal."""
+    from cassandra_extractor_spark.operators.similarity import (
+        DIM,
+        JL_DIMS,
+        JL_SCALE,
+        _jl_sign,
+    )
+
+    rows = ", ".join(
+        f"({j}, {d}, {_jl_sign(j, d)})"
+        for j in range(JL_DIMS)
+        for d in range(1, DIM + 1)
+    )
+    return (
+        f"WITH signs(j, d, s) AS (VALUES {rows}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "ex AS (SELECT vec_id, i AS d, emb[i] AS x FROM "
+        "(SELECT vec_id, emb, unnest(generate_series(1, len(emb))) AS i FROM e)) "
+        "SELECT vec_id, CAST(j AS BIGINT) AS out_dim, "
+        "round(CAST(SUM(CAST(x * s AS DECIMAL(38,18))) AS DOUBLE) "
+        f"* CAST({JL_SCALE!r} AS DOUBLE), 6) AS proj "
+        "FROM ex JOIN signs USING (d) GROUP BY vec_id, j ORDER BY vec_id, out_dim"
+    )
+
+
+NS_ORACLES["ns_random_projection"] = _jl_sql()
+
+
+def _probe_sql() -> str:
+    from cassandra_extractor_spark.operators.similarity import PROBE_LR
+
+    lr2 = f"CAST({2.0 * PROBE_LR!r} AS DOUBLE)"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+        "CASE WHEN label = 0 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e), "
+        "ex AS (SELECT vec_id, y, i AS dim, emb[i] AS x FROM "
+        "(SELECT vec_id, y, emb, unnest(generate_series(1, len(emb))) AS i FROM e)), "
+        "w1 AS (SELECT dim, round(CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) "
+        f"* {lr2} / CAST(n_rows AS DOUBLE), 12) AS w1 "
+        "FROM ex, n GROUP BY dim, n_rows), "
+        "pred AS (SELECT vec_id, "
+        "CAST(SUM(CAST(x * w1 AS DECIMAL(38,18))) AS DOUBLE) AS pred "
+        "FROM ex JOIN w1 USING (dim) GROUP BY vec_id), "
+        "resid AS (SELECT e.vec_id, pred - y AS r FROM e JOIN pred USING (vec_id)), "
+        "g1 AS (SELECT dim, CAST(SUM(CAST(x * r AS DECIMAL(38,18))) AS DOUBLE) AS g1 "
+        "FROM ex JOIN resid USING (vec_id) GROUP BY dim) "
+        "SELECT CAST(dim AS BIGINT) AS dim, w1, "
+        f"round(w1 - g1 * {lr2} / CAST(n_rows AS DOUBLE), 8) AS w2 "
+        "FROM g1 JOIN w1 USING (dim), n ORDER BY dim"
+    )
+
+
+NS_ORACLES["ns_linear_probe_step"] = _probe_sql()
+
+
+def _cms_sql() -> str:
+    """Mirror of ``text.ns_cms_estimate``: per-row md5-salted buckets
+    emitted as UNION ALL arms, min-over-rows estimate for the exact
+    top-k tokens."""
+    from cassandra_extractor_spark.operators.text import CMSQ_ROWS, CMSQ_TOP, CMSQ_WIDTH
+
+    tok_hash = lambda r: _hash_sql("tok", f"cms{r}") + f" % {CMSQ_WIDTH}"
+    cell_arms = " UNION ALL ".join(
+        f"SELECT {r} AS r, {tok_hash(r)} AS b FROM toks" for r in range(CMSQ_ROWS)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT tok, true_n, {r} AS r, {tok_hash(r)} AS b FROM top"
+        for r in range(CMSQ_ROWS)
+    )
+    return (
+        f"WITH toks AS (SELECT unnest({TOKS}) AS tok FROM documents), "
+        f"cells AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({cell_arms}) "
+        "GROUP BY r, b), "
+        "top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n FROM toks "
+        f"GROUP BY tok ORDER BY true_n DESC, tok LIMIT {CMSQ_TOP}), "
+        f"probes AS ({probe_arms}) "
+        "SELECT tok, true_n, MIN(cnt) AS est_n "
+        "FROM probes JOIN cells USING (r, b) "
+        "GROUP BY tok, true_n ORDER BY true_n DESC, tok"
+    )
+
+
+NS_ORACLES["ns_cms_estimate"] = _cms_sql()
+
+NS_ORACLES["ns_bigram_lm"] = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM "
+    "(SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)), "
+    "bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), "
+    "uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM "
+    "(SELECT unnest(toks) AS w1 FROM t) GROUP BY 1), "
+    "vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni), "
+    "sc AS (SELECT doc_id, CAST(ln(CAST(c12 + 1 AS DOUBLE) "
+    "/ CAST(c1 + v AS DOUBLE)) AS DECIMAL(38,18)) AS lp "
+    "FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1), vc) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob "
+    "FROM sc GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def _hll_sql() -> str:
+    from cassandra_extractor_spark.operators.text import (
+        HLL_ALPHA,
+        HLL_BUCKETS,
+        HLL_VALUE_BITS,
+    )
+
+    p52 = 2 ** HLL_VALUE_BITS
+    est = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_BUCKETS)!r} AS DOUBLE) "
+        f"* CAST({float(HLL_BUCKETS)!r} AS DOUBLE) * CAST({float(p52)!r} AS DOUBLE) "
+        "/ CAST(ssum AS DOUBLE)"
+    )
+    return (
+        f"WITH toks AS (SELECT unnest({TOKS}) AS tok FROM documents), "
+        f"hs AS (SELECT {_hash_sql('tok', 'hll')} AS h FROM toks), "
+        f"r AS (SELECT h % {HLL_BUCKETS} AS bucket, h // {HLL_BUCKETS} AS v FROM hs), "
+        f"rho AS (SELECT bucket, CASE WHEN v > 0 THEN {HLL_VALUE_BITS + 1} "
+        f"- length(printf('%b', v)) ELSE {HLL_VALUE_BITS + 1} END AS rho FROM r), "
+        "regs AS (SELECT bucket, MAX(rho) AS m FROM rho GROUP BY bucket), "
+        "nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM regs), "
+        "s AS (SELECT SUM(CAST(power(2.0, "
+        f"CAST({HLL_VALUE_BITS} - m AS DOUBLE)) AS HUGEINT)) "
+        f"+ ({HLL_BUCKETS} - n_hit) * CAST({p52} AS HUGEINT) AS ssum "
+        "FROM regs, nh GROUP BY n_hit), "
+        "ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact FROM toks) "
+        f"SELECT CAST({HLL_BUCKETS} AS BIGINT) AS m_registers, n_exact, "
+        f"round({est}, 2) AS hll_est, "
+        f"round({est} / CAST(n_exact AS DOUBLE) - 1.0, 4) AS rel_err "
+        "FROM s, ex"
+    )
+
+
+NS_ORACLES["ns_hll_manual"] = _hll_sql()

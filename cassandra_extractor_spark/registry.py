@@ -62,6 +62,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q15": TP.tpch_q15,
     "tpch_q19": TP.tpch_q19,
     "tpch_q22": TP.tpch_q22,
+    "ns_label_propagation": D.ns_label_propagation,
+    "ns_random_projection": S.ns_random_projection,
+    "ns_linear_probe_step": S.ns_linear_probe_step,
+    "ns_cms_estimate": TX.ns_cms_estimate,
+    "ns_bigram_lm": TX.ns_bigram_lm,
+    "ns_hll_manual": TX.ns_hll_manual,
     "q107_full_outer_reconcile": R.q107_full_outer_reconcile,
     "q108_ewma": R.q108_ewma,
     "q109_cusum": R.q109_cusum,
@@ -264,6 +270,8 @@ _PRIORITY_PREFIX = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q10",
     "tpch_q14", "tpch_q18",
     "tpch_q04", "tpch_q12", "tpch_q15", "tpch_q19", "tpch_q22",
+    "ns_label_propagation", "ns_random_projection", "ns_linear_probe_step",
+    "ns_cms_estimate", "ns_bigram_lm", "ns_hll_manual",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
