@@ -2801,12 +2801,14 @@ def q109_cusum(spark, sf_dir):
     return (
         cum.withColumn("rn", F.row_number().over(pk))
         .where(F.col("rn") == 1)
+        # C/(100·n) is an exact rational: round it in integer 1e-6
+        # units via divr_sql (round(double) diverges at .5 boundaries)
+        .withColumn("s104", (F.col("c") * F.lit(10_000)).cast("decimal(38,0)"))
         .select(
             "user_id",
-            F.round(
-                F.col("c").cast("double")
-                / (F.col("n_all").cast("double") * 100.0),
-                6,
+            (
+                F.expr(divr_sql("s104", "n_all")).cast("double")
+                / F.lit(1_000_000.0)
             ).alias("peak_cusum"),
             F.col("ts").alias("peak_ts"),
         )
@@ -2846,8 +2848,12 @@ def q110_markov_transitions(spark, sf_dir):
             "from_type",
             "to_type",
             "n",
-            F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6)
-            .alias("prob"),
+            # n/n_from is an exact rational — integer-units rounding
+            # (divr_sql), never round(double) (see its docstring)
+            (
+                F.expr(divr_sql("n * 1000000", "n_from")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("prob"),
         )
         .orderBy("from_type", "to_type")
     )
@@ -2872,6 +2878,21 @@ def q111_mom_growth(spark, sf_dir):
     prev = F.lag("rev_cents", 1).over(ow)
     return (
         monthly.withColumn("prev_cents", prev)
+        # 100·Δ/prev is an exact rational — integer-units rounding via
+        # divr_sql; prev <= 0 yields NULL but ANSI evaluates the div's
+        # denominator eagerly, so substitute a harmless 1
+        .withColumn(
+            "dm",
+            ((F.col("rev_cents") - F.col("prev_cents")) * F.lit(1_000_000)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn(
+            "pden",
+            F.when(F.col("prev_cents") > 0, F.col("prev_cents"))
+            .otherwise(F.lit(1))
+            .cast("decimal(38,0)"),
+        )
         .select(
             F.to_date("month").alias("month"),
             "rev_cents",
@@ -2879,13 +2900,29 @@ def q111_mom_growth(spark, sf_dir):
             (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
             F.when(
                 F.col("prev_cents") > 0,
-                F.round(
-                    (F.col("rev_cents") - F.col("prev_cents")).cast("double")
-                    * 100.0
-                    / F.col("prev_cents").cast("double"),
-                    4,
-                ),
+                F.expr(divr_sql("dm", "pden")).cast("double") / F.lit(10_000.0),
             ).alias("growth_pct"),
         )
         .orderBy("month")
+    )
+
+
+def divr_sql(s: str, d: str, op: str = "div") -> str:
+    """Round-half-away-from-zero of the exact rational s/d in INTEGER
+    units, via truncating integer division — ``div`` (Spark) and ``//``
+    (DuckDB) both truncate toward zero, so the spelling is portable.
+
+    This replaces ``round(CAST(s AS DOUBLE)/d, k)`` wherever s/d is an
+    exact rational: Spark's round() rounds the double's SHORTEST
+    DECIMAL REPR (BigDecimal.valueOf → HALF_UP) while DuckDB rounds
+    the BINARY value, and the two disagree whenever the true quotient
+    sits on a .5 boundary that the double can't represent (found by
+    the differential harness: avg_price 4925.11/2 → 2462.56 vs
+    2462.55).  Integer units dodge the boundary entirely; the final
+    units→double division by a power of ten is identical IEEE on both
+    engines.
+    """
+    return (
+        f"(CASE WHEN {s} >= 0 THEN (2 * ({s}) + ({d})) {op} (2 * ({d})) "
+        f"ELSE -((2 * (-({s})) + ({d})) {op} (2 * ({d}))) END)"
     )

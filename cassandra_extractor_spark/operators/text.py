@@ -1169,7 +1169,10 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    bg = t.select(
+    # guard BEFORE the sequence: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
+    # single-token doc would index element_at(toks, 2) out of bounds
+    bg = t.where(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
         "toks",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cassandra_extractor_spark.operators.relational import _money, _t
+from cassandra_extractor_spark.operators.relational import _money, _t, divr_sql
 
 Q1_CUTOFF = "2000-09-02"
 Q3_DATE = "1998-03-15"
@@ -40,44 +40,57 @@ Q18_QTY = 300
 
 
 def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary report (full column set)."""
+    """TPC-H Q1 pricing summary report (full column set).
+
+    The averages are EXACT-INTEGER rounded (``divr_sql``): sum/count is
+    a rational, and rounding its double can land on a .5 boundary where
+    Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree — the
+    differential harness found avg_price = 4925.11/2 doing exactly
+    that.  Micros-scaled decimal sums + truncating div dodge the
+    boundary; the final units→double division by 10^k is identical
+    IEEE on both engines.
+    """
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= Q1_CUTOFF)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    n = F.count("*").cast("long")
-    return (
+    agg = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(_money(F.col("l_extendedprice"))), 2)
-            .cast("double")
-            .alias("sum_base_price"),
-            F.round(F.sum(_money(disc_price)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(_money(charge)), 2).cast("double").alias("sum_charge"),
-            # averages divide the EXACT decimal sum as a double by the
-            # exact count — one deterministic double division (decimal
-            # division precision/scale rules differ between engines)
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-                / n.cast("double"),
-                2,
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(_money(F.col("l_extendedprice"))).cast("double")
-                / n.cast("double"),
-                2,
-            ).alias("avg_price"),
-            F.round(
-                F.sum(_money(F.col("l_discount"))).cast("double")
-                / n.cast("double"),
-                4,
-            ).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+            F.sum(_money(F.col("l_extendedprice"))).alias("sp"),
+            F.sum(_money(disc_price)).alias("sdp"),
+            F.sum(_money(charge)).alias("sch"),
+            F.sum(_money(F.col("l_discount"))).alias("sd"),
+            F.count("*").cast("long").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .withColumn("sqm", (F.col("sq") * F.lit(1_000_000)).cast("decimal(38,0)"))
+        .withColumn("spm", (F.col("sp") * F.lit(1_000_000)).cast("decimal(38,0)"))
+        .withColumn("sdm", (F.col("sd") * F.lit(1_000_000)).cast("decimal(38,0)"))
+        .withColumn(
+            "d2", (F.col("count_order") * F.lit(10_000)).cast("decimal(38,0)")
+        )
+        .withColumn(
+            "d4", (F.col("count_order") * F.lit(100)).cast("decimal(38,0)")
+        )
     )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.round(F.col("sp"), 2).cast("double").alias("sum_base_price"),
+        F.round(F.col("sdp"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("sch"), 2).cast("double").alias("sum_charge"),
+        (F.expr(divr_sql("sqm", "d2")).cast("double") / F.lit(100.0)).alias(
+            "avg_qty"
+        ),
+        (F.expr(divr_sql("spm", "d2")).cast("double") / F.lit(100.0)).alias(
+            "avg_price"
+        ),
+        (F.expr(divr_sql("sdm", "d4")).cast("double") / F.lit(10_000.0)).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,16 +184,26 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,6)")
     )
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        F.sum(promo).alias("pr"), F.sum(rev).alias("tr")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.sum(promo).alias("pr"), F.sum(rev).alias("tr"))
+        # 100·pr/tr is an exact rational: round it in integer 1e-4
+        # units (divr_sql) — never through round(double) (see tpch_q01)
+        .withColumn("prm", (F.col("pr") * F.lit(1_000_000)).cast("decimal(38,0)"))
+        # tr = 0 yields NULL output, but ANSI mode evaluates div's
+        # denominator eagerly — substitute a harmless 1
+        .withColumn(
+            "trm",
+            F.when(F.col("tr") != 0, F.col("tr") * F.lit(1_000_000))
+            .otherwise(F.lit(1))
+            .cast("decimal(38,0)"),
+        )
     )
     return agg.select(
         F.when(
             F.col("tr") != 0,
-            F.round(
-                F.lit(100.0) * F.col("pr").cast("double") / F.col("tr").cast("double"),
-                4,
-            ),
+            F.expr(divr_sql("prm * 1000000", "trm")).cast("double")
+            / F.lit(10_000.0),
         ).alias("promo_revenue_pct")
     )
 
@@ -379,3 +402,4 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+

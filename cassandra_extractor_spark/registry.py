@@ -338,17 +338,27 @@ ORACLES: dict[str, str] = {
         f"/ {_CHI2_EXP} AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2 FROM m"
     ),
     "tpch_q01": (
-        "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
-        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price, "
-        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price, "
-        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge, "
-        "round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_qty, "
-        "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_price, "
-        "round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_disc, "
+        "WITH a AS (SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq, "
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sp, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sdp, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sch, "
+        "SUM(CAST(l_discount AS DECIMAL(18,6))) AS sd, "
         "CAST(COUNT(*) AS BIGINT) AS count_order "
-        "FROM lineitem WHERE l_shipdate <= '2000-09-02' "
-        "GROUP BY 1, 2 ORDER BY 1, 2"
+        "FROM lineitem WHERE l_shipdate <= '2000-09-02' GROUP BY 1, 2), "
+        "m AS (SELECT *, CAST(sq * 1000000 AS HUGEINT) AS sqm, "
+        "CAST(sp * 1000000 AS HUGEINT) AS spm, "
+        "CAST(sd * 1000000 AS HUGEINT) AS sdm, "
+        "CAST(count_order AS HUGEINT) * 10000 AS d2, "
+        "CAST(count_order AS HUGEINT) * 100 AS d4 FROM a) "
+        "SELECT l_returnflag, l_linestatus, CAST(sq AS DOUBLE) AS sum_qty, "
+        "CAST(ROUND(sp, 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(ROUND(sdp, 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(ROUND(sch, 2) AS DOUBLE) AS sum_charge, "
+        f"CAST({TP.divr_sql('sqm', 'd2', '//')} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS avg_qty, "
+        f"CAST({TP.divr_sql('spm', 'd2', '//')} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS avg_price, "
+        f"CAST({TP.divr_sql('sdm', 'd4', '//')} AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS avg_disc, "
+        "count_order FROM m ORDER BY 1, 2"
     ),
     "tpch_q03": (
         "SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, "
@@ -389,10 +399,13 @@ ORACLES: dict[str, str] = {
         "SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS pr, "
         "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS tr "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
-        "WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01') "
+        "WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'), "
+        "m AS (SELECT tr, CAST(pr * 1000000 AS HUGEINT) AS prm, "
+        "CASE WHEN tr <> 0 THEN CAST(tr * 1000000 AS HUGEINT) "
+        "ELSE CAST(1 AS HUGEINT) END AS trm FROM a) "
         "SELECT CASE WHEN tr <> 0 THEN "
-        "round(100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE), 4) END "
-        "AS promo_revenue_pct FROM a"
+        f"CAST({TP.divr_sql('prm * 1000000', 'trm', '//')} AS DOUBLE) "
+        "/ CAST(10000.0 AS DOUBLE) END AS promo_revenue_pct FROM m"
     ),
     "tpch_q18": (
         "WITH big AS (SELECT l_orderkey, "
@@ -460,7 +473,8 @@ ORACLES: dict[str, str] = {
         "GROUP BY 1 ORDER BY 1"
     ),
     "q107_full_outer_reconcile": (
-        "WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr, "
+        "WITH o AS (SELECT o_custkey, "
+        "EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr, "
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
         "a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cents_1997 "
         "FROM o WHERE yr = 1997 GROUP BY o_custkey), "
@@ -502,8 +516,9 @@ ORACLES: dict[str, str] = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c FROM cum), "
         "pk AS (SELECT *, row_number() OVER (PARTITION BY user_id "
         "ORDER BY c DESC, ts, event_id) AS rn FROM cl) "
-        "SELECT user_id, round(CAST(c AS DOUBLE) / "
-        "(CAST(n_all AS DOUBLE) * 100), 6) AS peak_cusum, ts AS peak_ts "
+        "SELECT user_id, "
+        f"CAST({TP.divr_sql('CAST(c * 10000 AS HUGEINT)', 'n_all', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) AS peak_cusum, ts AS peak_ts "
         "FROM pk WHERE rn = 1 ORDER BY user_id"
     ),
     "q110_markov_transitions": (
@@ -515,21 +530,25 @@ ORACLES: dict[str, str] = {
         "totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from "
         "FROM counts GROUP BY 1) "
         "SELECT from_type, to_type, n, "
-        "round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS prob "
+        f"CAST({TP.divr_sql('n * 1000000', 'n_from', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) AS prob "
         "FROM counts JOIN totals USING (from_type) ORDER BY from_type, to_type"
     ),
     "q111_mom_growth": (
-        "WITH monthly AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "WITH monthly AS (SELECT "
+        "date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month, "
         "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
         "FROM orders GROUP BY 1), "
         "lg AS (SELECT month, rev_cents, "
-        "lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM monthly) "
+        "lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM monthly), "
+        "lm AS (SELECT *, CAST(rev_cents - prev_cents AS HUGEINT) * 1000000 AS dm, "
+        "CASE WHEN prev_cents > 0 THEN prev_cents ELSE 1 END AS pden FROM lg) "
         "SELECT CAST(month AS DATE) AS month, rev_cents, prev_cents, "
         "rev_cents - prev_cents AS delta_cents, "
         "CASE WHEN prev_cents > 0 THEN "
-        "round(CAST(rev_cents - prev_cents AS DOUBLE) * 100 "
-        "/ CAST(prev_cents AS DOUBLE), 4) END AS growth_pct "
-        "FROM lg ORDER BY month"
+        f"CAST({TP.divr_sql('dm', 'pden', '//')} AS DOUBLE) "
+        "/ CAST(10000.0 AS DOUBLE) END AS growth_pct "
+        "FROM lm ORDER BY month"
     ),
     "q106_attribution": (
         "WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, "

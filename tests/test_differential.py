@@ -40,6 +40,9 @@ EVENT_QUERIES = [
     "q104_autocorr",
     "q106_attribution",
     "q76_rolling_zscore",
+    "q108_ewma",
+    "q109_cusum",
+    "q110_markov_transitions",
     "ns_winsorize",
     "q35_time_bucket",
     "q63_sliding_window",
@@ -148,6 +151,10 @@ ORDER_QUERIES = [
     "tpch_q01",
     "tpch_q06",
     "tpch_q18",
+    "tpch_q12",
+    "tpch_q22",
+    "q107_full_outer_reconcile",
+    "q111_mom_growth",
 ]
 
 _order_row = st.tuples(
@@ -192,8 +199,15 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
             "o_custkey": pd.Series([r[0] for r in orows], dtype="int64"),
             "o_orderstatus": pd.Series([r[1] for r in orows], dtype="object"),
             "o_totalprice": pd.Series([r[2] / 100.0 for r in orows], dtype="float64"),
+            # span the 1997/1998 snapshot boundary (q107) and two
+            # months per year (q111 lag; q105 still sees 28 distinct
+            # dates for 2-D dominance variety)
             "o_orderdate": pd.Series(
-                [f"1995-01-{r[4] + 1:02d}" for r in orows], dtype="object"
+                [
+                    f"{1997 + (r[4] % 2)}-{r[4] // 14 + 1:02d}-{r[4] % 14 + 1:02d}"
+                    for r in orows
+                ],
+                dtype="object",
             ),
             "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
         }
@@ -284,6 +298,10 @@ DOC_QUERIES = [
     "ns_bpe_pair_counts",
     "ns_cluster_canonical",
     "ns_sample_k_per_group",
+    "ns_bigram_lm",
+    "ns_cms_estimate",
+    "ns_hll_manual",
+    "ns_label_propagation",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
@@ -336,6 +354,8 @@ EMB_QUERIES = [
     "ns_pca_power_iter",
     "ns_ranking_ndcg",
     "ns_embedding_centering",
+    "ns_random_projection",
+    "ns_linear_probe_step",
 ]
 
 _vec = st.lists(
