@@ -2926,3 +2926,37 @@ def divr_sql(s: str, d: str, op: str = "div") -> str:
         f"(CASE WHEN {s} >= 0 THEN (2 * ({s}) + ({d})) {op} (2 * ({d})) "
         f"ELSE -((2 * (-({s})) + ({d})) {op} (2 * ({d}))) END)"
     )
+
+
+def q112_not_in_nulls(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under three-valued logic — the classic
+    NULL trap, demonstrated as data: priorities of finished orders
+    probed against a pending-order priority list that CONTAINS a NULL
+    (injected with nullif on a value known to exist).  ANSI NOT IN
+    over a list with a NULL can never be TRUE, so the NOT IN arm
+    returns 0 matches while NOT EXISTS (which compares row-by-row and
+    treats the NULL row as simply not matching) returns the real
+    complement — both engines implement the standard and must agree.
+
+    Spark plans the NOT IN as a null-aware anti join (broadcast when
+    the subquery is small, as here) and the NOT EXISTS as a plain
+    left-anti hash join — worth knowing at 100 TB: null-aware anti
+    joins cannot use a shuffled hash path when the list may contain
+    NULL, which is exactly why pipelines prefer NOT EXISTS.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v112")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_v112 f
+           WHERE f.o_orderstatus = 'F' AND f.o_orderpriority NOT IN
+             (SELECT nullif(p.o_orderpriority, '5-LOW')
+              FROM orders_v112 p WHERE p.o_orderstatus = 'P')
+          ) AS n_not_in,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_v112 f
+           WHERE f.o_orderstatus = 'F' AND NOT EXISTS
+             (SELECT 1 FROM orders_v112 p WHERE p.o_orderstatus = 'P'
+              AND nullif(p.o_orderpriority, '5-LOW') = f.o_orderpriority)
+          ) AS n_not_exists
+        """
+    )

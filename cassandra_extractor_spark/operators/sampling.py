@@ -421,3 +421,105 @@ def ns_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rank", "doc_id")
         .orderBy("source", "rank")
     )
+
+
+DP_EPSILON = 1.0  #: Laplace privacy budget for the noisy release
+DP_U_MOD = 1_000_003  #: uniform grid size (odd denominator ⇒ u ≠ 0.5 exactly)
+
+
+def ns_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event-type histogram: each true count
+    is released with Laplace(1/ε) noise — the privacy-preserving stats
+    release a data marketplace runs before sharing usage numbers.
+
+    The Laplace draw is DETERMINISTIC (md5-derived uniform u ∈ (0,1),
+    inverse-CDF  −(1/ε)·sgn(u−½)·ln(1−2|u−½|)), so the release is
+    reproducible and exactly oracle-checkable — the statistical
+    properties are those of Laplace noise over the key domain, while
+    reruns never leak extra budget by re-drawing.  u lives on an
+    odd-denominator grid, so u = ½ (infinite noise) is unreachable.
+
+    Scale shape: one map-side-combined count per key + a per-row noise
+    expression — no shuffle beyond the aggregate.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    u = (
+        (_md5_hash64(F.col("event_type"), "dp") % DP_U_MOD + 1).cast("double")
+        / F.lit(float(DP_U_MOD + 2))
+    )
+    centered = u - F.lit(0.5)
+    lap = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") + lap, 6).alias("noisy_n"),
+    ).orderBy("event_type")
+
+
+NEYMAN_BUDGET = 1000  #: total sample budget allocated across strata
+
+
+def ns_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: budget B split
+    across event-type strata ∝ N_h·S_h (stratum size × stddev) — the
+    survey-sampling rule that minimizes estimator variance, used to
+    size per-source annotation batches.
+
+    S_h comes from the EXACT integer sufficient statistics (cents,
+    DECIMAL(38,0) sums — the q104 pattern), so the only floats are one
+    sqrt (IEEE-correctly-rounded, hence engine-identical) and the
+    final proportional split; the weight total accumulates in
+    DECIMAL(38,18) (order-independent across strata) and the
+    allocation uses the portable floor spelling.
+
+    Scale shape: one map-side-combined aggregate (five sums per
+    stratum) + a broadcast single-row total — the fact table is read
+    once.
+    """
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("x")
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    var = (
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+    )
+    sd = F.when((F.col("n_h") >= 2) & (var > 0), F.sqrt(var)).otherwise(F.lit(0.0))
+    weighted = materialize_once(
+        agg.select("event_type", "n_h", (nd * sd).alias("w"))
+    )
+    total = weighted.agg(
+        F.sum(F.col("w").cast("decimal(38,18)")).alias("wtot")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_h",
+            F.round(F.col("w") / F.lit(100.0), 6).alias("weight"),
+            F.when(
+                F.col("wtot") > 0,
+                F.floor(
+                    F.lit(float(NEYMAN_BUDGET))
+                    * F.col("w")
+                    / F.col("wtot").cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )

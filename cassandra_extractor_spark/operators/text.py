@@ -1287,3 +1287,129 @@ def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est / F.col("n_exact").cast("double") - 1.0, 4).alias("rel_err"),
         )
     )
+
+
+NOVELTY_N = 3  #: token n-gram order for novelty scoring
+
+
+def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before
+    it (by doc_id): the crawl-ordering signal — a doc whose 3-grams
+    have all been seen in earlier docs is boilerplate/duplication; a
+    high-novelty doc carries new text.  Used to prioritize fresh
+    content in incremental corpus builds.
+
+    novelty = |distinct grams first seen in this doc| / |distinct
+    grams in doc| — an exact rational, rounded in integer 1e-4 units
+    (``divr_sql``; round(double) diverges at .5 boundaries).
+
+    Scale shape: one explode pass builds (doc, gram) pairs, a
+    map-side-combined MIN per gram finds first owners, and the join
+    back hashes on the gram key — no ordering dependency, no scan per
+    doc.  Docs with < NOVELTY_N tokens have no grams and report NULL
+    novelty via the left join.
+    """
+    from cassandra_extractor_spark.operators.relational import divr_sql
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = (
+        t.where(F.size("toks") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (NOVELTY_N - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[F.element_at("toks", F.col("i") + k) for k in range(NOVELTY_N)],
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(divr_sql("n_novel * 10000", "n_grams")).cast("double")
+                / F.lit(10_000.0),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_MASK_PCT = 15  #: per-token corruption probability (percent)
+
+
+def ns_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption statistics: each token position is
+    masked with SPAN_MASK_PCT% probability (md5-derived per
+    (doc, position) — deterministic, so the same example always masks
+    the same spans across reruns and engines), and consecutive masked
+    positions collapse into one sentinel span.  Reports per doc the
+    token count, masked count, and SPAN count (maximal masked runs) —
+    the numbers that size a denoising pretraining batch (inputs lose
+    n_masked tokens, targets gain n_spans sentinels).
+
+    A span START is a masked position whose predecessor is unmasked
+    (or position 1) — evaluating the predecessor's mask re-derives the
+    same md5, so the run structure is a pure per-row expression: no
+    window, no shuffle beyond the final per-doc aggregate.
+    """
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pos = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
+    )
+
+    def masked(icol):
+        key = F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), icol.cast("string")
+        )
+        return _md5_hash64(key, "span") % 100 < SPAN_MASK_PCT
+
+    m = masked(F.col("i"))
+    prev_m = (F.col("i") > 1) & masked(F.col("i") - 1)
+    return (
+        pos.select(
+            "doc_id",
+            "n_tokens",
+            F.when(m, 1).otherwise(0).alias("is_masked"),
+            F.when(m & ~prev_m, 1).otherwise(0).alias("is_start"),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("is_masked").cast("long").alias("n_masked"),
+            F.sum("is_start").cast("long").alias("n_spans"),
+        )
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "n_masked", "n_spans")
+        .orderBy("doc_id")
+    )

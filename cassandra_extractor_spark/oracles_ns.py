@@ -1655,3 +1655,108 @@ def _hll_sql() -> str:
 
 
 NS_ORACLES["ns_hll_manual"] = _hll_sql()
+
+
+def _novelty_sql() -> str:
+    from cassandra_extractor_spark.operators.relational import divr_sql
+    from cassandra_extractor_spark.operators.text import NOVELTY_N
+
+    gram = "concat_ws(' ', " + ", ".join(
+        f"toks[i + {k}]" for k in range(NOVELTY_N)
+    ) + ")"
+    return (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, {gram} AS gram FROM "
+        "(SELECT doc_id, toks, "
+        f"unnest(generate_series(1, len(toks) - {NOVELTY_N - 1})) AS i "
+        f"FROM t WHERE len(toks) >= {NOVELTY_N})), "
+        "f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram), "
+        "pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_novel FROM g JOIN f USING (gram) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, "
+        "COALESCE(n_novel, 0) AS n_novel, "
+        "CASE WHEN COALESCE(n_grams, 0) > 0 THEN "
+        f"CAST({divr_sql('n_novel * 10000', 'n_grams', '//')} AS DOUBLE) "
+        "/ CAST(10000.0 AS DOUBLE) END AS novelty "
+        "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_ngram_novelty"] = _novelty_sql()
+
+
+def _span_sql() -> str:
+    from cassandra_extractor_spark.operators.text import SPAN_MASK_PCT
+
+    def mask(iexpr: str) -> str:
+        key = f"concat(CAST(doc_id AS VARCHAR), '#', CAST({iexpr} AS VARCHAR))"
+        return f"({_hash_sql(key, 'span')} % 100 < {SPAN_MASK_PCT})"
+
+    return (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "pos AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "unnest(generate_series(1, len(toks))) AS i FROM t), "
+        "m AS (SELECT doc_id, n_tokens, "
+        f"CASE WHEN {mask('i')} THEN 1 ELSE 0 END AS is_masked, "
+        f"CASE WHEN {mask('i')} AND NOT (i > 1 AND {mask('i - 1')}) "
+        "THEN 1 ELSE 0 END AS is_start FROM pos) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(SUM(is_masked) AS BIGINT) AS n_masked, "
+        "CAST(SUM(is_start) AS BIGINT) AS n_spans "
+        "FROM m GROUP BY doc_id, n_tokens ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_span_corruption"] = _span_sql()
+
+
+def _dp_noise_sql() -> str:
+    from cassandra_extractor_spark.operators.sampling import DP_EPSILON, DP_U_MOD
+
+    return (
+        "WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1), "
+        f"u AS (SELECT event_type, n, CAST(({_hash_sql('event_type', 'dp')} "
+        f"% {DP_U_MOD} + 1) AS DOUBLE) / CAST({float(DP_U_MOD + 2)!r} AS DOUBLE) "
+        "AS u FROM c) "
+        "SELECT event_type, n, round(n + ("
+        f"CAST({-1.0 / DP_EPSILON!r} AS DOUBLE) * sign(u - CAST(0.5 AS DOUBLE)) "
+        "* ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) "
+        "* abs(u - CAST(0.5 AS DOUBLE)))), 6) AS noisy_n "
+        "FROM u ORDER BY event_type"
+    )
+
+
+NS_ORACLES["ns_dp_noise"] = _dp_noise_sql()
+
+
+def _neyman_sql() -> str:
+    from cassandra_extractor_spark.operators.sampling import NEYMAN_BUDGET
+
+    var = (
+        "((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "/ (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - CAST(1.0 AS DOUBLE))))"
+    )
+    return (
+        "WITH base AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS x "
+        "FROM events WHERE value IS NOT NULL), "
+        "agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h, "
+        "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x * x AS HUGEINT)) AS sxx "
+        "FROM base GROUP BY 1), "
+        "w AS (SELECT event_type, n_h, CAST(n_h AS DOUBLE) * "
+        f"(CASE WHEN n_h >= 2 AND {var} > 0 THEN sqrt({var}) "
+        "ELSE CAST(0.0 AS DOUBLE) END) AS w FROM agg), "
+        "tot AS (SELECT SUM(CAST(w AS DECIMAL(38,18))) AS wtot FROM w) "
+        "SELECT event_type, n_h, "
+        "round(w / CAST(100.0 AS DOUBLE), 6) AS weight, "
+        "CASE WHEN wtot > 0 THEN "
+        f"CAST(floor(CAST({float(NEYMAN_BUDGET)!r} AS DOUBLE) * w "
+        "/ CAST(wtot AS DOUBLE)) AS BIGINT) ELSE 0 END AS alloc "
+        "FROM w, tot ORDER BY event_type"
+    )
+
+
+NS_ORACLES["ns_neyman_allocation"] = _neyman_sql()

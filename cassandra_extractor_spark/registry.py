@@ -68,6 +68,11 @@ QUERIES: dict[str, QueryFn] = {
     "ns_cms_estimate": TX.ns_cms_estimate,
     "ns_bigram_lm": TX.ns_bigram_lm,
     "ns_hll_manual": TX.ns_hll_manual,
+    "q112_not_in_nulls": R.q112_not_in_nulls,
+    "ns_ngram_novelty": TX.ns_ngram_novelty,
+    "ns_span_corruption": TX.ns_span_corruption,
+    "ns_dp_noise": SM.ns_dp_noise,
+    "ns_neyman_allocation": SM.ns_neyman_allocation,
     "q107_full_outer_reconcile": R.q107_full_outer_reconcile,
     "q108_ewma": R.q108_ewma,
     "q109_cusum": R.q109_cusum,
@@ -272,6 +277,8 @@ _PRIORITY_PREFIX = [
     "tpch_q04", "tpch_q12", "tpch_q15", "tpch_q19", "tpch_q22",
     "ns_label_propagation", "ns_random_projection", "ns_linear_probe_step",
     "ns_cms_estimate", "ns_bigram_lm", "ns_hll_manual",
+    "q112_not_in_nulls", "ns_ngram_novelty", "ns_span_corruption",
+    "ns_dp_noise", "ns_neyman_allocation",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
@@ -471,6 +478,18 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q112_not_in_nulls": (
+        "SELECT "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders f "
+        "WHERE f.o_orderstatus = 'F' AND f.o_orderpriority NOT IN "
+        "(SELECT nullif(p.o_orderpriority, '5-LOW') "
+        "FROM orders p WHERE p.o_orderstatus = 'P')) AS n_not_in, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders f "
+        "WHERE f.o_orderstatus = 'F' AND NOT EXISTS "
+        "(SELECT 1 FROM orders p WHERE p.o_orderstatus = 'P' "
+        "AND nullif(p.o_orderpriority, '5-LOW') = f.o_orderpriority)) "
+        "AS n_not_exists"
     ),
     "q107_full_outer_reconcile": (
         "WITH o AS (SELECT o_custkey, "

@@ -43,6 +43,8 @@ EVENT_QUERIES = [
     "q108_ewma",
     "q109_cusum",
     "q110_markov_transitions",
+    "ns_dp_noise",
+    "ns_neyman_allocation",
     "ns_winsorize",
     "q35_time_bucket",
     "q63_sliding_window",
@@ -155,6 +157,7 @@ ORDER_QUERIES = [
     "tpch_q22",
     "q107_full_outer_reconcile",
     "q111_mom_growth",
+    "q112_not_in_nulls",
 ]
 
 _order_row = st.tuples(
@@ -302,6 +305,8 @@ DOC_QUERIES = [
     "ns_cms_estimate",
     "ns_hll_manual",
     "ns_label_propagation",
+    "ns_ngram_novelty",
+    "ns_span_corruption",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
