@@ -1278,6 +1278,18 @@ def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(float(2 ** HLL_VALUE_BITS))
         / F.col("ssum").cast("double")
     )
+    # small-range (linear counting) correction, Flajolet §4: with few
+    # distinct values most registers are zero and the raw harmonic
+    # estimate overshoots badly; when est <= 2.5m, count zero registers
+    # V and use m·ln(m/V) instead — both branch condition and ln run on
+    # identical doubles, so the engines agree on correction and value
+    zero_regs = missing  # registers never hit = zero registers
+    if zero_regs > 0:
+        est = F.when(
+            est <= F.lit(2.5 * HLL_BUCKETS),
+            F.lit(float(HLL_BUCKETS))
+            * F.log(F.lit(float(HLL_BUCKETS)) / F.lit(float(zero_regs))),
+        ).otherwise(est)
     return (
         s.crossJoin(exact)
         .select(

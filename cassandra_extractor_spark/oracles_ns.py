@@ -1629,10 +1629,18 @@ def _hll_sql() -> str:
     )
 
     p52 = 2 ** HLL_VALUE_BITS
-    est = (
+    raw = (
         f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_BUCKETS)!r} AS DOUBLE) "
         f"* CAST({float(HLL_BUCKETS)!r} AS DOUBLE) * CAST({float(p52)!r} AS DOUBLE) "
         "/ CAST(ssum AS DOUBLE)"
+    )
+    # linear-counting small-range correction (mirrors the Spark branch)
+    est = (
+        f"(CASE WHEN ({raw}) <= CAST({2.5 * HLL_BUCKETS!r} AS DOUBLE) "
+        f"AND ({HLL_BUCKETS} - n_hit) > 0 THEN "
+        f"CAST({float(HLL_BUCKETS)!r} AS DOUBLE) * ln("
+        f"CAST({float(HLL_BUCKETS)!r} AS DOUBLE) "
+        f"/ CAST({HLL_BUCKETS} - n_hit AS DOUBLE)) ELSE ({raw}) END)"
     )
     return (
         f"WITH toks AS (SELECT unnest({TOKS}) AS tok FROM documents), "
@@ -1642,7 +1650,7 @@ def _hll_sql() -> str:
         f"- length(printf('%b', v)) ELSE {HLL_VALUE_BITS + 1} END AS rho FROM r), "
         "regs AS (SELECT bucket, MAX(rho) AS m FROM rho GROUP BY bucket), "
         "nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM regs), "
-        "s AS (SELECT SUM(CAST(power(2.0, "
+        "s AS (SELECT n_hit, SUM(CAST(power(2.0, "
         f"CAST({HLL_VALUE_BITS} - m AS DOUBLE)) AS HUGEINT)) "
         f"+ ({HLL_BUCKETS} - n_hit) * CAST({p52} AS HUGEINT) AS ssum "
         "FROM regs, nh GROUP BY n_hit), "
