@@ -2960,3 +2960,109 @@ def q112_not_in_nulls(spark, sf_dir):
           ) AS n_not_exists
         """
     )
+
+
+def q113_percent_of_parent(spark, sf_dir):
+    """Hierarchical share-of-parent rollup: nation revenue as a share
+    of its region, region revenue as a share of the grand total — the
+    drill-down ratio every BI cube shows next to raw amounts.
+
+    The fact table reduces ONCE to (region, nation) integer cents
+    (map-side combined); both parent totals are windows over that
+    ~|nations| frame, so the share arithmetic costs nothing at any
+    scale.  Shares are exact rationals → integer-units rounding
+    (divr_sql), never round(double).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = W.partitionBy("r_name")
+    wg = W.partitionBy()
+    return (
+        base.withColumn("region_cents", F.sum("cents").over(wr))
+        .withColumn("total_cents", F.sum("cents").over(wg))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            (
+                F.expr(divr_sql("cents * 1000000", "region_cents")).cast("double")
+                / F.lit(10_000.0)
+            ).alias("pct_of_region"),
+            (
+                F.expr(divr_sql("region_cents * 1000000", "total_cents")).cast(
+                    "double"
+                )
+                / F.lit(10_000.0)
+            ).alias("region_pct_of_total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+BOUNCE_GAP_MS = 1_800_000  #: 30-minute session inactivity gap
+
+
+def q114_bounce_rate(spark, sf_dir):
+    """Batch sessionization + bounce rate per user: gaps-and-islands
+    over the event stream (new session when >30 min since the previous
+    event), then the fraction of single-event sessions — the
+    engagement KPI behind every web-analytics dashboard (and the batch
+    mirror of the streaming ``ns_sessionize`` operator).
+
+    One exchange + sort per user_id builds session ids as a running
+    sum of gap flags; session sizes and the bounce ratio are two
+    map-side-combined aggregates.  The rate is an exact rational →
+    integer-units rounding (divr_sql).
+    """
+    e = load_table(spark, "events", sf_dir)
+    # order by the TRUNCATED ms on both engines: two µs-distinct events
+    # can share an ms, and the gap logic must see the same order/ties
+    ow = W.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ms", 1).over(ow).isNull()
+            | (F.col("ms") - F.lag("ms", 1).over(ow) > BOUNCE_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(ow.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sizes = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    return (
+        sizes.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.expr(divr_sql("n_bounces * 1000000", "n_sessions")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("bounce_rate"),
+        )
+        .orderBy("user_id")
+    )

@@ -69,6 +69,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_bigram_lm": TX.ns_bigram_lm,
     "ns_hll_manual": TX.ns_hll_manual,
     "q112_not_in_nulls": R.q112_not_in_nulls,
+    "q113_percent_of_parent": R.q113_percent_of_parent,
+    "q114_bounce_rate": R.q114_bounce_rate,
     "ns_ngram_novelty": TX.ns_ngram_novelty,
     "ns_span_corruption": TX.ns_span_corruption,
     "ns_dp_noise": SM.ns_dp_noise,
@@ -279,6 +281,7 @@ _PRIORITY_PREFIX = [
     "ns_cms_estimate", "ns_bigram_lm", "ns_hll_manual",
     "q112_not_in_nulls", "ns_ngram_novelty", "ns_span_corruption",
     "ns_dp_noise", "ns_neyman_allocation",
+    "q113_percent_of_parent", "q114_bounce_rate",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
@@ -478,6 +481,42 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q113_percent_of_parent": (
+        "WITH base AS (SELECT r_name, n_name, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY 1, 2), "
+        "m AS (SELECT *, CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) "
+        "AS region_cents, CAST(SUM(cents) OVER () AS BIGINT) AS total_cents "
+        "FROM base) "
+        "SELECT r_name, n_name, cents, "
+        f"CAST({TP.divr_sql('cents * 1000000', 'region_cents', '//')} AS DOUBLE) "
+        "/ CAST(10000.0 AS DOUBLE) AS pct_of_region, "
+        f"CAST({TP.divr_sql('region_cents * 1000000', 'total_cents', '//')} AS DOUBLE) "
+        "/ CAST(10000.0 AS DOUBLE) AS region_pct_of_total "
+        "FROM m ORDER BY r_name, n_name"
+    ),
+    "q114_bounce_rate": (
+        "WITH f AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, "
+        "CASE WHEN lag(epoch_ms(ts), 1) OVER w IS NULL "
+        "OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w > 1800000 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), "
+        "s AS (SELECT user_id, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ms, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f), "
+        "sz AS (SELECT user_id, sess_id, COUNT(*) AS n_events "
+        "FROM s GROUP BY 1, 2), "
+        "agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bounces FROM sz GROUP BY user_id) "
+        "SELECT user_id, n_sessions, n_bounces, "
+        f"CAST({TP.divr_sql('n_bounces * 1000000', 'n_sessions', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) AS bounce_rate "
+        "FROM agg ORDER BY user_id"
     ),
     "q112_not_in_nulls": (
         "SELECT "
