@@ -868,31 +868,41 @@ def ns_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     before clustering / dedup at corpus scale (16 doubles per doc
     instead of 64 floats, distances preserved to 1±ε).
 
-    The sign matrix is md5-derived, broadcast (JL_DIMS·DIM = 1024
-    rows), and the projection is explode → broadcast-join → one
-    map-side-combined aggregate per (vec_id, out-dim).  Multiplying by
-    ±1 is EXACT in IEEE, and the sum accumulates in DECIMAL(38,18), so
-    the only float rounding is the final 1/√k scale (shared literal)
-    — exact oracle parity despite a float pipeline.
+    The projection is ROW-LOCAL (proj_j = Σ_d x_d·s_jd needs only the
+    row's own vector), so it must stay a map-only pass: each sign row
+    is an inline literal array and each output dim a sequential
+    zip_with/aggregate fold — no explode, no join, no shuffle (the
+    explode→join→re-group spelling multiplies shuffle volume by
+    DIM·JL_DIMS ≈ 1000× for a per-row computation).  Multiplying by ±1
+    is EXACT in IEEE and both engines evaluate the same fold in the
+    same list order (aggregate ≡ list_reduce, bitwise — the PCA
+    pattern), so parity needs no decimal detour; the only rounding is
+    the final 1/√k scale (shared literal).  Sign arrays stay INLINE in
+    the HOF per the Spark 4.1 nested-HOF hazard note (PARITY.md).
     """
-    signs = spark.createDataFrame(
-        [(j, d + 1, _jl_sign(j, d + 1)) for j in range(JL_DIMS) for d in range(DIM)],
-        "j INT, d INT, s INT",
-    )
     e = _load_embeddings(spark, sf_dir)
-    ex = e.select(
-        "vec_id", F.posexplode("emb").alias("pos", "x")
-    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
-    return (
-        ex.join(F.broadcast(signs), "d")
-        .groupBy("vec_id", "j")
-        .agg(
-            F.sum((F.col("x") * F.col("s")).cast("decimal(38,18)")).alias("acc")
+
+    def proj(j: int):
+        # slice the sign row to the vector's length: zip_with NULL-pads
+        # the shorter side, which would poison the fold for dim < 64
+        signs = F.slice(
+            F.array(*[F.lit(_jl_sign(j, d)) for d in range(1, DIM + 1)]),
+            1,
+            F.size("emb"),
         )
+        return F.aggregate(
+            F.zip_with(F.col("emb"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    ps = F.array(*[proj(j) for j in range(JL_DIMS)])
+    return (
+        e.select("vec_id", F.posexplode(ps).alias("pos", "p"))
         .select(
             "vec_id",
-            F.col("j").cast("long").alias("out_dim"),
-            F.round(F.col("acc").cast("double") * F.lit(JL_SCALE), 6).alias("proj"),
+            F.col("pos").cast("long").alias("out_dim"),
+            F.round(F.col("p") * F.lit(JL_SCALE), 6).alias("proj"),
         )
         .orderBy("vec_id", "out_dim")
     )

@@ -1517,9 +1517,10 @@ NS_ORACLES["ns_label_propagation"] = _lpa_sql()
 
 
 def _jl_sql() -> str:
-    """Mirror of ``similarity.ns_random_projection``: the md5-derived
-    ±1 matrix emitted as literal VALUES rows, exact ±x terms summed in
-    DECIMAL(38,18), one shared 1/√k literal."""
+    """Mirror of ``similarity.ns_random_projection``: per-out-dim sign
+    arrays as literal lists, the identical sequential fold
+    (list_reduce ≡ aggregate with 0.0 init, bitwise — the PCA
+    pattern), one shared 1/√k literal."""
     from cassandra_extractor_spark.operators.similarity import (
         DIM,
         JL_DIMS,
@@ -1527,20 +1528,25 @@ def _jl_sql() -> str:
         _jl_sign,
     )
 
-    rows = ", ".join(
-        f"({j}, {d}, {_jl_sign(j, d)})"
-        for j in range(JL_DIMS)
-        for d in range(1, DIM + 1)
-    )
+    def fold(j: int) -> str:
+        signs = "[" + ", ".join(
+            str(_jl_sign(j, d)) for d in range(1, DIM + 1)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(emb, list_slice({signs}, 1, len(emb))), "
+            "s -> s[1] * s[2])), (a, b) -> a + b)"
+        )
+
+    ps = "[" + ", ".join(fold(j) for j in range(JL_DIMS)) + "]"
     return (
-        f"WITH signs(j, d, s) AS (VALUES {rows}), "
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
-        "ex AS (SELECT vec_id, i AS d, emb[i] AS x FROM "
-        "(SELECT vec_id, emb, unnest(generate_series(1, len(emb))) AS i FROM e)) "
-        "SELECT vec_id, CAST(j AS BIGINT) AS out_dim, "
-        "round(CAST(SUM(CAST(x * s AS DECIMAL(38,18))) AS DOUBLE) "
-        f"* CAST({JL_SCALE!r} AS DOUBLE), 6) AS proj "
-        "FROM ex JOIN signs USING (d) GROUP BY vec_id, j ORDER BY vec_id, out_dim"
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"p AS (SELECT vec_id, {ps} AS ps FROM e), "
+        "u AS (SELECT vec_id, unnest(generate_series(1, len(ps))) AS i, ps FROM p) "
+        "SELECT vec_id, CAST(i - 1 AS BIGINT) AS out_dim, "
+        f"round(ps[i] * CAST({JL_SCALE!r} AS DOUBLE), 6) AS proj "
+        "FROM u ORDER BY vec_id, out_dim"
     )
 
 

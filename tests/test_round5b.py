@@ -138,12 +138,17 @@ def test_linear_probe_two_steps_reduce_loss(spark, sf_dir):
     assert mse2 < mse0, (mse0, mse2)
 
 
-def test_jl_projection_broadcasts_sign_matrix(spark, sf_dir):
+def test_jl_projection_is_map_only(spark, sf_dir):
+    """The projection is row-local: the ONLY exchange allowed is the
+    oracle-contract ORDER BY (range partitioning) — no hash shuffle,
+    no join (the explode→join→re-group spelling would multiply shuffle
+    volume ~1000× for a per-row computation)."""
     from cassandra_extractor_spark.operators.similarity import ns_random_projection
 
     df = ns_random_projection(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_jl_projection_preserves_relative_distances(spark, sf_dir):
