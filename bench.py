@@ -105,12 +105,30 @@ def main() -> None:
         "extract_rows_per_sec": round(n_rows / extract_sec) if extract_sec else None,
         **({"mode": "profile"} if profile else {}),
     }
-    # the driver's artifact truncates long stdout tails — persist the
-    # complete per-query table so round-over-round comparisons never
-    # lose the head of the registry (round-2 lost the dedup family)
+    # the driver's artifact keeps only the LAST ~2000 chars of stdout
+    # and parses that tail as JSON: with 200+ registered queries the
+    # full per-query line exceeds the window, truncates at the head,
+    # and every round's BENCH artifact records parsed:null.  Persist
+    # the complete table to BENCH_FULL.json, print it first for humans,
+    # and make the FINAL line a compact payload (headline = slowest 25
+    # queries) that always fits the tail window.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
+    headline = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:25]
+    )
+    compact = {
+        **{k: v for k, v in payload.items() if k != "queries"},
+        "n_queries": len(timings),
+        "queries": headline,
+        "queries_note": "slowest 25 of n_queries; full table in BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
