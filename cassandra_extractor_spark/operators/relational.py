@@ -2745,10 +2745,20 @@ def q108_ewma(spark, sf_dir):
         F.element_at(F.col("vals"), 1),
         lambda acc, x: acc * (F.lit(1.0) - a) + x * a,
     )
+    # round via pure IEEE ops (floor(x·1e6 + 0.5)/1e6), NOT round():
+    # Spark's round() rounds the double's shortest decimal repr while
+    # DuckDB rounds the binary value — at sf0.1 seven fold results
+    # landed on .5-repr boundaries and the engines split.  floor is
+    # bit-identical everywhere, so this spelling cannot diverge.
     return base.select(
         "user_id",
         "event_id",
-        F.round(ewma / 100.0, 6).alias("ewma"),
+        (
+            F.floor(ewma / F.lit(100.0) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "double"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("ewma"),
     ).orderBy("user_id", "event_id")
 
 

@@ -501,8 +501,18 @@ def ns_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = materialize_once(
         agg.select("event_type", "n_h", (nd * sd).alias("w"))
     )
+    # wtot must be BIT-identical on both engines: a decimal detour is
+    # NOT (Spark casts double→decimal via the shortest-repr string,
+    # DuckDB via the binary expansion — √3 differs by ~1e-16, enough to
+    # flip floor(B·w/wtot) at the exact-budget boundary, found by the
+    # differential harness).  A sequential fold in event_type order is
+    # order-deterministic AND bitwise-portable (aggregate ≡ list_reduce).
     total = weighted.agg(
-        F.sum(F.col("w").cast("decimal(38,18)")).alias("wtot")
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "w"))),
+            F.lit(0.0),
+            lambda a, s: a + s["w"],
+        ).alias("wtot")
     )
     return (
         weighted.crossJoin(F.broadcast(total))

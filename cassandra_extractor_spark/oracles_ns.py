@@ -1763,7 +1763,8 @@ def _neyman_sql() -> str:
         "w AS (SELECT event_type, n_h, CAST(n_h AS DOUBLE) * "
         f"(CASE WHEN n_h >= 2 AND {var} > 0 THEN sqrt({var}) "
         "ELSE CAST(0.0 AS DOUBLE) END) AS w FROM agg), "
-        "tot AS (SELECT SUM(CAST(w AS DECIMAL(38,18))) AS wtot FROM w) "
+        "tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(w ORDER BY event_type)), (a, b) -> a + b) AS wtot FROM w) "
         "SELECT event_type, n_h, "
         "round(w / CAST(100.0 AS DOUBLE), 6) AS weight, "
         "CASE WHEN wtot > 0 THEN "

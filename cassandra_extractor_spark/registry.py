@@ -554,8 +554,9 @@ ORACLES: dict[str, str] = {
         "list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals FROM e) "
         "SELECT user_id, event_id, "
-        "round(list_reduce(vals, (acc, x) -> acc * (1 - 0.3) + x * 0.3) "
-        "/ 100, 6) AS ewma "
+        "floor(list_reduce(vals, (acc, x) -> acc * (1 - 0.3) + x * 0.3) "
+        "/ CAST(100.0 AS DOUBLE) * CAST(1000000.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS ewma "
         "FROM c ORDER BY user_id, event_id"
     ),
     "q109_cusum": (

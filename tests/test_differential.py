@@ -45,6 +45,7 @@ EVENT_QUERIES = [
     "q110_markov_transitions",
     "ns_dp_noise",
     "ns_neyman_allocation",
+    "q114_bounce_rate",
     "ns_winsorize",
     "q35_time_bucket",
     "q63_sliding_window",
