@@ -284,11 +284,13 @@ _PRIORITY_PREFIX = [
     "q113_percent_of_parent", "q114_bounce_rate",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
-    "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
+    # never recorded in ANY driver round (r01-r04) — ahead of the
+    # merely-reverified trio below
     "ns_shard_layout", "ns_dsir_select", "ns_bm25", "ns_entropy",
     "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
     "q74_latency_bands", "q75_path_analysis", "q73_retention_cohorts",
     "ns_pagerank",
+    "q82_rolling_median", "q92_ohlc_resample", "ns_dedup_prefix_jaccard",
     "q01_projection", "q02_filter", "q03_string_filter", "q04_count",
     "q05_filtered_count", "q06_sort_limit", "q07_offset_page",
     "q08_hwm_filter", "q09_rename_project", "q10_epoch_millis",
