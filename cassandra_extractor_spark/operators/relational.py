@@ -3076,3 +3076,172 @@ def q114_bounce_rate(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def q115_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per user: is the event-value stream
+    random noise around the global median, or does it trend/cluster?
+    — the statistical randomness audit behind monitoring anomaly
+    scores.
+
+    Values dichotomize against the EXACT global median (max-accuracy
+    GK sketch ≡ DuckDB quantile_disc, the q44b device; median-equal
+    values drop, per the standard test).  Runs count via one lag
+    window; n1/n2/R are exact integers, so the z-statistic is one
+    deterministic double expression whose denominator is a sqrt —
+    irrational, hence safe under round() (PARITY #7).
+
+    Scale shape: the median is a one-row broadcast from a mergeable
+    sketch; one exchange + sort per user; everything else map-side.
+    """
+    e = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = base.agg(
+        F.percentile_approx("cents", F.lit(0.5), F.lit(2147483647)).alias("med")
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("med"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+        .withColumn("prev", F.lag("s", 1).over(ow))
+        .withColumn(
+            "run_start",
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1).otherwise(0),
+        )
+    )
+    agg = signed.groupBy("user_id").agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("run_start").cast("long").alias("runs"),
+    )
+    n1d, n2d, rd = (F.col(c).cast("double") for c in ("n1", "n2", "runs"))
+    nd = n1d + n2d
+    er = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    vr = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return agg.select(
+        "user_id",
+        "n1",
+        "n2",
+        "runs",
+        F.when((F.col("n1") >= 1) & (F.col("n2") >= 1) & (vr > 0),
+               F.round((rd - er) / F.sqrt(vr), 6)).alias("z"),
+    ).orderBy("user_id")
+
+
+def q116_spearman(spark, sf_dir):
+    """Spearman rank correlation between quantity and price per return
+    flag — the monotone-association measure that survives outliers
+    where Pearson (q45/q64) does not.
+
+    Tie handling is the textbook average-rank, kept EXACT by working
+    on 2·rank (min_rank + max_rank, an integer) — all five sufficient
+    statistics are DECIMAL(38,0) integer sums, and the Pearson formula
+    on them is one deterministic double expression (sqrt denominator →
+    irrational → round-safe).
+
+    Scale shape: two rank windows (one sort each) per group key + one
+    map-side-combined aggregate; no joins, no collect.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+
+    def ranks2(col, out):
+        """2× average rank (integer): rank() + reverse cumulative."""
+        asc = W.partitionBy("l_returnflag").orderBy(F.col(col).asc())
+        desc = W.partitionBy("l_returnflag").orderBy(F.col(col).desc())
+        # min rank + max rank = rank_asc + (n_group - rank_desc + 1);
+        # expressed purely with rank() so ties share one value
+        return (
+            F.rank().over(asc)
+            + F.count("*").over(W.partitionBy("l_returnflag"))
+            - F.rank().over(desc)
+            + F.lit(1)
+        ).alias(out)
+
+    ranked = li.select(
+        "l_returnflag", ranks2("q", "rq"), ranks2("p", "rp")
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("rp").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("rq") * F.col("rp")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("rp") * F.col("rp")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd, sxyd, sxxd, syyd = (
+        F.col(c).cast("double") for c in ("sx", "sy", "sxy", "sxx", "syy")
+    )
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    rho = (nd * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), F.round(rho, 6)).alias(
+            "spearman"
+        ),
+    ).orderBy("l_returnflag")
+
+
+def q117_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the
+    inequality metric (how concentrated is revenue across orders?)
+    from the sorted-index formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx).
+
+    Σi·xᵢ is tie-safe under row_number (equal x values contribute the
+    same regardless of index assignment among themselves), and all
+    sufficient statistics are DECIMAL(38,0) integers — G is an exact
+    rational, rounded in integer 1e-6 units via divr_sql (PARITY #7).
+
+    Scale shape: one sort window per group + one map-side-combined
+    aggregate — the same cost as any ranked analytic; no collect.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents") >= 0)
+    ow = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderpriority")
+    idx = o.withColumn("i", F.row_number().over(ow))
+    agg = idx.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
+    prepped = agg.withColumn("gnum", num).withColumn(
+        "gden",
+        F.when(F.col("sx") > 0, den).otherwise(F.lit(1).cast("decimal(38,0)")),
+    )
+    return prepped.select(
+        "o_orderpriority",
+        "n",
+        F.col("sx").cast("long").alias("total_cents"),
+        F.when(
+            F.col("sx") > 0,
+            F.expr(divr_sql("gnum * 1000000", "gden")).cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("gini"),
+    ).orderBy("o_orderpriority")

@@ -982,3 +982,74 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+MI_TOP = 10  #: report the top-k most informative dimensions
+
+
+def ns_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature selection: which embedding dimensions
+    carry label signal?  MI between (label == 0) and sign(emb[d] > 0)
+    per dimension, top-MI_TOP dims — the cheap filter-method ranking
+    run before training probes on a subset of dimensions.
+
+    The 2×2 contingency table per dim is ONE map-side-combined
+    aggregate over the exploded (row, dim) frame (four conditional
+    integer counts); MI is a fixed-order four-term double expression
+    (each term n_ij/n · ln(n_ij·n/(n_i·n_j)), zero cells contribute
+    0), so there is no float accumulation across rows — round-safe
+    (ln outputs are irrational).  Top-k is a TakeOrderedAndProject.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    ex = e.select(
+        "y", F.posexplode("emb").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "y", (F.col("x") > 0).alias("s"))
+    cells = ex.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("s") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("s") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("s") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("s") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+
+    def term(nij, ni, nj):
+        nijd = F.col(nij).cast("double")
+        nd = F.col("n").cast("double")
+        return F.when(
+            F.col(nij) > 0,
+            nijd / nd * F.log(nijd * nd / (ni.cast("double") * nj.cast("double"))),
+        ).otherwise(F.lit(0.0))
+
+    r1 = F.col("n11") + F.col("n10")  # s = true row total
+    r0 = F.col("n01") + F.col("n00")
+    c1 = F.col("n11") + F.col("n01")  # y = 1 col total
+    c0 = F.col("n10") + F.col("n00")
+    mi = (
+        term("n11", r1, c1)
+        + term("n10", r1, c0)
+        + term("n01", r0, c1)
+        + term("n00", r0, c0)
+    )
+    return (
+        cells.select(
+            F.col("dim").cast("long").alias("dim"),
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.round(mi, 8).alias("mi"),
+        )
+        .orderBy(F.col("mi").desc(), F.col("dim"))
+        .limit(MI_TOP)
+    )

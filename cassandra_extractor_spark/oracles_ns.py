@@ -1775,3 +1775,42 @@ def _neyman_sql() -> str:
 
 
 NS_ORACLES["ns_neyman_allocation"] = _neyman_sql()
+
+
+def _mi_sql() -> str:
+    from cassandra_extractor_spark.operators.similarity import MI_TOP
+
+    def term(nij: str, ni: str, nj: str) -> str:
+        return (
+            f"CASE WHEN {nij} > 0 THEN CAST({nij} AS DOUBLE) / CAST(n AS DOUBLE) "
+            f"* ln(CAST({nij} AS DOUBLE) * CAST(n AS DOUBLE) "
+            f"/ (CAST({ni} AS DOUBLE) * CAST({nj} AS DOUBLE))) "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    mi = " + ".join(
+        [
+            term("n11", "n11 + n10", "n11 + n01"),
+            term("n10", "n11 + n10", "n10 + n00"),
+            term("n01", "n01 + n00", "n11 + n01"),
+            term("n00", "n01 + n00", "n10 + n00"),
+        ]
+    )
+    return (
+        "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+        "CASE WHEN label = 0 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "ex AS (SELECT i AS dim, y, emb[i] > 0 AS s FROM "
+        "(SELECT emb, y, unnest(generate_series(1, len(emb))) AS i FROM e)), "
+        "cells AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN s AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11, "
+        "CAST(SUM(CASE WHEN s AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10, "
+        "CAST(SUM(CASE WHEN NOT s AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01, "
+        "CAST(SUM(CASE WHEN NOT s AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00 "
+        "FROM ex GROUP BY dim) "
+        "SELECT CAST(dim AS BIGINT) AS dim, n11, n10, n01, n00, "
+        f"round({mi}, 8) AS mi "
+        f"FROM cells ORDER BY mi DESC, dim LIMIT {MI_TOP}"
+    )
+
+
+NS_ORACLES["ns_mi_feature_select"] = _mi_sql()

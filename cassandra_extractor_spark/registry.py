@@ -71,6 +71,10 @@ QUERIES: dict[str, QueryFn] = {
     "q112_not_in_nulls": R.q112_not_in_nulls,
     "q113_percent_of_parent": R.q113_percent_of_parent,
     "q114_bounce_rate": R.q114_bounce_rate,
+    "q115_runs_test": R.q115_runs_test,
+    "q116_spearman": R.q116_spearman,
+    "q117_gini": R.q117_gini,
+    "ns_mi_feature_select": S.ns_mi_feature_select,
     "ns_ngram_novelty": TX.ns_ngram_novelty,
     "ns_span_corruption": TX.ns_span_corruption,
     "ns_dp_noise": SM.ns_dp_noise,
@@ -335,6 +339,20 @@ _BENFORD_CASE = (
 
 _CHI2_EXP = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
 
+#: Wald–Wolfowitz expectation/variance, mirroring q115's Spark
+#: expression operation by operation (nd expanded inline each time)
+_RUNS_ND = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+_RUNS_ER = (
+    "CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
+    f"/ {_RUNS_ND} + CAST(1.0 AS DOUBLE)"
+)
+_RUNS_VR = (
+    "(CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
+    "* (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
+    f"- {_RUNS_ND}) / ({_RUNS_ND} * {_RUNS_ND} "
+    f"* ({_RUNS_ND} - CAST(1.0 AS DOUBLE))))"
+)
+
 #: name → equivalent ANSI SQL for the DuckDB oracle
 ORACLES: dict[str, str] = {
     "q100_crosstab_chi2": (
@@ -483,6 +501,66 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q115_runs_test": (
+        "WITH base AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        "med AS (SELECT quantile_disc(cents, 0.5) AS med FROM base), "
+        "signed AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN cents > med THEN 1 ELSE 0 END AS s "
+        "FROM base, med WHERE cents <> med), "
+        "lg AS (SELECT user_id, s, lag(s, 1) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM signed), "
+        "agg AS (SELECT user_id, CAST(SUM(s) AS BIGINT) AS n1, "
+        "CAST(SUM(1 - s) AS BIGINT) AS n2, "
+        "CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS runs FROM lg GROUP BY user_id) "
+        "SELECT user_id, n1, n2, runs, CASE WHEN n1 >= 1 AND n2 >= 1 AND "
+        + _RUNS_VR + " > 0 THEN "
+        "round((CAST(runs AS DOUBLE) - (" + _RUNS_ER + ")) / sqrt("
+        + _RUNS_VR + "), 6) END AS z FROM agg ORDER BY user_id"
+    ),
+    "q116_spearman": (
+        "WITH li AS (SELECT l_returnflag, "
+        "CAST(round(l_quantity) AS BIGINT) AS q, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS p FROM lineitem), "
+        "rk AS (SELECT l_returnflag, "
+        "rank() OVER (PARTITION BY l_returnflag ORDER BY q ASC) "
+        "+ COUNT(*) OVER (PARTITION BY l_returnflag) "
+        "- rank() OVER (PARTITION BY l_returnflag ORDER BY q DESC) + 1 AS rq, "
+        "rank() OVER (PARTITION BY l_returnflag ORDER BY p ASC) "
+        "+ COUNT(*) OVER (PARTITION BY l_returnflag) "
+        "- rank() OVER (PARTITION BY l_returnflag ORDER BY p DESC) + 1 AS rp "
+        "FROM li), "
+        "a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(rq) AS sx, SUM(rp) AS sy, SUM(rq * rp) AS sxy, "
+        "SUM(rq * rq) AS sxx, SUM(rp * rp) AS syy FROM rk GROUP BY 1) "
+        "SELECT l_returnflag, n, CASE WHEN n >= 2 "
+        "AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 "
+        "THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+        "END AS spearman FROM a ORDER BY l_returnflag"
+    ),
+    "q117_gini": (
+        "WITH o AS (SELECT o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "f AS (SELECT * FROM o WHERE cents >= 0), "
+        "idx AS (SELECT o_orderpriority, cents, row_number() OVER "
+        "(PARTITION BY o_orderpriority ORDER BY cents, o_orderpriority) AS i "
+        "FROM f), "
+        "agg AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(cents) AS sx, SUM(i * cents) AS six FROM idx GROUP BY 1), "
+        "m AS (SELECT *, 2 * six - (n + 1) * sx AS gnum, "
+        "CASE WHEN sx > 0 THEN n * sx ELSE CAST(1 AS HUGEINT) END AS gden "
+        "FROM agg) "
+        "SELECT o_orderpriority, n, CAST(sx AS BIGINT) AS total_cents, "
+        "CASE WHEN sx > 0 THEN "
+        f"CAST({TP.divr_sql('gnum * 1000000', 'gden', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) END AS gini "
+        "FROM m ORDER BY o_orderpriority"
     ),
     "q113_percent_of_parent": (
         "WITH base AS (SELECT r_name, n_name, "

@@ -46,6 +46,7 @@ EVENT_QUERIES = [
     "ns_dp_noise",
     "ns_neyman_allocation",
     "q114_bounce_rate",
+    "q115_runs_test",
     "ns_winsorize",
     "q35_time_bucket",
     "q63_sliding_window",
@@ -159,6 +160,8 @@ ORDER_QUERIES = [
     "q107_full_outer_reconcile",
     "q111_mom_growth",
     "q112_not_in_nulls",
+    "q116_spearman",
+    "q117_gini",
 ]
 
 _order_row = st.tuples(
@@ -362,6 +365,7 @@ EMB_QUERIES = [
     "ns_embedding_centering",
     "ns_random_projection",
     "ns_linear_probe_step",
+    "ns_mi_feature_select",
 ]
 
 _vec = st.lists(
