@@ -3245,3 +3245,76 @@ def q117_gini(spark, sf_dir):
             / F.lit(1_000_000.0),
         ).alias("gini"),
     ).orderBy("o_orderpriority")
+
+
+def q118_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of daily revenue: trend
+    (centered 7-day moving average over a GAP-FILLED calendar),
+    day-of-week seasonal component (mean of detrended values per
+    weekday), residual — the STL-lite every demand-forecasting
+    pipeline runs before modeling.
+
+    ALL-INTEGER until the final display division: working in 7·cents
+    units makes the moving average exact (detr7 = 7·cents − Σ₇), the
+    weekday means exact rationals over n_dow, and every reported
+    value a divr_sql rounding (PARITY #7) — no float accumulates
+    anywhere.  Edge days without a full ±3 window are excluded (the
+    textbook treatment).
+
+    Scale shape: the fact table reduces to |days| rows map-side; the
+    calendar spine is generated in-engine (q87's device) so gaps
+    become explicit zero days; one ordered window over the |days|
+    frame (bounded by the calendar, not the data) + one |weekday|
+    aggregate broadcast back.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").cast("long").alias("cents"))
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    dense = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    filled = dense.join(daily, "d", "left").select(
+        "d", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    ow = W.orderBy("d").rowsBetween(-3, 3)
+    win = (
+        filled.withColumn("sum7", F.sum("cents").over(ow))
+        .withColumn("n7", F.count("*").over(ow))
+        .where(F.col("n7") == 7)
+        .withColumn("detr7", F.lit(7) * F.col("cents") - F.col("sum7"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    win = materialize_once(win)
+    seas = win.groupBy("dow").agg(
+        F.sum(F.col("detr7").cast("decimal(38,0)")).alias("s7n"),
+        F.count("*").cast("long").alias("n_dow"),
+    )
+    j = (
+        win.join(F.broadcast(seas), "dow")
+        .withColumn("sum7d", F.col("sum7").cast("decimal(38,0)"))
+        .withColumn(
+            "den_dow", (F.col("n_dow") * F.lit(7)).cast("decimal(38,0)")
+        )
+        .withColumn(
+            "resid_num",
+            F.col("detr7").cast("decimal(38,0)") * F.col("n_dow") - F.col("s7n"),
+        )
+    )
+    return j.select(
+        "d",
+        "cents",
+        (
+            F.expr(divr_sql("sum7d * 100", "7")).cast("double") / F.lit(100.0)
+        ).alias("trend_cents"),
+        (
+            F.expr(divr_sql("s7n * 100", "den_dow")).cast("double")
+            / F.lit(100.0)
+        ).alias("seasonal_cents"),
+        (
+            F.expr(divr_sql("resid_num * 100", "den_dow")).cast("double")
+            / F.lit(100.0)
+        ).alias("residual_cents"),
+    ).orderBy("d")

@@ -1425,3 +1425,117 @@ def ns_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_masked", "n_spans")
         .orderBy("doc_id")
     )
+
+
+HLLU_A, HLLU_B = "en", "de"  #: the two sub-corpora whose sketches merge
+
+
+def ns_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch set operations: HyperLogLog registers over the
+    DISTINCT DOCUMENT TEXTS of two language sub-corpora, merged by
+    register-wise MAX for the union estimate and inclusion-exclusion
+    for the intersection (≈ cross-lingual duplicate mass) — THE
+    property that makes sketches work on a cluster (partial registers
+    merge associatively across 1000 executors exactly like across two
+    languages; no re-scan of either side).  Exact distinct counts ride
+    along for the error readout.  (Texts, not tokens: the synthetic
+    corpus draws every language from ONE token vocabulary, which would
+    make token sets degenerate.)
+
+    Same exact-integer device as ``ns_hll_manual`` (harmonic sums as
+    Σ 2^(52−M) integers, linear-counting small-range branch on shared
+    doubles), evaluated for three register sets (A, B, max-merge) in
+    ONE aggregate over the 256-bucket frame.
+
+    Scale shape: one map-side-combined MAX per (lang, bucket) — ≤512
+    cells regardless of corpus size — then single-row arithmetic; the
+    exact counts are two count-distincts plus I-E, no extra join.
+    """
+    from cassandra_extractor_spark.operators.dedup import _md5_hash64
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("lang").isin(HLLU_A, HLLU_B)
+    )
+    toks = d.select("lang", F.col("text").alias("tok"))
+    h = _md5_hash64(F.col("tok"), "hll")
+    rho = F.when(
+        F.col("v") > 0,
+        F.lit(HLL_VALUE_BITS + 1)
+        - F.length(F.conv(F.col("v").cast("string"), 10, 2)),
+    ).otherwise(F.lit(HLL_VALUE_BITS + 1))
+    regs = (
+        toks.select(
+            "lang",
+            F.pmod(h, F.lit(HLL_BUCKETS)).alias("bucket"),
+            h.alias("h"),
+        )
+        .withColumn("v", F.expr(f"h div {HLL_BUCKETS}"))
+        .select("lang", "bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("lang") == HLLU_A, F.col("rho"))).alias("ma"),
+            F.max(F.when(F.col("lang") == HLLU_B, F.col("rho"))).alias("mb"),
+        )
+    )
+
+    def sketch_stats(mcol, out):
+        """(ssum_present, n_hit) for one register column."""
+        p = F.pow(
+            F.lit(2.0), (F.lit(HLL_VALUE_BITS) - F.col(mcol)).cast("double")
+        ).cast("decimal(38,0)")
+        return [
+            F.sum(F.when(F.col(mcol).isNotNull(), p)).alias(f"s_{out}"),
+            F.count(mcol).cast("long").alias(f"h_{out}"),
+        ]
+
+    merged = regs.withColumn("mu", F.greatest("ma", "mb"))
+    stats = merged.agg(
+        *sketch_stats("ma", "a"), *sketch_stats("mb", "b"), *sketch_stats("mu", "u")
+    )
+    exact = (
+        toks.select("lang", "tok")
+        .distinct()
+        .agg(
+            F.countDistinct(F.when(F.col("lang") == HLLU_A, F.col("tok")))
+            .cast("long")
+            .alias("x_a"),
+            F.countDistinct(F.when(F.col("lang") == HLLU_B, F.col("tok")))
+            .cast("long")
+            .alias("x_b"),
+            F.countDistinct("tok").cast("long").alias("x_u"),
+        )
+    )
+
+    p52 = float(2 ** HLL_VALUE_BITS)
+
+    def est(tag):
+        ssum = (
+            F.coalesce(F.col(f"s_{tag}"), F.lit(0).cast("decimal(38,0)"))
+            + (F.lit(HLL_BUCKETS) - F.col(f"h_{tag}")).cast("decimal(38,0)")
+            * F.lit(2 ** HLL_VALUE_BITS).cast("decimal(38,0)")
+        )
+        raw = (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_BUCKETS))
+            * F.lit(float(HLL_BUCKETS))
+            * F.lit(p52)
+            / ssum.cast("double")
+        )
+        zeros = F.lit(HLL_BUCKETS) - F.col(f"h_{tag}")
+        return F.when(
+            (raw <= F.lit(2.5 * HLL_BUCKETS)) & (zeros > 0),
+            F.lit(float(HLL_BUCKETS))
+            * F.log(F.lit(float(HLL_BUCKETS)) / zeros.cast("double")),
+        ).otherwise(raw)
+
+    ea, eb, eu = est("a"), est("b"), est("u")
+    return stats.crossJoin(exact).select(
+        F.col("x_a").alias("exact_a"),
+        F.col("x_b").alias("exact_b"),
+        F.col("x_u").alias("exact_union"),
+        (F.col("x_a") + F.col("x_b") - F.col("x_u")).alias("exact_inter"),
+        F.round(ea, 2).alias("est_a"),
+        F.round(eb, 2).alias("est_b"),
+        F.round(eu, 2).alias("est_union"),
+        F.round(ea + eb - eu, 2).alias("est_inter"),
+    )

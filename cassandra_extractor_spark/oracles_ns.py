@@ -1814,3 +1814,71 @@ def _mi_sql() -> str:
 
 
 NS_ORACLES["ns_mi_feature_select"] = _mi_sql()
+
+
+def _hll_setops_sql() -> str:
+    from cassandra_extractor_spark.operators.text import (
+        HLL_ALPHA,
+        HLL_BUCKETS,
+        HLL_VALUE_BITS,
+        HLLU_A,
+        HLLU_B,
+    )
+
+    p52 = 2 ** HLL_VALUE_BITS
+
+    def stat(mcol: str, tag: str) -> str:
+        return (
+            f"SUM(CASE WHEN {mcol} IS NOT NULL THEN CAST(power(2.0, "
+            f"CAST({HLL_VALUE_BITS} - {mcol} AS DOUBLE)) AS HUGEINT) END) AS s_{tag}, "
+            f"CAST(COUNT({mcol}) AS BIGINT) AS h_{tag}"
+        )
+
+    def est(tag: str) -> str:
+        ssum = (
+            f"(COALESCE(s_{tag}, CAST(0 AS HUGEINT)) "
+            f"+ CAST({HLL_BUCKETS} - h_{tag} AS HUGEINT) "
+            f"* CAST({p52} AS HUGEINT))"
+        )
+        raw = (
+            f"(CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_BUCKETS)!r} AS DOUBLE) "
+            f"* CAST({float(HLL_BUCKETS)!r} AS DOUBLE) * CAST({float(p52)!r} AS DOUBLE) "
+            f"/ CAST({ssum} AS DOUBLE))"
+        )
+        return (
+            f"(CASE WHEN {raw} <= CAST({2.5 * HLL_BUCKETS!r} AS DOUBLE) "
+            f"AND ({HLL_BUCKETS} - h_{tag}) > 0 THEN "
+            f"CAST({float(HLL_BUCKETS)!r} AS DOUBLE) * ln("
+            f"CAST({float(HLL_BUCKETS)!r} AS DOUBLE) "
+            f"/ CAST({HLL_BUCKETS} - h_{tag} AS DOUBLE)) ELSE {raw} END)"
+        )
+
+    ea, eb, eu = est("a"), est("b"), est("u")
+    return (
+        f"WITH d AS (SELECT lang, text FROM documents "
+        f"WHERE lang IN ('{HLLU_A}', '{HLLU_B}')), "
+        "toks AS (SELECT lang, text AS tok FROM d), "
+        f"hb AS (SELECT lang, {_hash_sql('tok', 'hll')} % {HLL_BUCKETS} AS bucket, "
+        f"{_hash_sql('tok', 'hll')} // {HLL_BUCKETS} AS v FROM toks), "
+        f"rho AS (SELECT lang, bucket, CASE WHEN v > 0 THEN {HLL_VALUE_BITS + 1} "
+        f"- length(printf('%b', v)) ELSE {HLL_VALUE_BITS + 1} END AS rho FROM hb), "
+        f"regs AS (SELECT bucket, "
+        f"MAX(CASE WHEN lang = '{HLLU_A}' THEN rho END) AS ma, "
+        f"MAX(CASE WHEN lang = '{HLLU_B}' THEN rho END) AS mb "
+        "FROM rho GROUP BY bucket), "
+        "merged AS (SELECT *, greatest(ma, mb) AS mu FROM regs), "
+        f"stats AS (SELECT {stat('ma', 'a')}, {stat('mb', 'b')}, "
+        f"{stat('mu', 'u')} FROM merged), "
+        "ex AS (SELECT "
+        f"CAST(COUNT(DISTINCT CASE WHEN lang = '{HLLU_A}' THEN tok END) AS BIGINT) AS x_a, "
+        f"CAST(COUNT(DISTINCT CASE WHEN lang = '{HLLU_B}' THEN tok END) AS BIGINT) AS x_b, "
+        "CAST(COUNT(DISTINCT tok) AS BIGINT) AS x_u FROM toks) "
+        "SELECT x_a AS exact_a, x_b AS exact_b, x_u AS exact_union, "
+        "x_a + x_b - x_u AS exact_inter, "
+        f"round({ea}, 2) AS est_a, round({eb}, 2) AS est_b, "
+        f"round({eu}, 2) AS est_union, round({ea} + {eb} - {eu}, 2) AS est_inter "
+        "FROM stats, ex"
+    )
+
+
+NS_ORACLES["ns_hll_set_ops"] = _hll_setops_sql()

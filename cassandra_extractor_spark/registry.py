@@ -75,6 +75,8 @@ QUERIES: dict[str, QueryFn] = {
     "q116_spearman": R.q116_spearman,
     "q117_gini": R.q117_gini,
     "ns_mi_feature_select": S.ns_mi_feature_select,
+    "q118_seasonal_decompose": R.q118_seasonal_decompose,
+    "ns_hll_set_ops": TX.ns_hll_set_ops,
     "ns_ngram_novelty": TX.ns_ngram_novelty,
     "ns_span_corruption": TX.ns_span_corruption,
     "ns_dp_noise": SM.ns_dp_noise,
@@ -286,6 +288,8 @@ _PRIORITY_PREFIX = [
     "q112_not_in_nulls", "ns_ngram_novelty", "ns_span_corruption",
     "ns_dp_noise", "ns_neyman_allocation",
     "q113_percent_of_parent", "q114_bounce_rate",
+    "q115_runs_test", "q116_spearman", "q117_gini",
+    "ns_mi_feature_select", "q118_seasonal_decompose", "ns_hll_set_ops",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     # never recorded in ANY driver round (r01-r04) — ahead of the
@@ -501,6 +505,37 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q118_seasonal_decompose": (
+        "WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "daily AS (SELECT d, CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM o GROUP BY d), "
+        "bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o), "
+        "dense AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), "
+        "CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM bounds), "
+        "filled AS (SELECT dense.d, COALESCE(daily.cents, 0) AS cents "
+        "FROM dense LEFT JOIN daily USING (d)), "
+        "win AS (SELECT *, SUM(cents) OVER w7 AS sum7, COUNT(*) OVER w7 AS n7 "
+        "FROM filled WINDOW w7 AS (ORDER BY d "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+        "f2 AS (SELECT d, cents, CAST(sum7 AS HUGEINT) AS sum7, "
+        "7 * cents - CAST(sum7 AS BIGINT) AS detr7, dayofweek(d) AS dow "
+        "FROM win WHERE n7 = 7), "
+        "seas AS (SELECT dow, SUM(CAST(detr7 AS HUGEINT)) AS s7n, "
+        "CAST(COUNT(*) AS BIGINT) AS n_dow FROM f2 GROUP BY dow), "
+        "j AS (SELECT f2.*, s7n, n_dow, "
+        "CAST(n_dow AS HUGEINT) * 7 AS den_dow, "
+        "CAST(detr7 AS HUGEINT) * n_dow - s7n AS resid_num "
+        "FROM f2 JOIN seas USING (dow)) "
+        "SELECT d, cents, "
+        f"CAST({TP.divr_sql('sum7 * 100', '7', '//')} AS DOUBLE) "
+        "/ CAST(100.0 AS DOUBLE) AS trend_cents, "
+        f"CAST({TP.divr_sql('s7n * 100', 'den_dow', '//')} AS DOUBLE) "
+        "/ CAST(100.0 AS DOUBLE) AS seasonal_cents, "
+        f"CAST({TP.divr_sql('resid_num * 100', 'den_dow', '//')} AS DOUBLE) "
+        "/ CAST(100.0 AS DOUBLE) AS residual_cents "
+        "FROM j ORDER BY d"
     ),
     "q115_runs_test": (
         "WITH base AS (SELECT user_id, event_id, ts, "

@@ -162,6 +162,7 @@ ORDER_QUERIES = [
     "q112_not_in_nulls",
     "q116_spearman",
     "q117_gini",
+    "q118_seasonal_decompose",
 ]
 
 _order_row = st.tuples(
@@ -311,6 +312,7 @@ DOC_QUERIES = [
     "ns_label_propagation",
     "ns_ngram_novelty",
     "ns_span_corruption",
+    "ns_hll_set_ops",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
