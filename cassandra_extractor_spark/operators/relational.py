@@ -3318,3 +3318,178 @@ def q118_seasonal_decompose(spark, sf_dir):
             / F.lit(100.0)
         ).alias("residual_cents"),
     ).orderBy("d")
+
+
+def q119_ab_proportions(spark, sf_dir):
+    """Two-proportion z-test: does purchase rate differ between users
+    whose FIRST event was a view vs a click?  — the A/B-test readout
+    every experimentation platform computes, with the assignment
+    derived from the event stream itself (first-touch split).
+
+    n and successes per arm are exact integers; the pooled-variance z
+    is one deterministic double expression whose denominator is a
+    sqrt (irrational → round-safe, PARITY #7).  Degenerate pools
+    (p̂ ∈ {0,1} or an empty arm) yield NULL.
+
+    Scale shape: first-touch assignment is one min-by window per
+    user; arm aggregation is map-side combined; the z arithmetic runs
+    on a 2-row frame.
+    """
+    e = load_table(spark, "events", sf_dir)
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(ow))
+        .where((F.col("rn") == 1) & F.col("event_type").isin("view", "click"))
+        .select("user_id", F.col("event_type").alias("arm"))
+    )
+    purchasers = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        firsts.join(purchasers, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias("conv"),
+        )
+    )
+    a = arms.where(F.col("arm") == "view").select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1")
+    )
+    b = arms.where(F.col("arm") == "click").select(
+        F.col("n").alias("n2"), F.col("conv").alias("c2")
+    )
+    j = a.crossJoin(b)
+    n1d, c1d, n2d, c2d = (F.col(c).cast("double") for c in ("n1", "c1", "n2", "c2"))
+    p1, p2 = c1d / n1d, c2d / n2d
+    pp = (c1d + c2d) / (n1d + n2d)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d))
+    return j.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("c1") + F.col("c2") > 0)
+            & (F.col("c1") + F.col("c2") < F.col("n1") + F.col("n2")),
+            F.round((p1 - p2) / se, 6),
+        ).alias("z"),
+    )
+
+
+def q120_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: cumulative revenue per signup-month cohort by
+    months-since-first-order — the companion of the q73 retention
+    triangle that finance actually plots (does a cohort pay back
+    acquisition cost by month N?).
+
+    Cohort and age come from one min window per customer; revenue is
+    exact integer cents; the cumulative sum is a RANGE-framed window
+    over the (cohort, age) aggregate — |cohorts|·|ages| rows, tiny at
+    any fact scale.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    aged = o.join(first, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("m") - F.year("cohort")) * 12
+            + (F.month("m") - F.month("cohort"))
+        )
+        .cast("long")
+        .alias("age"),
+        "cents",
+    )
+    per = aged.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    cw = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("cum_cents", F.sum("rev_cents").over(cw).cast("long"))
+        .select(F.to_date("cohort").alias("cohort"), "age", "rev_cents", "cum_cents")
+        .orderBy("cohort", "age")
+    )
+
+
+def q121_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types — the distribution-drift test a
+    model-monitoring pipeline runs between training and serving data.
+
+    EXACT: D = max |F₁ − F₂| evaluated at every observed value via
+    cumulative counts over the merged support; the maximized quantity
+    is the INTEGER |c₁·n₂ − c₂·n₁| (cross-multiplied ECDFs), so the
+    max is engine-order-proof and the final D is one divr_sql-rounded
+    rational.  No sampling, no approximation.
+
+    Scale shape: per-value counts are map-side combined; the two
+    cumulative windows run over the |distinct values| frame ordered
+    once; the max is a 1-row aggregate.  (The single-partition window
+    is bounded by the value domain, not the fact table — same
+    rationale as q105's skyline.)
+    """
+    e = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    base = e.where(F.col("event_type").isin("view", "purchase")).select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    counts = base.groupBy("x").agg(
+        F.sum(F.when(F.col("t") == "view", 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("t") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    vw = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        counts.withColumn("ca", F.sum("a").over(vw))
+        .withColumn("cb", F.sum("b").over(vw))
+        .crossJoin(
+            F.broadcast(
+                base.agg(
+                    F.sum(F.when(F.col("t") == "view", 1).otherwise(0))
+                    .cast("long")
+                    .alias("n1"),
+                    F.sum(F.when(F.col("t") == "purchase", 1).otherwise(0))
+                    .cast("long")
+                    .alias("n2"),
+                )
+            )
+        )
+        .withColumn(
+            "dn",
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cb").cast("decimal(38,0)") * F.col("n1")
+            ),
+        )
+    )
+    top = cum.groupBy("n1", "n2").agg(F.max("dn").alias("dmax"))
+    prepped = top.withColumn(
+        "den",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+        ).otherwise(F.lit(1).cast("decimal(38,0)")),
+    )
+    return prepped.select(
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.expr(divr_sql("dmax * 1000000", "den")).cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("ks_d"),
+    )

@@ -77,6 +77,9 @@ QUERIES: dict[str, QueryFn] = {
     "ns_mi_feature_select": S.ns_mi_feature_select,
     "q118_seasonal_decompose": R.q118_seasonal_decompose,
     "ns_hll_set_ops": TX.ns_hll_set_ops,
+    "q119_ab_proportions": R.q119_ab_proportions,
+    "q120_ltv_curve": R.q120_ltv_curve,
+    "q121_ks_test": R.q121_ks_test,
     "ns_ngram_novelty": TX.ns_ngram_novelty,
     "ns_span_corruption": TX.ns_span_corruption,
     "ns_dp_noise": SM.ns_dp_noise,
@@ -290,6 +293,7 @@ _PRIORITY_PREFIX = [
     "q113_percent_of_parent", "q114_bounce_rate",
     "q115_runs_test", "q116_spearman", "q117_gini",
     "ns_mi_feature_select", "q118_seasonal_decompose", "ns_hll_set_ops",
+    "q119_ab_proportions", "q120_ltv_curve", "q121_ks_test",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     # never recorded in ANY driver round (r01-r04) — ahead of the
@@ -345,6 +349,12 @@ _CHI2_EXP = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
 
 #: Wald–Wolfowitz expectation/variance, mirroring q115's Spark
 #: expression operation by operation (nd expanded inline each time)
+#: pooled proportion for q119's two-proportion z, mirroring Spark
+_AB_PP = (
+    "((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) "
+    "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))"
+)
+
 _RUNS_ND = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
 _RUNS_ER = (
     "CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
@@ -505,6 +515,68 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "q119_ab_proportions": (
+        "WITH f AS (SELECT user_id, event_type AS arm FROM "
+        "(SELECT user_id, event_type, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn = 1 AND event_type IN ('view', 'click')), "
+        "p AS (SELECT DISTINCT user_id, 1 AS converted FROM events "
+        "WHERE event_type = 'purchase'), "
+        "arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(COALESCE(converted, 0)) AS BIGINT) AS conv "
+        "FROM f LEFT JOIN p USING (user_id) GROUP BY arm), "
+        "a AS (SELECT n AS n1, conv AS c1 FROM arms WHERE arm = 'view'), "
+        "b AS (SELECT n AS n2, conv AS c2 FROM arms WHERE arm = 'click') "
+        "SELECT n1, c1, n2, c2, CASE WHEN n1 > 0 AND n2 > 0 "
+        "AND c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN "
+        "round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+        "- CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(" + _AB_PP
+        + " * (CAST(1.0 AS DOUBLE) - " + _AB_PP + ") "
+        "* (CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+        "+ CAST(1.0 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) END AS z "
+        "FROM a, b"
+    ),
+    "q120_ltv_curve": (
+        "WITH o AS (SELECT o_custkey, "
+        "date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "f AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1), "
+        "aged AS (SELECT cohort, CAST((EXTRACT(year FROM m) "
+        "- EXTRACT(year FROM cohort)) * 12 + (EXTRACT(month FROM m) "
+        "- EXTRACT(month FROM cohort)) AS BIGINT) AS age, cents "
+        "FROM o JOIN f USING (o_custkey)), "
+        "per AS (SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS rev_cents "
+        "FROM aged GROUP BY 1, 2) "
+        "SELECT CAST(cohort AS DATE) AS cohort, age, rev_cents, "
+        "CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_cents FROM per ORDER BY cohort, age"
+    ),
+    "q121_ks_test": (
+        "WITH base AS (SELECT event_type AS t, "
+        "CAST(round(value * 100) AS BIGINT) AS x FROM events "
+        "WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')), "
+        "counts AS (SELECT x, "
+        "CAST(SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+        "CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b "
+        "FROM base GROUP BY x), "
+        "tot AS (SELECT "
+        "CAST(SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        "CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+        "FROM base), "
+        "cum AS (SELECT x, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb, n1, n2 "
+        "FROM counts, tot WINDOW w AS (ORDER BY x "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "dd AS (SELECT n1, n2, abs(CAST(ca AS HUGEINT) * n2 "
+        "- CAST(cb AS HUGEINT) * n1) AS dn FROM cum), "
+        "top AS (SELECT n1, n2, MAX(dn) AS dmax FROM dd GROUP BY n1, n2), "
+        "m AS (SELECT *, CASE WHEN n1 > 0 AND n2 > 0 "
+        "THEN CAST(n1 AS HUGEINT) * n2 ELSE CAST(1 AS HUGEINT) END AS den "
+        "FROM top) "
+        "SELECT n1, n2, CASE WHEN n1 > 0 AND n2 > 0 THEN "
+        f"CAST({TP.divr_sql('dmax * 1000000', 'den', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) END AS ks_d FROM m"
     ),
     "q118_seasonal_decompose": (
         "WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, "
