@@ -47,6 +47,8 @@ EVENT_QUERIES = [
     "ns_neyman_allocation",
     "q114_bounce_rate",
     "q115_runs_test",
+    "q119_ab_proportions",
+    "q121_ks_test",
     "ns_winsorize",
     "q35_time_bucket",
     "q63_sliding_window",
@@ -163,6 +165,7 @@ ORDER_QUERIES = [
     "q116_spearman",
     "q117_gini",
     "q118_seasonal_decompose",
+    "q120_ltv_curve",
 ]
 
 _order_row = st.tuples(
