@@ -2854,6 +2854,9 @@ def q110_markov_transitions(spark, sf_dir):
     totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
     return (
         counts.join(F.broadcast(totals), "from_type")
+        # decimal operand: 2·(n·1e6) would cross int64 at ~4.6e12
+        # transitions per pair (reachable in a 100 TB event stream)
+        .withColumn("n_d", F.col("n").cast("decimal(38,0)"))
         .select(
             "from_type",
             "to_type",
@@ -2861,7 +2864,7 @@ def q110_markov_transitions(spark, sf_dir):
             # n/n_from is an exact rational — integer-units rounding
             # (divr_sql), never round(double) (see its docstring)
             (
-                F.expr(divr_sql("n * 1000000", "n_from")).cast("double")
+                F.expr(divr_sql("n_d * 1000000", "n_from")).cast("double")
                 / F.lit(1_000_000.0)
             ).alias("prob"),
         )
@@ -3001,14 +3004,24 @@ def q113_percent_of_parent(spark, sf_dir):
     wr = W.partitionBy("r_name")
     wg = W.partitionBy()
     return (
-        base.withColumn("region_cents", F.sum("cents").over(wr))
-        .withColumn("total_cents", F.sum("cents").over(wg))
+        base.withColumn(
+            "cents_d", F.col("cents").cast("decimal(38,0)")
+        )  # divr operands in DECIMAL: 2·(region_cents·1e6) crosses
+        # int64 just above TPC-H sf1 (region revenue ≈ 4.6e12 cents)
+        .withColumn(
+            "region_cents", F.sum("cents").over(wr).cast("decimal(38,0)")
+        )
+        .withColumn(
+            "total_cents", F.sum("cents").over(wg).cast("decimal(38,0)")
+        )
         .select(
             "r_name",
             "n_name",
             "cents",
             (
-                F.expr(divr_sql("cents * 1000000", "region_cents")).cast("double")
+                F.expr(divr_sql("cents_d * 1000000", "region_cents")).cast(
+                    "double"
+                )
                 / F.lit(10_000.0)
             ).alias("pct_of_region"),
             (

@@ -1181,6 +1181,13 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", F.col("i")).alias("w1"),
         F.element_at("toks", F.col("i") + 1).alias("w2"),
     )
+    # the bigram frame feeds both the model counts AND the scoring
+    # join — materialize once or Catalyst replays the full tokenize +
+    # explode per self-join side (exchanges are not reused across
+    # differently-aliased subplans)
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    bg = materialize_once(bg)
     bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
     uni = (
         t.select(F.explode("toks").alias("w1"))
@@ -1258,20 +1265,27 @@ def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("m"))
     )
-    # registers never hit: rho contribution 2^52 (m=0 ⇒ 2^(52-0))
-    n_hit = regs.count()  # plan-time scalar: 256 max
-    missing = HLL_BUCKETS - n_hit
+    # registers never hit contribute 2^52 each (m=0 ⇒ 2^(52-0)); the
+    # hit count comes out of the SAME single-row aggregate — a
+    # driver-side regs.count() here would run the full token pipeline
+    # twice (once at DataFrame-BUILD time!), as the code-review pass
+    # caught; this is the in-engine device ns_hll_set_ops uses
     s = regs.agg(
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(HLL_VALUE_BITS) - F.col("m")).cast("double"))
+            .cast("decimal(38,0)")
+        ).alias("sp"),
+        F.count("*").cast("long").alias("n_hit"),
+    ).select(
         (
-            F.sum(
-                F.pow(F.lit(2.0), (F.lit(HLL_VALUE_BITS) - F.col("m")).cast("double"))
-                .cast("decimal(38,0)")
-            )
-            + F.lit(missing) * F.lit(2 ** HLL_VALUE_BITS).cast("decimal(38,0)")
-        ).alias("ssum")
+            F.coalesce("sp", F.lit(0).cast("decimal(38,0)"))
+            + (F.lit(HLL_BUCKETS) - F.col("n_hit")).cast("decimal(38,0)")
+            * F.lit(2 ** HLL_VALUE_BITS).cast("decimal(38,0)")
+        ).alias("ssum"),
+        "n_hit",
     )
     exact = toks.agg(F.countDistinct("tok").cast("long").alias("n_exact"))
-    est = (
+    raw = (
         F.lit(HLL_ALPHA)
         * F.lit(float(HLL_BUCKETS))
         * F.lit(float(HLL_BUCKETS))
@@ -1283,13 +1297,12 @@ def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate overshoots badly; when est <= 2.5m, count zero registers
     # V and use m·ln(m/V) instead — both branch condition and ln run on
     # identical doubles, so the engines agree on correction and value
-    zero_regs = missing  # registers never hit = zero registers
-    if zero_regs > 0:
-        est = F.when(
-            est <= F.lit(2.5 * HLL_BUCKETS),
-            F.lit(float(HLL_BUCKETS))
-            * F.log(F.lit(float(HLL_BUCKETS)) / F.lit(float(zero_regs))),
-        ).otherwise(est)
+    zeros = F.lit(HLL_BUCKETS) - F.col("n_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_BUCKETS)) & (zeros > 0),
+        F.lit(float(HLL_BUCKETS))
+        * F.log(F.lit(float(HLL_BUCKETS)) / zeros.cast("double")),
+    ).otherwise(raw)
     return (
         s.crossJoin(exact)
         .select(
@@ -1343,6 +1356,11 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both the first-owner reduction and the join-back consume grams —
+    # materialize once (same rationale as ns_bigram_lm)
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    grams = materialize_once(grams)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first, "gram")

@@ -102,7 +102,6 @@ QUERIES: dict[str, QueryFn] = {
     "ns_minhash_calibration": D.ns_minhash_calibration,
     "ns_winsorize": SM.ns_winsorize,
     "q91_grouping_id": R.q91_grouping_id,
-    "q92_ohlc_resample": R.q92_ohlc_resample,
     "q93_column_profile": R.q93_column_profile,
     "q94_rank_distributions": R.q94_rank_distributions,
     "q95_event_pattern": R.q95_event_pattern,
@@ -116,7 +115,6 @@ QUERIES: dict[str, QueryFn] = {
     "ns_embedding_audit": S.ns_embedding_audit,
     "q79_window_distinct": R.q79_window_distinct,
     "q81_rank_metrics": R.q81_rank_metrics,
-    "q82_rolling_median": R.q82_rolling_median,
     "q83_cdc_apply": R.q83_cdc_apply,
     "q84_scd2_history": R.q84_scd2_history,
     "q85_interval_lookup": R.q85_interval_lookup,
@@ -124,7 +122,6 @@ QUERIES: dict[str, QueryFn] = {
     "ns_heavy_hitters": TX.ns_heavy_hitters,
     "ns_line_filter": TX.ns_line_filter,
     "ns_chunk_dedup": TX.ns_chunk_dedup,
-    "ns_dedup_prefix_jaccard": D.ns_dedup_prefix_jaccard,
     "ns_hard_negatives": S.ns_hard_negatives,
     "ns_triangle_count": D.ns_triangle_count,
     "ns_filter_funnel": X.ns_filter_funnel,
@@ -676,11 +673,12 @@ ORACLES: dict[str, str] = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY 1, 2), "
-        "m AS (SELECT *, CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) "
-        "AS region_cents, CAST(SUM(cents) OVER () AS BIGINT) AS total_cents "
+        "m AS (SELECT *, CAST(cents AS HUGEINT) AS cents_d, "
+        "CAST(SUM(cents) OVER (PARTITION BY r_name) AS HUGEINT) "
+        "AS region_cents, CAST(SUM(cents) OVER () AS HUGEINT) AS total_cents "
         "FROM base) "
         "SELECT r_name, n_name, cents, "
-        f"CAST({TP.divr_sql('cents * 1000000', 'region_cents', '//')} AS DOUBLE) "
+        f"CAST({TP.divr_sql('cents_d * 1000000', 'region_cents', '//')} AS DOUBLE) "
         "/ CAST(10000.0 AS DOUBLE) AS pct_of_region, "
         f"CAST({TP.divr_sql('region_cents * 1000000', 'total_cents', '//')} AS DOUBLE) "
         "/ CAST(10000.0 AS DOUBLE) AS region_pct_of_total "
@@ -776,7 +774,7 @@ ORACLES: dict[str, str] = {
         "totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from "
         "FROM counts GROUP BY 1) "
         "SELECT from_type, to_type, n, "
-        f"CAST({TP.divr_sql('n * 1000000', 'n_from', '//')} AS DOUBLE) "
+        f"CAST({TP.divr_sql('CAST(n AS HUGEINT) * 1000000', 'n_from', '//')} AS DOUBLE) "
         "/ CAST(1000000.0 AS DOUBLE) AS prob "
         "FROM counts JOIN totals USING (from_type) ORDER BY from_type, to_type"
     ),
