@@ -203,3 +203,90 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
     assert len(with_grams) > 0
     assert with_grams.iloc[0].novelty == 1.0
     assert (with_grams.n_novel <= with_grams.n_grams).all()
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    from cassandra_extractor_spark.operators.relational import q116_spearman
+
+    out = q116_spearman(spark, sf_dir).toPandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["q"] = li.l_quantity.round().astype(int)
+    li["p"] = (li.l_extendedprice * 100).round().astype(int)
+    for flag, g in li.groupby("l_returnflag"):
+        # average-rank Spearman = Pearson on the ranks (pandas'
+        # .corr(method='spearman') needs scipy, absent here)
+        rq = g["q"].rank(method="average")
+        rp = g["p"].rank(method="average")
+        expected = rq.corr(rp)
+        got = out.loc[flag, "spearman"]
+        assert abs(got - expected) < 1e-6, (flag, got, expected)
+
+
+def test_ks_matches_python_ecdf(spark, sf_dir):
+    from cassandra_extractor_spark.operators.relational import q121_ks_test
+
+    row = q121_ks_test(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.value.notna() & ev.event_type.isin(["view", "purchase"])]
+    x = (ev.value * 100).round().astype(int)
+    a = np.sort(x[ev.event_type == "view"].values)
+    b = np.sort(x[ev.event_type == "purchase"].values)
+    support = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, support, side="right") / len(a)
+    fb = np.searchsorted(b, support, side="right") / len(b)
+    expected = np.abs(fa - fb).max()
+    assert abs(row.ks_d - expected) < 1e-6, (row.ks_d, expected)
+
+
+def test_gini_matches_python_formula(spark, sf_dir):
+    from cassandra_extractor_spark.operators.relational import q117_gini
+
+    out = q117_gini(spark, sf_dir).toPandas().set_index("o_orderpriority")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    o = o[o.cents >= 0]
+    for prio, g in o.groupby("o_orderpriority"):
+        xs = np.sort(g.cents.values)
+        n = len(xs)
+        i = np.arange(1, n + 1)
+        expected = (2 * (i * xs).sum() - (n + 1) * xs.sum()) / (n * xs.sum())
+        assert abs(out.loc[prio, "gini"] - expected) < 1e-6, prio
+
+
+def test_ab_z_matches_python_formula(spark):
+    import math
+
+    from cassandra_extractor_spark.operators.relational import q119_ab_proportions
+
+    # sf0.01: sf0.001's 15 users may leave one arm empty (no row)
+    sf_dir = "/root/testdata/sf0.01"
+    row = q119_ab_proportions(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["ts", "event_id"])
+    firsts = ev.groupby("user_id").first()
+    firsts = firsts[firsts.event_type.isin(["view", "click"])]
+    purchasers = set(ev[ev.event_type == "purchase"].user_id)
+    n1 = int((firsts.event_type == "view").sum())
+    n2 = int((firsts.event_type == "click").sum())
+    c1 = sum(1 for uid, r in firsts.iterrows()
+             if r.event_type == "view" and uid in purchasers)
+    c2 = sum(1 for uid, r in firsts.iterrows()
+             if r.event_type == "click" and uid in purchasers)
+    assert (row.n1, row.c1, row.n2, row.c2) == (n1, c1, n2, c2)
+    if n1 and n2 and 0 < c1 + c2 < n1 + n2:
+        pp = (c1 + c2) / (n1 + n2)
+        z = (c1 / n1 - c2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        assert abs(row.z - z) < 1e-6
+    else:
+        # degenerate pool (p̂ ∈ {0, 1}) — the operator must emit NULL
+        assert row.z is None
+
+
+def test_seasonal_components_reconstruct_signal(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct the observed value
+    to within the three independent 2-decimal roundings."""
+    from cassandra_extractor_spark.operators.relational import q118_seasonal_decompose
+
+    out = q118_seasonal_decompose(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    recon = out.trend_cents + out.seasonal_cents + out.residual_cents
+    assert (recon - out.cents).abs().max() <= 0.02
