@@ -950,9 +950,17 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             "dim",
-            F.round(
-                F.col("g0").cast("double") * lr2 / F.col("n_rows").cast("double"),
-                12,
+            # + 0.0 kills signed zero: an exactly-cancelling gradient
+            # emerges as ±1e-19 from the engine-asymmetric decimal
+            # casts (PARITY #9) and would round to -0.0 vs +0.0
+            (
+                F.round(
+                    F.col("g0").cast("double")
+                    * lr2
+                    / F.col("n_rows").cast("double"),
+                    12,
+                )
+                + F.lit(0.0)
             ).alias("w1"),
         )
     )
@@ -974,10 +982,15 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("dim").cast("long").alias("dim"),
             F.col("w1"),
-            F.round(
-                F.col("w1")
-                - F.col("g1").cast("double") * lr2 / F.col("n_rows").cast("double"),
-                8,
+            (
+                F.round(
+                    F.col("w1")
+                    - F.col("g1").cast("double")
+                    * lr2
+                    / F.col("n_rows").cast("double"),
+                    8,
+                )
+                + F.lit(0.0)
             ).alias("w2"),
         )
         .orderBy("dim")

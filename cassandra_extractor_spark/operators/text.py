@@ -1557,3 +1557,110 @@ def ns_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eu, 2).alias("est_union"),
         F.round(ea + eb - eu, 2).alias("est_inter"),
     )
+
+
+def ns_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the token distribution per source — the
+    corpus-health index (1 − Σ nᵢ(nᵢ−1)/(N(N−1))): near 1 = rich
+    vocabulary, near 0 = one token dominates (boilerplate / spam
+    feeds).  An EXACT rational start to finish: integer type counts,
+    DECIMAL(38,0) sums of nᵢ(nᵢ−1), divr_sql rounding (PARITY #7).
+
+    Scale shape: per-(source, token) counts are map-side combined;
+    the Σ nᵢ(nᵢ−1) reduction is a second map-side aggregate down to
+    |sources| rows.  Two shuffles, both on uniform keys.
+    """
+    from cassandra_extractor_spark.operators.relational import divr_sql
+
+    d = load_table(spark, "documents", sf_dir)
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("n_i"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.sum("n_i").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("n_i") * (F.col("n_i") - 1)).cast("decimal(38,0)")).alias(
+            "pairs"
+        ),
+    )
+    prepped = agg.withColumn(
+        "den",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.col("n_tokens").cast("decimal(38,0)") * (F.col("n_tokens") - 1),
+        ).otherwise(F.lit(1).cast("decimal(38,0)")),
+    )
+    return prepped.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.lit(1.0)
+            - F.expr(divr_sql("pairs * 1000000", "den")).cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("simpson"),
+    ).orderBy("source")
+
+
+ZIPF_TOP = 100  #: frequency ranks used for the log-log fit
+
+
+def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: least-squares
+    slope/intercept of ln(freq) on ln(rank) over the top-ZIPF_TOP
+    ranks — natural text sits near slope −1, and a corpus that
+    doesn't is machine-generated, templated, or broken (the
+    distribution-shape audit next to `ns_entropy`).
+
+    The rank table is a TakeOrderedAndProject over the vocabulary
+    aggregate (deterministic ties: count DESC, token ASC); the four
+    regression sums accumulate in DECIMAL(38,18) (order-independent
+    ln folds), and slope/intercept are deterministic double formulas
+    (rational-over-sqrt-free, but built from irrational ln terms —
+    round-safe per PARITY #7).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(ZIPF_TOP)
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("tok"))
+    xy = vocab.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,18)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    det = kd * sxxd - sxd * sxd
+    slope = (kd * sxyd - sxd * syd) / det
+    intercept = (syd - slope * sxd) / kd
+    # + 0.0 normalizes SIGNED ZERO: a slope that is exactly 0 in real
+    # arithmetic emerges as ±1e-18 from the engine-asymmetric decimal
+    # casts (PARITY #9) and rounds to -0.0 on one engine, +0.0 on the
+    # other (found by the differential harness on two equal-count
+    # tokens); IEEE -0.0 + 0.0 = +0.0 on both
+    return agg.select(
+        F.col("k").alias("n_terms"),
+        F.when(F.col("k") >= 2, F.round(slope, 6) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        F.when(F.col("k") >= 2, F.round(intercept, 6) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -1564,7 +1564,7 @@ def _probe_sql() -> str:
         "ex AS (SELECT vec_id, y, i AS dim, emb[i] AS x FROM "
         "(SELECT vec_id, y, emb, unnest(generate_series(1, len(emb))) AS i FROM e)), "
         "w1 AS (SELECT dim, round(CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) "
-        f"* {lr2} / CAST(n_rows AS DOUBLE), 12) AS w1 "
+        f"* {lr2} / CAST(n_rows AS DOUBLE), 12) + CAST(0.0 AS DOUBLE) AS w1 "
         "FROM ex, n GROUP BY dim, n_rows), "
         "pred AS (SELECT vec_id, "
         "CAST(SUM(CAST(x * w1 AS DECIMAL(38,18))) AS DOUBLE) AS pred "
@@ -1573,7 +1573,8 @@ def _probe_sql() -> str:
         "g1 AS (SELECT dim, CAST(SUM(CAST(x * r AS DECIMAL(38,18))) AS DOUBLE) AS g1 "
         "FROM ex JOIN resid USING (vec_id) GROUP BY dim) "
         "SELECT CAST(dim AS BIGINT) AS dim, w1, "
-        f"round(w1 - g1 * {lr2} / CAST(n_rows AS DOUBLE), 8) AS w2 "
+        f"round(w1 - g1 * {lr2} / CAST(n_rows AS DOUBLE), 8) "
+        "+ CAST(0.0 AS DOUBLE) AS w2 "
         "FROM g1 JOIN w1 USING (dim), n ORDER BY dim"
     )
 
@@ -1882,3 +1883,62 @@ def _hll_setops_sql() -> str:
 
 
 NS_ORACLES["ns_hll_set_ops"] = _hll_setops_sql()
+
+
+def _simpson_sql() -> str:
+    from cassandra_extractor_spark.operators.relational import divr_sql
+
+    return (
+        f"WITH tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_i "
+        f"FROM (SELECT source, unnest({TOKS}) AS tok FROM documents) "
+        "GROUP BY 1, 2), "
+        "agg AS (SELECT source, CAST(SUM(n_i) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "SUM(CAST(n_i * (n_i - 1) AS HUGEINT)) AS pairs FROM tc GROUP BY 1), "
+        "m AS (SELECT *, CASE WHEN n_tokens >= 2 THEN "
+        "CAST(n_tokens AS HUGEINT) * (n_tokens - 1) "
+        "ELSE CAST(1 AS HUGEINT) END AS den FROM agg) "
+        "SELECT source, n_tokens, n_types, CASE WHEN n_tokens >= 2 THEN "
+        "CAST(1.0 AS DOUBLE) - "
+        f"CAST({divr_sql('pairs * 1000000', 'den', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) END AS simpson "
+        "FROM m ORDER BY source"
+    )
+
+
+NS_ORACLES["ns_simpson_diversity"] = _simpson_sql()
+
+
+def _zipf_sql() -> str:
+    from cassandra_extractor_spark.operators.text import ZIPF_TOP
+
+    det = (
+        "(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    slope = (
+        "((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / {det})"
+    )
+    return (
+        f"WITH vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM (SELECT unnest({TOKS}) AS tok FROM documents) "
+        f"GROUP BY tok ORDER BY n DESC, tok LIMIT {ZIPF_TOP}), "
+        "xy AS (SELECT ln(CAST(row_number() OVER "
+        "(ORDER BY n DESC, tok) AS DOUBLE)) AS x, "
+        "ln(CAST(n AS DOUBLE)) AS y FROM vocab), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "SUM(CAST(x AS DECIMAL(38,18))) AS sx, "
+        "SUM(CAST(y AS DECIMAL(38,18))) AS sy, "
+        "SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy, "
+        "SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx FROM xy) "
+        "SELECT k AS n_terms, "
+        f"CASE WHEN k >= 2 THEN round({slope}, 6) + CAST(0.0 AS DOUBLE) "
+        "END AS zipf_slope, "
+        f"CASE WHEN k >= 2 THEN round((CAST(sy AS DOUBLE) - {slope} "
+        "* CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) "
+        "END AS zipf_intercept FROM agg"
+    )
+
+
+NS_ORACLES["ns_zipf_fit"] = _zipf_sql()

@@ -80,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "q119_ab_proportions": R.q119_ab_proportions,
     "q120_ltv_curve": R.q120_ltv_curve,
     "q121_ks_test": R.q121_ks_test,
+    "ns_simpson_diversity": TX.ns_simpson_diversity,
+    "ns_zipf_fit": TX.ns_zipf_fit,
     "ns_ngram_novelty": TX.ns_ngram_novelty,
     "ns_span_corruption": TX.ns_span_corruption,
     "ns_dp_noise": SM.ns_dp_noise,
@@ -291,6 +293,7 @@ _PRIORITY_PREFIX = [
     "q115_runs_test", "q116_spearman", "q117_gini",
     "ns_mi_feature_select", "q118_seasonal_decompose", "ns_hll_set_ops",
     "q119_ab_proportions", "q120_ltv_curve", "q121_ks_test",
+    "ns_simpson_diversity", "ns_zipf_fit",
     "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
     "q110_markov_transitions", "q111_mom_growth",
     # never recorded in ANY driver round (r01-r04) — ahead of the

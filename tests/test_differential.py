@@ -316,6 +316,8 @@ DOC_QUERIES = [
     "ns_ngram_novelty",
     "ns_span_corruption",
     "ns_hll_set_ops",
+    "ns_simpson_diversity",
+    "ns_zipf_fit",
 ]
 
 #: hostile text: every whitespace class the two regex engines disagree
