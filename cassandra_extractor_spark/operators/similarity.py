@@ -756,7 +756,7 @@ def ns_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = F.when(F.col("w1") < 0, -F.col("w")).otherwise(F.col("w"))
     return (
         wdf.crossJoin(F.broadcast(stats))
-        .select("dim", F.round(signed / F.col("nrm"), 6).alias("loading"))
+        .select("dim", (F.round(signed / F.col("nrm"), 6) + F.lit(0.0)).alias("loading"))
         .orderBy("dim")
     )
 
@@ -902,7 +902,7 @@ def ns_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("out_dim"),
-            F.round(F.col("p") * F.lit(JL_SCALE), 6).alias("proj"),
+            (F.round(F.col("p") * F.lit(JL_SCALE), 6) + F.lit(0.0)).alias("proj"),
         )
         .orderBy("vec_id", "out_dim")
     )

@@ -1412,7 +1412,7 @@ NS_ORACLES["ns_pca_power_iter"] = (
     "CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS w FROM ex GROUP BY dim), "
     "st AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm, "
     "MIN(CASE WHEN dim = 1 THEN w END) AS w1 FROM pd) "
-    "SELECT dim, round((CASE WHEN w1 < 0 THEN -w ELSE w END) / nrm, 6) AS loading "
+    "SELECT dim, round((CASE WHEN w1 < 0 THEN -w ELSE w END) / nrm, 6) + CAST(0.0 AS DOUBLE) AS loading "
     "FROM pd, st ORDER BY dim"
 )
 
@@ -1545,7 +1545,7 @@ def _jl_sql() -> str:
         f"p AS (SELECT vec_id, {ps} AS ps FROM e), "
         "u AS (SELECT vec_id, unnest(generate_series(1, len(ps))) AS i, ps FROM p) "
         "SELECT vec_id, CAST(i - 1 AS BIGINT) AS out_dim, "
-        f"round(ps[i] * CAST({JL_SCALE!r} AS DOUBLE), 6) AS proj "
+        f"round(ps[i] * CAST({JL_SCALE!r} AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS proj "
         "FROM u ORDER BY vec_id, out_dim"
     )
 

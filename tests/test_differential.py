@@ -381,6 +381,31 @@ _vec = st.lists(
     max_size=6,
 )
 
+from cassandra_extractor_spark.operators.similarity import (  # noqa: E402
+    JL_DIMS as _JL_DIMS,
+    _jl_sign as _jl,
+)
+
+
+@st.composite
+def _cancelling_vec(draw):
+    """Vector built so its ±1-signed sum under a REAL JL sign row is
+    exactly zero in decimal: round(±1e-16·scale) then hits the signed
+    -0.0/+0.0 split unless normalized (PARITY #10).  This generates by
+    construction the input class hypothesis previously found by luck
+    (round-5 ns_random_projection falsification)."""
+    j = draw(st.integers(min_value=0, max_value=_JL_DIMS - 1))
+    signs = [_jl(j, d) for d in range(1, 7)]
+    # |Σ of 5 components| ≤ 5·400 = 2000, so the balancing tail always
+    # fits the value domain — no filtering (hypothesis health check)
+    head = [draw(st.integers(min_value=-400, max_value=400)) for _ in range(5)]
+    tail = -signs[5] * sum(s * a for s, a in zip(signs, head))
+    return [v / 1000.0 for v in head + [tail]]
+
+
+#: mix organic vectors with exactly-cancelling ones (~1 in 3)
+_adv_vec = st.one_of(_vec, _vec, _cancelling_vec())
+
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 @settings(
@@ -388,7 +413,7 @@ _vec = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(vecs=st.lists(_vec, min_size=12, max_size=30))
+@given(vecs=st.lists(_adv_vec, min_size=12, max_size=30))
 def test_embedding_query_differential(spark, tmp_path_factory, name, vecs):
     import pyarrow as pa
     import pyarrow.parquet as pq
