@@ -403,3 +403,243 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cntrycode")
     )
 
+
+
+# --- round 7: the partsupp quartet (Q2 / Q11 / Q16 / Q20) ------------
+#
+# /root/testdata ships no partsupp table, so these four queries DERIVE
+# one deterministically from the keys that do exist — pure integer
+# arithmetic over part × {0,1,2,3} (4 suppliers per part, as in the
+# TPC-H spec), identical expression by expression to the oracle's CTE
+# (registry.PARTSUPP_CTE), so both engines see the same relation:
+#
+#   ps_suppkey     = (p_partkey*13 + i*29) % count(supplier)
+#   ps_availqty    = (p_partkey*17 + i*31) % 9999 + 1
+#   ps_cost_cents  = (p_partkey*29 + i*37) % 99901 + 100
+#
+# 29 is coprime to every supplier count (10/100/1000 across SFs), so
+# the four suppliers of a part are always distinct.  Supply cost is
+# kept in INTEGER CENTS end to end — min/equality/sum/compare are all
+# exact, sidestepping every cross-engine double hazard (PARITY #7-10).
+
+PS_FANOUT = 4
+Q2_SIZE_MAX = 15
+Q2_TYPE = "LARGE"
+Q2_REGION = "EUROPE"
+Q11_NATION = "NATION_13"  # has suppliers at every test SF
+Q11_AVG_MULT = 2  # HAVING sum > 2 × the average part value (spec: 0.0001/SF)
+Q16_BRAND = "Brand#15"
+Q16_TYPE_PREFIX = "MEDIUM"
+Q16_SIZES = [1, 4, 9, 16, 25, 36, 49, 50]
+Q20_NAME_PREFIX = "hot "
+Q20_FROM, Q20_TO = "1997-01-01", "1998-01-01"
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see module comment above).
+
+    Plan shape: a map-only projection of ``part`` exploded ×4 with the
+    1-row supplier count broadcast in — no shuffle; at 100 TB this is
+    exactly how a generated dimension should enter the plan (generate
+    beside the fact scan, never materialize driver-side).
+    """
+    nsupp = F.broadcast(
+        _t(spark, sf_dir, "supplier").agg(F.count("*").cast("long").alias("nsupp"))
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(nsupp)
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(PS_FANOUT)])).alias("i"),
+            "nsupp",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 13 + F.col("i") * 29) % F.col("nsupp"))
+            .cast("long")
+            .alias("ps_suppkey"),
+            ((F.col("p_partkey") * 17 + F.col("i") * 31) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 29 + F.col("i") * 37) % 99901 + 100)
+            .cast("long")
+            .alias("ps_cost_cents"),
+        )
+    )
+
+
+def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (correlated scalar subquery).
+
+    Adaptation: derived partsupp; p_brand stands in for the absent
+    p_mfgr; the part filter is p_type = :t AND p_size <= :s (the
+    synthetic p_type domain has no '%BRASS'-style suffixes).  The
+    correlated MIN decorrelates the standard way: aggregate the
+    region-restricted partsupp per partkey, then join back on
+    (partkey, cost) — cost in integer cents so the equality is exact.
+    Region/nation/supplier are broadcast dimensions; the only shuffle
+    is the per-partkey MIN.
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    rs = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    mn = rs.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_SIZE_MAX)
+    )
+    return (
+        rs.join(mn, ["ps_partkey"])
+        .where(F.col("ps_cost_cents") == F.col("min_cents"))
+        .join(F.broadcast(p), rs.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_cost_cents").alias("supplycost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (group HAVING vs a global-fraction
+    scalar).
+
+    Adaptation: derived partsupp; nation literal from the synthetic
+    domain; the spec's 0.0001/SF fraction scales with SF precisely
+    because per-part shares shrink as the relation grows, so the
+    SF-free equivalent is SELF-scaling: keep parts whose value
+    exceeds Q11_AVG_MULT × the average part value.  Value is
+    availqty·cost in integer cents; the HAVING is the exact
+    cross-multiplication sum·n_parts > mult·total (no double
+    average), with the 1-row global aggregate broadcast back — the
+    same shape as Q22's above-average test.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+    ps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_availqty") * F.col("ps_cost_cents")).alias("value_cents"),
+        )
+    )
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("value_cents").cast("decimal(38,0)")).alias("sum_cents")
+    )
+    glob = per_part.agg(
+        F.sum("sum_cents").alias("total_cents"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(glob))
+        .where(
+            F.col("sum_cents") * F.col("n_parts")
+            > F.col("total_cents") * Q11_AVG_MULT
+        )
+        .select(
+            "ps_partkey",
+            (F.col("sum_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (COUNT DISTINCT after a
+    NOT IN exclusion).
+
+    Adaptation: derived partsupp; the "customer complaints" supplier
+    exclusion keys on s_acctbal < 0 (no s_comment column).  The
+    supplier NOT IN list is NULL-free by construction, so it is a
+    plain broadcast anti join; the distinct supplier count shuffles
+    once on the (brand, type, size) group key.
+    """
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_BRAND)
+        & ~F.col("p_type").startswith(Q16_TYPE_PREFIX)
+        & F.col("p_size").isin(Q16_SIZES)
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (nested IN chain over a
+    correlated half-of-shipped-quantity scalar).
+
+    Adaptation: derived partsupp; p_name LIKE 'hot %' stands in for
+    'forest%'; n_name for the absent s_address.  The correlated
+    SUM(l_quantity) decorrelates to a grouped aggregate on
+    (l_partkey, l_suppkey) joined back on both keys; quantities are
+    integral doubles so the BIGINT sum and the availqty·2 > sum
+    comparison are exact.  An empty correlation group means the spec's
+    0.5·NULL comparison is false — the inner join encodes exactly
+    that.  The candidate-supplier set is DISTINCT before the final
+    supplier/nation broadcast joins.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q20_FROM) & (F.col("l_shipdate") < Q20_TO)
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+    )
+    hot = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(hot), F.col("ps_partkey") == hot.p_partkey)
+        .join(
+            qty,
+            (F.col("ps_partkey") == qty.l_partkey)
+            & (F.col("ps_suppkey") == qty.l_suppkey),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("sq"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        cand.join(s, cand.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(F.col("s_suppkey"), "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+#: The oracle-side mirror of ``_partsupp`` — expression by expression
+#: the same integer arithmetic, so both engines derive the identical
+#: relation.  Interpolated as the leading CTE of the Q2/Q11/Q16/Q20
+#: oracles in registry.ORACLES.
+PARTSUPP_CTE = (
+    "partsupp AS (SELECT p_partkey AS ps_partkey, "
+    "(p_partkey * 13 + i * 29) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey, "
+    "(p_partkey * 17 + i * 31) % 9999 + 1 AS ps_availqty, "
+    "(p_partkey * 29 + i * 37) % 99901 + 100 AS ps_cost_cents "
+    "FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS gen(i))"
+)

@@ -62,6 +62,10 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q15": TP.tpch_q15,
     "tpch_q19": TP.tpch_q19,
     "tpch_q22": TP.tpch_q22,
+    "tpch_q02": TP.tpch_q02,
+    "tpch_q11": TP.tpch_q11,
+    "tpch_q16": TP.tpch_q16,
+    "tpch_q20": TP.tpch_q20,
     "ns_label_propagation": D.ns_label_propagation,
     "ns_random_projection": S.ns_random_projection,
     "ns_linear_probe_step": S.ns_linear_probe_step,
@@ -268,36 +272,33 @@ QUERIES: dict[str, QueryFn] = {
     "q53_ntile": R.q53_ntile,
 }
 
-#: driver-evidence rotation (round 6): the driver's CORRECTNESS
+#: driver-evidence rotation (round 7): the driver's CORRECTNESS
 #: artifact records roughly the first ~50 registry entries per round.
-#: This round leads with (a) the 16 entries that have NEVER appeared
-#: in any driver row r01-r05 (q107-q111, q72-q75, ns_bm25/entropy/
-#: pagerank/winnowing/shard_layout/dsir_select/cross_split_leakage),
-#: (b) ns_ann_lsh_bucketed, whose only driver rows predate its oracle
-#: (added r5 — needs its first hash-match row on record), then (c) the
-#: entries whose latest green row is oldest (the r1-era q01… block).
-#: Every entry stays registered — prioritization, not selection
-#: (recomputed from the union of CORRECTNESS_r0{1..5}.json).
+#: This round leads with (a) the four NEW partsupp TPC-H shapes
+#: (Q2/Q11/Q16/Q20 — need their first driver rows), then (b) the
+#: entries whose latest green row is oldest (last sampled r01-r03 per
+#: the union of CORRECTNESS_r0{1..6}.json — the r3-era q34…q62 block
+#: and the r1/r2 ns_text/ns_dedup block), oldest first.  Every entry
+#: stays registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
-    "q107_full_outer_reconcile", "q108_ewma", "q109_cusum",
-    "q110_markov_transitions", "q111_mom_growth", "ns_shard_layout",
-    "ns_dsir_select", "ns_bm25", "ns_entropy",
-    "ns_cross_split_leakage", "ns_winnowing", "q72_funnel",
-    "q74_latency_bands", "q75_path_analysis", "q73_retention_cohorts",
-    "ns_pagerank", "ns_ann_lsh_bucketed", "q01_projection",
-    "q02_filter", "q03_string_filter", "q04_count",
-    "q05_filtered_count", "q06_sort_limit", "q07_offset_page",
-    "q08_hwm_filter", "q09_rename_project", "q10_epoch_millis",
-    "q11_expression", "q12_json_serialize", "q13_group_agg",
-    "q14_having", "q15_inner_join", "q16_left_join",
-    "q17_semi_join", "q18_anti_join", "q19_multiway_join",
-    "q20_distinct", "q21_count_distinct", "q22_window_rank",
-    "q23_window_running_sum", "q24_union", "q25_except",
-    "q26_rollup", "q27_dedup", "q28_date_funcs",
-    "q29_string_funcs", "q30_case", "q31_json_extract",
-    "q32_event_agg", "q33_range_join", "q34_asof_join",
-    "q35_time_bucket", "q36_cube", "q37_grouping_sets",
-    "q39_exists_subquery",
+    "tpch_q02", "tpch_q11", "tpch_q16", "tpch_q20",
+    "q34_asof_join", "q35_time_bucket", "q36_cube",
+    "q37_grouping_sets", "q39_exists_subquery", "q40_scalar_subquery",
+    "q41_cte", "q42_pivot", "q43_unpivot", "q44_percentile",
+    "q45_stats", "q46_recursive_cte", "q47_regex_funcs",
+    "q48_null_funcs", "q49_intersect", "q50_lag_lead",
+    "q54_date_arith", "q55_range_frame", "q56_first_last",
+    "q57_array_funcs", "q58_explode", "q59_except_all",
+    "q60_not_exists", "q61_json_keys", "q62_histogram",
+    "ns_token_count", "ns_tfidf", "ns_doc_fingerprint",
+    "ns_lang_id", "ns_pii_scrub", "ns_ngram_pmi",
+    "ns_text_quality", "ns_doc_chunk", "ns_top_terms",
+    "ns_dedup_exact", "ns_dedup_fingerprint", "ns_dedup_jaccard",
+    "ns_dedup_containment", "ns_dedup_minhash_lsh",
+    "ns_dedup_clusters", "ns_dedup_simhash", "ns_neardup_embedding",
+    "ns_decontaminate", "ns_semantic_dedup", "ns_repetition_filter",
+    "ns_mixture_sample", "ns_kmeans_step", "ns_sequence_pack",
+    "ns_quality_classifier", "ns_ann_pq",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)
@@ -492,6 +493,61 @@ ORACLES: dict[str, str] = {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey "
         "AND o.o_orderdate >= '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q02": (
+        f"WITH {TP.PARTSUPP_CTE}, "
+        "rs AS (SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name "
+        "FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE r_name = '{TP.Q2_REGION}'), "
+        "mn AS (SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents "
+        "FROM rs GROUP BY 1) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, "
+        "ps_cost_cents AS supplycost_cents "
+        "FROM rs JOIN mn USING (ps_partkey) JOIN part ON ps_partkey = p_partkey "
+        f"WHERE ps_cost_cents = min_cents AND p_type = '{TP.Q2_TYPE}' "
+        f"AND p_size <= {TP.Q2_SIZE_MAX} "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+    ),
+    "tpch_q11": (
+        f"WITH {TP.PARTSUPP_CTE}, "
+        "v AS (SELECT ps_partkey, "
+        "SUM(CAST(ps_availqty * ps_cost_cents AS HUGEINT)) AS sum_cents "
+        "FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE n_name = '{TP.Q11_NATION}' GROUP BY 1), "
+        "g AS (SELECT SUM(sum_cents) AS total_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_parts FROM v) "
+        "SELECT ps_partkey, CAST(sum_cents AS DOUBLE) / 100.0 AS value "
+        f"FROM v, g WHERE sum_cents * n_parts > total_cents * {TP.Q11_AVG_MULT} "
+        "ORDER BY value DESC, ps_partkey"
+    ),
+    "tpch_q16": (
+        f"WITH {TP.PARTSUPP_CTE} "
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM partsupp JOIN part ON ps_partkey = p_partkey "
+        f"WHERE p_brand <> '{TP.Q16_BRAND}' "
+        f"AND p_type NOT LIKE '{TP.Q16_TYPE_PREFIX}%' "
+        f"AND p_size IN ({', '.join(str(s) for s in TP.Q16_SIZES)}) "
+        "AND ps_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+    "tpch_q20": (
+        f"WITH {TP.PARTSUPP_CTE}, "
+        "qty AS (SELECT l_partkey, l_suppkey, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sq FROM lineitem "
+        f"WHERE l_shipdate >= '{TP.Q20_FROM}' AND l_shipdate < '{TP.Q20_TO}' "
+        "GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT ps_suppkey FROM partsupp "
+        "JOIN part ON ps_partkey = p_partkey "
+        "JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+        f"WHERE p_name LIKE '{TP.Q20_NAME_PREFIX}%' AND ps_availqty * 2 > sq) "
+        "SELECT s_suppkey, s_name, n_name FROM cand "
+        "JOIN supplier ON ps_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey"
     ),
     "q119_ab_proportions": (
         "WITH f AS (SELECT user_id, event_type AS arm FROM "
