@@ -123,10 +123,21 @@ def map_kafka_error(exc: Exception) -> Exception:
 
 def write_kafka(df: DataFrame, cfg: KafkaSinkConfig) -> None:
     """Write to Kafka via the built-in sink (requires the
-    spark-sql-kafka package on the classpath)."""
+    spark-sql-kafka package on the classpath).
+
+    ``file://`` bootstrap servers route to the directory-backed topic
+    log (sinks/kafka_file.py) AFTER the identical frame-compile +
+    option-map path — the offline round-trip used by the live tests.
+    """
     frame = prepare_kafka_frame(df, cfg)
+    opts = kafka_writer_options(cfg)
+    if cfg.bootstrap_servers.startswith("file://"):
+        from cassandra_extractor_spark.sinks.kafka_file import write_file_transport
+
+        write_file_transport(frame, opts)
+        return
     writer = frame.write.format("kafka")
-    for k, v in kafka_writer_options(cfg).items():
+    for k, v in opts.items():
         writer = writer.option(k, v)
     try:
         writer.save()
