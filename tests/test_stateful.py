@@ -321,3 +321,96 @@ def test_stream_zscore_matches_batch(spark, tmp_path, sf_dir):
         for r in q76_rolling_zscore(spark, d).collect()
     }
     assert got == want and len(want) > 50
+
+
+def _hll_run(spark, src, ckpt, qname):
+    # foreachBatch sink: unlike `memory`, it supports checkpoint
+    # RECOVERY — the whole point of this test
+    from cassandra_extractor_spark.streaming.stateful import stream_hll_distinct
+
+    schema = "event_type STRING, user_id LONG"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    emitted = []
+
+    q = (
+        stream_hll_distinct(stream)
+        .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # latest emitted row per key = the one with the max cumulative n_seen
+    latest = {}
+    for r in emitted:
+        if r["group_key"] not in latest or r["n_seen"] > latest[r["group_key"]]["n_seen"]:
+            latest[r["group_key"]] = r
+    return latest
+
+
+def test_stream_hll_checkpoint_restart(spark, tmp_path):
+    """Streaming HLL distinct: registers are MERGEABLE state — after a
+    full stop and a checkpoint restart over late-arriving files, the
+    per-key integer register summary (n_seen, n_hit, ssum) is
+    IDENTICAL to the batch sketch over everything landed, and the
+    estimate tracks the true distinct count."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.stateful import hll_distinct_batch
+
+    src = tmp_path / "hllsrc"
+    src.mkdir()
+    schema = "event_type STRING, user_id LONG"
+
+    def land(file_no, spec):
+        rows = [
+            {"event_type": k, "user_id": v}
+            for k, vals in spec.items()
+            for v in vals
+        ]
+        (
+            spark.createDataFrame(pd.DataFrame(rows), schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "stage" / f"f{file_no}"))
+        )
+        part = next((tmp_path / "stage" / f"f{file_no}").glob("*.parquet"))
+        part.rename(src / f"data_{file_no}.parquet")
+
+    # two files -> two micro-batches (state carries across batches)
+    land(0, {"view": range(0, 400), "click": range(0, 50)})
+    land(1, {"view": range(200, 600), "click": range(25, 60)})
+    got1 = _hll_run(spark, src, tmp_path / "hllck", "hll_out1")
+    assert got1["view"]["n_seen"] == 800 and got1["click"]["n_seen"] == 85
+
+    # STOP, land a third file with overlap, RESTART from the same
+    # checkpoint: only file 3 is read, yet the summary must equal the
+    # batch sketch over ALL landed rows (register max-merge across the
+    # restart)
+    land(2, {"view": range(500, 900), "click": range(0, 100)})
+    got2 = _hll_run(spark, src, tmp_path / "hllck", "hll_out2")
+    assert got2["view"]["n_seen"] == 1200 and got2["click"]["n_seen"] == 185
+
+    batch = {
+        r["group_key"]: r
+        for r in hll_distinct_batch(
+            spark.read.schema(schema).parquet(f"{src}/*.parquet")
+        ).collect()
+    }
+    for k in ("view", "click"):
+        assert (got2[k]["n_seen"], got2[k]["n_hit"], got2[k]["ssum"]) == (
+            batch[k]["n_seen"],
+            batch[k]["n_hit"],
+            batch[k]["ssum"],
+        ), k
+        assert abs(got2[k]["hll_est"] - batch[k]["hll_est"]) < 1e-9 * max(
+            1.0, batch[k]["hll_est"]
+        )
+    # sketch accuracy: within 15% of truth at these cardinalities
+    assert abs(got2["view"]["hll_est"] - 900) / 900 < 0.15
+    assert abs(got2["click"]["hll_est"] - 100) / 100 < 0.15
