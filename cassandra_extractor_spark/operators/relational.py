@@ -632,7 +632,11 @@ def q45_stats(spark, sf_dir):
     return _t(spark, sf_dir, "orders").agg(
         F.round(F.stddev_samp("o_totalprice"), 2).alias("sd"),
         F.round(F.var_samp("o_totalprice"), 0).cast("double").alias("vr"),
-        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("cr"),
+        # + 0.0: corr is the one aggregate here whose sign comes from a
+        # cancelling co-moment sum that each engine accumulates in its
+        # own order — a ~0 correlation can round to −0.0 on one engine
+        # and +0.0 on the other (PARITY #10 / round-7 audit)
+        (F.round(F.corr("o_totalprice", "o_custkey"), 6) + F.lit(0.0)).alias("cr"),
         F.round(F.avg("o_totalprice"), 2).alias("mean"),
     )
 
@@ -878,8 +882,15 @@ def q64_regression(spark, sf_dir):
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("regr_slope(y, x)") * per_hour, 4).alias("slope_per_hour"),
-            F.round(F.expr("regr_intercept(y, x)"), 2).alias("intercept"),
+            # + 0.0 on both: slope/intercept signs come from cancelling
+            # co-moment sums accumulated in engine-specific order
+            # (PARITY #10 / round-7 audit)
+            (F.round(F.expr("regr_slope(y, x)") * per_hour, 4) + F.lit(0.0)).alias(
+                "slope_per_hour"
+            ),
+            (F.round(F.expr("regr_intercept(y, x)"), 2) + F.lit(0.0)).alias(
+                "intercept"
+            ),
             F.expr("regr_count(y, x)").cast("long").alias("n"),
         )
         .orderBy("event_type")

@@ -843,8 +843,13 @@ def ns_embedding_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim").cast("long").alias("dim"),
             F.round("lmean", 6).alias("label_mean"),
             # "delta" not "offset": OFFSET is a reserved word in the
-            # oracle dialect
-            F.round(F.col("lmean") - F.col("gmean"), 6).alias("delta"),
+            # oracle dialect.  + 0.0: lmean and gmean each come off a
+            # decimal→double cast that is engine-asymmetric in the last
+            # ulp (PARITY #9), so their DIFFERENCE can land on opposite
+            # sides of zero and round() splits −0.0/+0.0 (PARITY #10)
+            (F.round(F.col("lmean") - F.col("gmean"), 6) + F.lit(0.0)).alias(
+                "delta"
+            ),
         )
         .orderBy("label", "dim")
     )
@@ -1061,7 +1066,10 @@ def ns_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n10",
             "n01",
             "n00",
-            F.round(mi, 8).alias("mi"),
+            # + 0.0: the four signed MI terms cancel to ~0 at
+            # near-independence, and per-engine libm ulp noise can put
+            # the residual on opposite sides of zero (PARITY #10)
+            (F.round(mi, 8) + F.lit(0.0)).alias("mi"),
         )
         .orderBy(F.col("mi").desc(), F.col("dim"))
         .limit(MI_TOP)

@@ -1475,7 +1475,8 @@ NS_ORACLES["ns_embedding_centering"] = (
     "FROM pl GROUP BY dim) "
     "SELECT label, CAST(pl.dim AS BIGINT) AS dim, "
     "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS label_mean, "
-    "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - gmean, 6) AS delta "
+    "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - gmean, 6) "
+    "+ CAST(0.0 AS DOUBLE) AS delta "
     "FROM pl JOIN g ON g.dim = pl.dim ORDER BY label, dim"
 )
 
@@ -1809,7 +1810,7 @@ def _mi_sql() -> str:
         "CAST(SUM(CASE WHEN NOT s AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00 "
         "FROM ex GROUP BY dim) "
         "SELECT CAST(dim AS BIGINT) AS dim, n11, n10, n01, n00, "
-        f"round({mi}, 8) AS mi "
+        f"round({mi}, 8) + CAST(0.0 AS DOUBLE) AS mi "
         f"FROM cells ORDER BY mi DESC, dim LIMIT {MI_TOP}"
     )
 

@@ -1415,7 +1415,7 @@ ORACLES: dict[str, str] = {
     "q45_stats": (
         "SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd, "
         "ROUND(var_samp(o_totalprice), 0) AS vr, "
-        "ROUND(corr(o_totalprice, o_custkey), 6) AS cr, "
+        "ROUND(corr(o_totalprice, o_custkey), 6) + CAST(0.0 AS DOUBLE) AS cr, "
         "ROUND(AVG(o_totalprice), 2) AS mean FROM orders"
     ),
     "q47_regex_funcs": (
@@ -1506,8 +1506,9 @@ ORACLES: dict[str, str] = {
         "WITH t AS (SELECT event_type, CAST(epoch_ms(ts) AS DOUBLE) AS x, "
         "value AS y FROM events) "
         "SELECT event_type, "
-        "ROUND(regr_slope(y, x) * 3600000.0, 4) AS slope_per_hour, "
-        "ROUND(regr_intercept(y, x), 2) AS intercept, "
+        "ROUND(regr_slope(y, x) * 3600000.0, 4) + CAST(0.0 AS DOUBLE) "
+        "AS slope_per_hour, "
+        "ROUND(regr_intercept(y, x), 2) + CAST(0.0 AS DOUBLE) AS intercept, "
         "CAST(regr_count(y, x) AS BIGINT) AS n "
         "FROM t GROUP BY event_type ORDER BY event_type"
     ),

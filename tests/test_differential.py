@@ -56,6 +56,7 @@ EVENT_QUERIES = [
     "q75_path_analysis",
     "ns_sessionize",
     "ns_sample_stratified",
+    "q64_regression",
 ]
 
 #: differential depth: default examples per (query, family) are kept
@@ -81,13 +82,38 @@ def _oracle_for(name: str) -> str:
     return ORACLES.get(name) or NS_ORACLES[name]
 
 
+@st.composite
+def _mirrored_event_rows(draw):
+    """Event rows built so every (user, event_type, ts) group's value
+    sum — and every regression/covariance numerator over them — cancels
+    EXACTLY: each drawn row is emitted twice, second copy with the
+    value negated at the SAME timestamp.  Σ(x−x̄)·y over such pairs is
+    identically zero, so q64's slope, q104's autocorr numerator and
+    q108/q109-style folded sums all land on the round(±ε) signed-zero
+    knife edge (PARITY #10) by construction — the events/orders
+    counterpart of `_cancelling_vec` (round-6 verdict item 7)."""
+    base = draw(st.lists(_row, min_size=1, max_size=20))
+    mirrored = [
+        (t, u, e, None if v is None else -v) for (t, u, e, v) in base
+    ]
+    return base + mirrored
+
+
+#: mix organic row lists with exactly-cancelling ones (~1 in 3)
+_adv_event_rows = st.one_of(
+    st.lists(_row, min_size=0, max_size=40),
+    st.lists(_row, min_size=0, max_size=40),
+    _mirrored_event_rows(),
+)
+
+
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 @settings(
     max_examples=_EXAMPLES or 6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=st.lists(_row, min_size=0, max_size=40))
+@given(rows=_adv_event_rows)
 def test_event_query_differential(spark, tmp_path_factory, name, rows):
     # Documented engine divergence (PARITY.md): Spark's ROLLUP on an
     # EMPTY relation emits 0 rows; DuckDB (per the SQL standard's
@@ -189,16 +215,48 @@ _li_row = st.tuples(
 )
 
 
+@st.composite
+def _mirrored_order_rows(draw):
+    """Orders whose per-(custkey, status, priority, date) totalprice
+    sums cancel exactly — every drawn row re-emitted with negated
+    cents — pushing share-of-total, MoM growth, Gini and chi²-style
+    rounded rationals onto the signed-zero knife edge by construction."""
+    base = draw(st.lists(_order_row, min_size=1, max_size=20))
+    return base + [(ck, s, -c, p, d) for (ck, s, c, p, d) in base]
+
+
+@st.composite
+def _mirrored_li_rows(draw):
+    """Lineitems re-emitted with negated extendedprice at identical
+    quantity/discount/tax: price·(1−disc)·(1+tax) products cancel
+    pairwise, so every revenue decimal sum in the TPC-H shapes is
+    exactly zero."""
+    base = draw(st.lists(_li_row, min_size=1, max_size=20))
+    return base + [
+        (ok, pk, ln, -ep, rf, ls, q, di, tx, sd)
+        for (ok, pk, ln, ep, rf, ls, q, di, tx, sd) in base
+    ]
+
+
+_adv_order_rows = st.one_of(
+    st.lists(_order_row, min_size=1, max_size=40),
+    st.lists(_order_row, min_size=1, max_size=40),
+    _mirrored_order_rows(),
+)
+_adv_li_rows = st.one_of(
+    st.lists(_li_row, min_size=0, max_size=40),
+    st.lists(_li_row, min_size=0, max_size=40),
+    _mirrored_li_rows(),
+)
+
+
 @pytest.mark.parametrize("name", ORDER_QUERIES)
 @settings(
     max_examples=_EXAMPLES or 6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(
-    orows=st.lists(_order_row, min_size=1, max_size=40),
-    lrows=st.lists(_li_row, min_size=0, max_size=40),
-)
+@given(orows=_adv_order_rows, lrows=_adv_li_rows)
 def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
     # documented empty-relation ROLLUP divergence (see PARITY.md and
     # the event-family guard above)
