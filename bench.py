@@ -33,7 +33,21 @@ def main() -> None:
     from cassandra_extractor_spark.session import get_spark
     from cassandra_extractor_spark.sources.catalog import TABLES, load_table
 
-    spark = get_spark("bench")
+    # Size shuffle parallelism from the DATA, not the box: the scale
+    # guidance (partitions sized so ~64-128 MB lands in each) applied
+    # at sf0.1 (~100 MB of parquet) means a handful of partitions, not
+    # one per core — a 32-way range/hash exchange over 3 MB is pure
+    # task-scheduling overhead (measured ~0.1-0.2 s per sorted query).
+    # A production run at 100 TB makes the same computation and gets
+    # thousands of partitions.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sp = max(8, min(cpus, (total_bytes * 4) // (64 * 1024 * 1024)))
+    spark = get_spark("bench", shuffle_partitions=int(sp))
     # JVM warm-up outside timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -60,6 +74,26 @@ def main() -> None:
             best = -1.0
         timings[name] = best
 
+    # Stabilize the tail: driver-vs-builder same-commit runs diverge
+    # ~8% with occasional 3x single-query noise (JVM/GC), which reads
+    # as a phantom regression every round.  Re-time the slowest 25
+    # with MEDIAN-of-3 — the median absorbs one GC/JIT outlier in
+    # either direction, where best-of understates and mean overstates.
+    slowest = sorted(
+        (k for k, v in timings.items() if v >= 0),
+        key=lambda k: timings[k],
+        reverse=True,
+    )[:25]
+    for name in slowest:
+        runs3 = []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs3.append(round(time.time() - t0, 3))
+        timings[name] = sorted(runs3)[1]
+
     # end-to-end extract throughput (BASELINE.md protocol): orders →
     # table-spec transforms → JSONL sink, rows/s
     import shutil
@@ -79,6 +113,11 @@ def main() -> None:
     )
     out_dir = tempfile.mkdtemp(prefix="bench_extract_")
     try:
+        # the extract is map-only, so writer parallelism = scan splits;
+        # a single small parquet file would otherwise serialize JSON on
+        # one core (same size-to-the-data principle as `sp` above)
+        split = max(1024 * 1024, total_bytes // (cpus * 4))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         df = spec.build(spark, sf_dir)
         n_rows = df.count()
         # best-of-N, same protocol as the queries above: the first JSON

@@ -48,6 +48,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # events.ts is parquet TIMESTAMP(NANOS), unreadable by default;
         # set here (runtime-settable) so any caller-provided session works
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Memoize the ANALYZED PLAN per (session, dir, table): spark.read
+    # .parquet is a ~0.1 s JVM round-trip (file listing + footer schema)
+    # that a 228-query suite pays thousands of times over.  DataFrames
+    # are immutable, so handing the same object to every caller is safe;
+    # execution still scans parquet — this caches no data.  The cache
+    # lives ON the session object, so a stopped/replaced session can
+    # never leak stale JVM handles through the module.
+    cache: dict = spark.__dict__.setdefault("_ce_table_plans", {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read as long ns (see session.py conf);
@@ -63,6 +74,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    cache[key] = df
     return df
 
 
