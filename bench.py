@@ -48,6 +48,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sp = max(8, min(cpus, (total_bytes * 4) // (64 * 1024 * 1024)))
     spark = get_spark("bench", shuffle_partitions=int(sp))
+    # AQE's advisory post-shuffle size follows the same rule: at 100 TB
+    # the 64 MB default is right, but at sf0.1 it coalesces every
+    # exchange to ONE partition and serializes the window-heavy stages
+    # (q116 went 2.5 s → 5.2 s).  bytes/(2·cores) keeps heavy
+    # intermediates ~core-parallel while tiny exchanges still collapse.
+    advisory = max(512 * 1024, total_bytes // (cpus * 2))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory))
     # JVM warm-up outside timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -87,6 +94,10 @@ def main() -> None:
     for name in slowest:
         runs3 = []
         for _ in range(3):
+            # GC barrier: without it the first sample can carry several
+            # seconds of accumulated heap debt from the main pass
+            # (observed 10.9 s vs a 3.9 s steady state)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -479,27 +479,39 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated MIN decorrelates the standard way: aggregate the
     region-restricted partsupp per partkey, then join back on
     (partkey, cost) — cost in integer cents so the equality is exact.
-    Region/nation/supplier are broadcast dimensions; the only shuffle
-    is the per-partkey MIN.
+    The part filter is applied BEFORE the MIN (the correlated
+    subquery only ever runs for filtered partkeys), so at 100 TB the
+    aggregate sees |filtered parts|·4 rows, not the whole regional
+    partsupp.  Region/nation/supplier/part are broadcast dimensions;
+    the only shuffle is the per-partkey MIN.
     """
     ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
-    rs = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .select("ps_partkey", "ps_suppkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
-    )
-    mn = rs.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_SIZE_MAX)
     )
+    rs = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            "ps_cost_cents",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+        )
+    )
+    mn = rs.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
     return (
         rs.join(mn, ["ps_partkey"])
         .where(F.col("ps_cost_cents") == F.col("min_cents"))
-        .join(F.broadcast(p), rs.ps_partkey == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",

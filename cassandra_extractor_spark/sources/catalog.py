@@ -52,7 +52,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # .parquet is a ~0.1 s JVM round-trip (file listing + footer schema)
     # that a 228-query suite pays thousands of times over.  DataFrames
     # are immutable, so handing the same object to every caller is safe;
-    # execution still scans parquet — this caches no data.  The cache
+    # execution still scans parquet — this caches no data.  It DOES pin
+    # the file listing, which is correct here because catalog tables
+    # are immutable snapshot dirs (mutable paths go through
+    # read_source/readStream, never this entry point).  The cache
     # lives ON the session object, so a stopped/replaced session can
     # never leak stale JVM handles through the module.
     cache: dict = spark.__dict__.setdefault("_ce_table_plans", {})
