@@ -655,3 +655,297 @@ PARTSUPP_CTE = (
     "(p_partkey * 29 + i * 37) % 99901 + 100 AS ps_cost_cents "
     "FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS gen(i))"
 )
+
+
+# --- round 7 (cont.): the remaining six — full TPC-H 22 --------------
+#
+# Adaptations (same policy as the module header — only where the
+# synthetic schema lacks a column, each noted on the query):
+# - Q13's o_comment NOT LIKE '%special%requests%' → an o_orderpriority
+#   exclusion (the only free-text-ish orders column here).
+# - Q17's p_container equality → p_brand alone carries the
+#   part-selection role (no container column).
+# - Q21's l_receiptdate > l_commitdate "late" predicate → shipped
+#   more than Q21_LATE_DAYS after the order date (the only two dates
+#   the schema has); exact timestamp+interval arithmetic on both
+#   engines.
+# - Nation literals come from the supplier-bearing-at-every-SF set
+#   {3,8,12,13,15,18,19,20,21,24} (see Q11_NATION).
+
+Q7_NATION_A, Q7_NATION_B = "NATION_8", "NATION_19"
+Q7_FROM, Q7_TO = "1995-01-01", "1997-01-01"
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_15"
+Q8_TYPE = "ECONOMY"
+Q8_FROM, Q8_TO = "1995-01-01", "1997-01-01"
+Q9_NAME_SUBSTR = "red"
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+Q17_BRAND = "Brand#13"
+Q21_NATION = "NATION_19"
+Q21_LATE_DAYS = 90
+
+
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between two nations by
+    direction and ship year.
+
+    Plan shape: both nation frames are 2-row broadcasts that prune
+    supplier/customer before the fact joins; the pair-direction
+    predicate ((A,B) or (B,A)) rides the last join, so at 100 TB the
+    only big shuffles are lineitem⋈orders and orders⋈customer on
+    their natural keys.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q7_FROM) & (F.col("l_shipdate") < Q7_TO)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's share of regional
+    revenue for a part type, by order year.
+
+    The share is an exact rational of two DECIMAL(18,6) sums, rounded
+    in integer 1e-6 units (``divr_sql``) — the Q14 pattern — never
+    through round(double).
+    """
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= Q8_FROM) & (F.col("o_orderdate") < Q8_TO)
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat = F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(nat).alias("ns"), F.sum(rev).alias("ts"))
+        .withColumn("nsm", (F.col("ns") * F.lit(1_000_000)).cast("decimal(38,0)"))
+        .withColumn(
+            "tsm",
+            F.when(F.col("ts") != 0, F.col("ts") * F.lit(1_000_000))
+            .otherwise(F.lit(1))
+            .cast("decimal(38,0)"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.when(
+            F.col("ts") != 0,
+            F.expr(divr_sql("nsm * 1000000", "tsm")).cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit: revenue minus supply cost by
+    supplier nation and order year, for parts whose name contains a
+    color token.
+
+    Supply cost comes from the derived partsupp in INTEGER CENTS and
+    quantities are integral doubles, so the cost side of the profit
+    is an exact integer; the revenue side is the DECIMAL(18,6) money
+    sum.  Profit = revenue − cost is computed in integer micros and
+    rounded to cents with ``divr_sql`` (profit can be negative —
+    divr rounds half away from zero on both engines).
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{Q9_NAME_SUBSTR}%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost_cents = (
+        F.col("ps_cost_cents") * F.col("l_quantity").cast("long")
+    ).cast("decimal(38,0)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("sr"), F.sum(cost_cents).alias("sc"))
+        .withColumn(
+            "pm",
+            (F.col("sr") * F.lit(1_000_000)).cast("decimal(38,0)")
+            - F.col("sc") * F.lit(10_000),
+        )
+    )
+    return agg.select(
+        "nation",
+        "o_year",
+        (F.expr(divr_sql("pm", "10000")).cast("double") / F.lit(100.0)).alias(
+            "sum_profit"
+        ),
+    ).orderBy("nation", F.desc("o_year"))
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (left join with
+    the order filter in the JOIN condition, then a count-of-counts).
+
+    Adaptation: the o_comment NOT LIKE exclusion becomes an
+    o_orderpriority exclusion.  Filtering orders BEFORE the left
+    join is exactly the spec's ON-clause placement — customers with
+    no surviving orders stay, with c_count 0.  Pure integer outputs.
+    """
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    )
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: average yearly revenue
+    lost if small orders (quantity < 20% of the part's average) were
+    not taken.
+
+    Adaptation: p_brand alone selects the parts (no p_container).
+    The correlated 0.2·AVG(l_quantity) decorrelates to a per-part
+    (sum, count) aggregate joined back; with integral quantities the
+    test qty < sum/(5·cnt) is the exact integer cross-multiplication
+    qty·5·cnt < sum.  The /7.0 output is rounded in integer units.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    small = li.join(per_part, li.l_partkey == F.col("pk")).where(
+        F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sq")
+    )
+    agg = small.agg(F.sum(_money(F.col("l_extendedprice"))).alias("sp")).withColumn(
+        "spm", (F.col("sp") * F.lit(1_000_000)).cast("decimal(38,0)")
+    )
+    return agg.select(
+        F.when(
+            F.col("sp").isNotNull(),
+            F.expr(divr_sql("spm", "70000")).cast("double") / F.lit(100.0),
+        ).alias("avg_yearly")
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: late lineitems in
+    multi-supplier finished orders where ONLY this supplier was late.
+
+    Adaptation: "late" is l_shipdate > o_orderdate + Q21_LATE_DAYS
+    (no receipt/commit dates).  The EXISTS / NOT-EXISTS pair
+    decorrelates to one per-order aggregate — distinct suppliers ≥ 2
+    (some other supplier exists) and distinct LATE suppliers = 1
+    (l1's own supplier being late, nobody else) — so the plan is a
+    single extra shuffle on l_orderkey instead of two correlated
+    probes; the oracle keeps the spec's EXISTS spelling, pinning the
+    decorrelation's equivalence.
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .withColumn(
+            "late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY"),
+        )
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
+    return (
+        lo.where(F.col("late"))
+        .join(
+            stats.where((F.col("nsupp") >= 2) & (F.col("nlate") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -66,6 +66,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q11": TP.tpch_q11,
     "tpch_q16": TP.tpch_q16,
     "tpch_q20": TP.tpch_q20,
+    "tpch_q07": TP.tpch_q07,
+    "tpch_q08": TP.tpch_q08,
+    "tpch_q09": TP.tpch_q09,
+    "tpch_q13": TP.tpch_q13,
+    "tpch_q17": TP.tpch_q17,
+    "tpch_q21": TP.tpch_q21,
     "ns_label_propagation": D.ns_label_propagation,
     "ns_random_projection": S.ns_random_projection,
     "ns_linear_probe_step": S.ns_linear_probe_step,
@@ -274,13 +280,16 @@ QUERIES: dict[str, QueryFn] = {
 
 #: driver-evidence rotation (round 7): the driver's CORRECTNESS
 #: artifact records roughly the first ~50 registry entries per round.
-#: This round leads with (a) the four NEW partsupp TPC-H shapes
-#: (Q2/Q11/Q16/Q20 — need their first driver rows), then (b) the
+#: This round leads with (a) the ten NEW TPC-H shapes (Q7/Q8/Q9/Q13/
+#: Q17/Q21 completing all 22, then the partsupp quartet Q2/Q11/Q16/
+#: Q20 — all need their first driver rows), then (b) the
 #: entries whose latest green row is oldest (last sampled r01-r03 per
 #: the union of CORRECTNESS_r0{1..6}.json — the r3-era q34…q62 block
 #: and the r1/r2 ns_text/ns_dedup block), oldest first.  Every entry
 #: stays registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
+    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q13",
+    "tpch_q17", "tpch_q21",
     "tpch_q02", "tpch_q11", "tpch_q16", "tpch_q20",
     "q34_asof_join", "q35_time_bucket", "q36_cube",
     "q37_grouping_sets", "q39_exists_subquery", "q40_scalar_subquery",
@@ -548,6 +557,105 @@ ORACLES: dict[str, str] = {
         "SELECT s_suppkey, s_name, n_name FROM cand "
         "JOIN supplier ON ps_suppkey = s_suppkey "
         "JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey"
+    ),
+    "tpch_q07": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+        f"WHERE l_shipdate >= '{TP.Q7_FROM}' AND l_shipdate < '{TP.Q7_TO}' "
+        f"AND ((n1.n_name = '{TP.Q7_NATION_A}' AND n2.n_name = '{TP.Q7_NATION_B}') "
+        f"OR (n1.n_name = '{TP.Q7_NATION_B}' AND n2.n_name = '{TP.Q7_NATION_A}')) "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    "tpch_q08": (
+        "WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        f"SUM(CASE WHEN n1.n_name = '{TP.Q8_NATION}' "
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS ns, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS ts "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+        "JOIN region r ON n2.n_regionkey = r.r_regionkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        f"WHERE p_type = '{TP.Q8_TYPE}' AND r_name = '{TP.Q8_REGION}' "
+        f"AND o_orderdate >= '{TP.Q8_FROM}' AND o_orderdate < '{TP.Q8_TO}' "
+        "GROUP BY 1), "
+        "m AS (SELECT o_year, ts, CAST(ns * 1000000 AS HUGEINT) AS nsm, "
+        "CASE WHEN ts <> 0 THEN CAST(ts * 1000000 AS HUGEINT) "
+        "ELSE CAST(1 AS HUGEINT) END AS tsm FROM a) "
+        "SELECT o_year, CASE WHEN ts <> 0 THEN "
+        f"CAST({TP.divr_sql('nsm * 1000000', 'tsm', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) END AS mkt_share FROM m ORDER BY o_year"
+    ),
+    "tpch_q09": (
+        f"WITH {TP.PARTSUPP_CTE}, "
+        "a AS (SELECT n_name AS nation, "
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sr, "
+        "SUM(CAST(ps_cost_cents * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sc "
+        "FROM lineitem l "
+        "JOIN partsupp ON l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey "
+        "JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE p_name LIKE '%{TP.Q9_NAME_SUBSTR}%' GROUP BY 1, 2), "
+        "m AS (SELECT nation, o_year, "
+        "CAST(sr * 1000000 AS HUGEINT) - sc * 10000 AS pm FROM a) "
+        "SELECT nation, o_year, "
+        f"CAST({TP.divr_sql('pm', '10000', '//')} AS DOUBLE) "
+        "/ CAST(100.0 AS DOUBLE) AS sum_profit "
+        "FROM m ORDER BY nation, o_year DESC"
+    ),
+    "tpch_q13": (
+        "WITH pc AS (SELECT c.c_custkey, "
+        "CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        f"AND o_orderpriority <> '{TP.Q13_EXCLUDED_PRIORITY}' "
+        "GROUP BY 1) "
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+        "FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+    ),
+    "tpch_q17": (
+        "WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE p_brand = '{TP.Q17_BRAND}'), "
+        "pp AS (SELECT l_partkey AS pk, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sq, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1), "
+        "a AS (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sp "
+        "FROM li JOIN pp ON l_partkey = pk "
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq), "
+        "m AS (SELECT sp, CAST(sp * 1000000 AS HUGEINT) AS spm FROM a) "
+        "SELECT CASE WHEN sp IS NOT NULL THEN "
+        f"CAST({TP.divr_sql('spm', '70000', '//')} AS DOUBLE) "
+        "/ CAST(100.0 AS DOUBLE) END AS avg_yearly FROM m"
+    ),
+    "tpch_q21": (
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+        "FROM supplier, lineitem l1, orders o, nation "
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+        "AND o_orderstatus = 'F' "
+        f"AND l1.l_shipdate > o_orderdate + INTERVAL {TP.Q21_LATE_DAYS} DAY "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey "
+        f"AND l3.l_shipdate > o_orderdate + INTERVAL {TP.Q21_LATE_DAYS} DAY) "
+        "AND s_nationkey = n_nationkey "
+        f"AND n_name = '{TP.Q21_NATION}' "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
     ),
     "q119_ab_proportions": (
         "WITH f AS (SELECT user_id, event_type AS arm FROM "
