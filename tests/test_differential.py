@@ -185,6 +185,18 @@ ORDER_QUERIES = [
     "tpch_q18",
     "tpch_q12",
     "tpch_q22",
+    # round 7 additions from the six completing TPC-H 22 — mirrored
+    # lineitems push Q9's profit to exactly −cost (negative divr
+    # rounding) and Q17's money sum to exactly 0; dangling FKs
+    # exercise Q13's ON-clause left join and Q21's per-order EXISTS
+    # decorrelation.  Q7/Q8 are omitted: their 1995-96 date windows
+    # never intersect the fixture's 1997-98 domain (q107/q06 boundary
+    # assumptions), so they'd be vacuously empty here — their
+    # adversarial coverage is the 3-SF oracle gate instead.
+    "tpch_q09",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q21",
     "q107_full_outer_reconcile",
     "q111_mom_growth",
     "q112_not_in_nulls",
@@ -212,6 +224,7 @@ _li_row = st.tuples(
     st.integers(min_value=0, max_value=10),  # discount (%, /100)
     st.integers(min_value=0, max_value=8),  # tax (%, /100)
     st.integers(min_value=0, max_value=27),  # shipdate day offset
+    st.integers(min_value=0, max_value=5),  # suppkey (matches dim)
 )
 
 
@@ -233,8 +246,8 @@ def _mirrored_li_rows(draw):
     exactly zero."""
     base = draw(st.lists(_li_row, min_size=1, max_size=20))
     return base + [
-        (ok, pk, ln, -ep, rf, ls, q, di, tx, sd)
-        for (ok, pk, ln, ep, rf, ls, q, di, tx, sd) in base
+        (ok, pk, ln, -ep, rf, ls, q, di, tx, sd, sk)
+        for (ok, pk, ln, ep, rf, ls, q, di, tx, sd, sk) in base
     ]
 
 
@@ -270,14 +283,17 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
             "o_totalprice": pd.Series([r[2] / 100.0 for r in orows], dtype="float64"),
             # span the 1997/1998 snapshot boundary (q107) and two
             # months per year (q111 lag; q105 still sees 28 distinct
-            # dates for 2-D dominance variety)
+            # dates for 2-D dominance variety).  timestamp[us], the
+            # real testdata physical type — the TPC-H year()/interval
+            # arithmetic (q07/q08/q09/q21) needs a real timestamp.
             "o_orderdate": pd.Series(
-                [
-                    f"{1997 + (r[4] % 2)}-{r[4] // 14 + 1:02d}-{r[4] % 14 + 1:02d}"
-                    for r in orows
-                ],
-                dtype="object",
-            ),
+                pd.to_datetime(
+                    [
+                        f"{1997 + (r[4] % 2)}-{r[4] // 14 + 1:02d}-{r[4] % 14 + 1:02d}"
+                        for r in orows
+                    ]
+                )
+            ).astype("datetime64[us]"),
             "o_orderpriority": pd.Series([r[3] for r in orows], dtype="object"),
         }
     ).to_parquet(d / "orders.parquet", index=False)
@@ -324,10 +340,54 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
                     ],
                     type=pa.timestamp("us"),
                 ),
+                "l_suppkey": pa.array([r[10] for r in lrows], type=pa.int64()),
             }
         ),
         d / "lineitem.parquet",
     )
+    # fixed dimensions for the TPC-H shapes that join beyond
+    # orders/customer/lineitem (q07/q08/q09/q13/q17/q21): part names
+    # include the Q9 color token, brands include Q17's, nation names
+    # cover Q7's pair, Q8's market nation and Q21's filter, supplier
+    # balances include negatives (the Q16-style exclusion class)
+    _names = ["red widget", "blue bolt", "hot gear", "cold ring", "red rod"]
+    _brands = ["Brand#13", "Brand#14", "Brand#15"]
+    _types = ["ECONOMY", "LARGE", "MEDIUM"]
+    pd.DataFrame(
+        {
+            "p_partkey": pd.Series(range(21), dtype="int64"),
+            "p_name": pd.Series([_names[i % 5] for i in range(21)], dtype="object"),
+            "p_brand": pd.Series([_brands[i % 3] for i in range(21)], dtype="object"),
+            "p_type": pd.Series([_types[i % 3] for i in range(21)], dtype="object"),
+            "p_size": pd.Series([(i * 7) % 50 + 1 for i in range(21)], dtype="int32"),
+            "p_retailprice": pd.Series(
+                [100.0 + i for i in range(21)], dtype="float64"
+            ),
+        }
+    ).to_parquet(d / "part.parquet", index=False)
+    pd.DataFrame(
+        {
+            "s_suppkey": pd.Series(range(6), dtype="int64"),
+            "s_name": pd.Series([f"Supplier#{i}" for i in range(6)], dtype="object"),
+            "s_nationkey": pd.Series([i % 3 for i in range(6)], dtype="int32"),
+            "s_acctbal": pd.Series([(i - 2) * 50.0 for i in range(6)], dtype="float64"),
+        }
+    ).to_parquet(d / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {
+            "n_nationkey": pd.Series(range(3), dtype="int32"),
+            "n_name": pd.Series(
+                ["NATION_8", "NATION_19", "NATION_15"], dtype="object"
+            ),
+            "n_regionkey": pd.Series([0, 1, 0], dtype="int32"),
+        }
+    ).to_parquet(d / "nation.parquet", index=False)
+    pd.DataFrame(
+        {
+            "r_regionkey": pd.Series(range(2), dtype="int32"),
+            "r_name": pd.Series(["AMERICA", "ASIA"], dtype="object"),
+        }
+    ).to_parquet(d / "region.parquet", index=False)
 
     sdf = QUERIES[name](spark, str(d)).toPandas()
     s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
@@ -336,6 +396,10 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d / 'orders.parquet'}'")
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{d / 'lineitem.parquet'}'")
     con.execute(f"CREATE VIEW customer AS SELECT * FROM '{d / 'customer.parquet'}'")
+    for dim in ("part", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {dim} AS SELECT * FROM '{d / (dim + '.parquet')}'"
+        )
     odf = con.sql(_oracle_for(name)).fetchdf()
     o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
 
