@@ -1398,7 +1398,13 @@ def q76_rolling_zscore(spark, sf_dir):
             "n_win",
             "s_win",
             "ss_win",
-            (num > den).alias("is_outlier"),
+            # NULL-proof: a window of all-NULL values yields NULL sums
+            # and a NULL comparison, which the two engines RENDER
+            # differently through pandas (Spark object-None vs DuckDB
+            # NaN — found by the round-7 cancelling-row differential
+            # generator).  "No data to flag" is not an outlier: pin
+            # FALSE on both engines.
+            F.coalesce(num > den, F.lit(False)).alias("is_outlier"),
         )
         .where(F.col("n_win") >= 10)
         .orderBy("event_id")

@@ -1259,8 +1259,8 @@ ORACLES: dict[str, str] = {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
         "SELECT event_id, user_id, n_win, s_win, ss_win, "
-        "(n_win * x - s_win) * (n_win * x - s_win) > "
-        "4 * (n_win * ss_win - s_win * s_win) AS is_outlier "
+        "COALESCE((n_win * x - s_win) * (n_win * x - s_win) > "
+        "4 * (n_win * ss_win - s_win * s_win), FALSE) AS is_outlier "
         "FROM s WHERE n_win >= 10 ORDER BY event_id"
     ),
     "q77_zorder_key": (
