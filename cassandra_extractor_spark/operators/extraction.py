@@ -586,3 +586,73 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ASSOC_TOP)
         .orderBy("rank")
     )
+
+
+PREF_GAP_MILLI = 50  #: minimum chosen-rejected score gap (milli-units)
+_PREF_ENC = 1_000_000_000_000  #: doc_id encoding base (doc_id < 10^12)
+
+
+def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model / DPO training data:
+    within each (lang, source) slice, pair the highest-scoring
+    document (*chosen*) with the lowest-scoring one (*rejected*),
+    keeping only slices whose quality gap clears ``PREF_GAP_MILLI`` —
+    the standard "same distribution, different quality" construction
+    for preference datasets.
+
+    The score is a pure-integer heuristic (both terms map-side
+    computable):
+    ``(1000·distinct_tokens) div n_tokens + (1000·alpha_tokens) div
+    n_tokens`` — vocabulary diversity plus alphabetic cleanliness,
+    each in milli-units, engine-exact by integer division.
+
+    100 TB shape: ONE map-side-combined groupBy — argmax/argmin ride
+    inside ``max``/``min`` of an order-preserving integer encoding
+    ``score·10^12 ± doc_id`` (associative, so partial aggregation
+    combines freely; no window, no sort, no join).  Ties break to the
+    smallest doc_id on both sides by construction of the encoding.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: t.rlike("^[a-z]+$"))
+        ).cast("long").alias("n_alpha"),
+    ).where(F.col("n_tok") > 0)
+    score = F.expr("(1000 * n_distinct) div n_tok + (1000 * n_alpha) div n_tok")
+    enc = feats.select(
+        "lang",
+        "source",
+        # max picks max score, then (ENC-1-doc_id) max ⇒ MIN doc_id;
+        # min picks min score, then doc_id min ⇒ MIN doc_id
+        (score * _PREF_ENC + (F.lit(_PREF_ENC - 1) - F.col("doc_id"))).alias(
+            "best_key"
+        ),
+        (score * _PREF_ENC + F.col("doc_id")).alias("worst_key"),
+    )
+    agg = enc.groupBy("lang", "source").agg(
+        F.max("best_key").alias("bk"), F.min("worst_key").alias("wk")
+    )
+    chosen_score = F.expr("bk div " + str(_PREF_ENC))
+    rejected_score = F.expr("wk div " + str(_PREF_ENC))
+    return (
+        agg.select(
+            "lang",
+            "source",
+            (F.lit(_PREF_ENC - 1) - F.expr(f"bk % {_PREF_ENC}")).alias("chosen_id"),
+            F.expr(f"wk % {_PREF_ENC}").alias("rejected_id"),
+            chosen_score.alias("chosen_score"),
+            rejected_score.alias("rejected_score"),
+            (chosen_score - rejected_score).alias("gap"),
+        )
+        .where(F.col("gap") >= PREF_GAP_MILLI)
+        .orderBy("lang", "source")
+    )

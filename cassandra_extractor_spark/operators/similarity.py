@@ -1074,3 +1074,90 @@ def ns_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mi").desc(), F.col("dim"))
         .limit(MI_TOP)
     )
+
+
+RRF_K = 60  #: standard reciprocal-rank-fusion dampening (Cormack 2009)
+RRF_DEPTH = 50  #: per-system candidate depth
+RRF_TOPN = 20  #: fused results returned
+
+
+def ns_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (``ns_bm25``, query = its fixed term set) and the dense
+    cosine ranking (query vector = embedding ``vec_id`` 0) — the
+    standard two-tower RAG retrieval stack, fused with
+    ``score = Σ 1/(k + rank)`` (Cormack, Clarke & Buettcher 2009).
+
+    Engine-exact: both input rankings order by an already
+    hash-verified rounded score with a doc_id tiebreak, and the fused
+    score is the INTEGER ``floor(10^6 / (k + rank))`` sum — no float
+    arithmetic downstream of the per-system scores, so the fusion can
+    never introduce a cross-engine divergence of its own.
+
+    100 TB shape: each system reduces to its global top-``RRF_DEPTH``
+    via orderBy+limit (TakeOrdered — a per-partition heap then a
+    driver merge of ``partitions × depth`` rows, NO global sort); the
+    row_number windows and the full-outer fusion join then run over
+    two ≤ depth-row frames (the unpartitioned windows are bounded by
+    construction).  The corpus is scanned once per system.
+    """
+    from cassandra_extractor_spark.operators.text import ns_bm25
+
+    lex50 = (
+        ns_bm25(spark, sf_dir)
+        .where(F.col("doc_id") >= N_QUERIES)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    wl = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = lex50.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    e = _load_embeddings(spark, sf_dir).withColumn(
+        "nrm", norm(F.col("emb"))
+    ).where(F.col("nrm") > 0)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sem50 = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    ws = W.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    sem = sem50.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+
+    def contrib(rank_col: str) -> Column:
+        return F.coalesce(
+            F.floor(F.lit(1_000_000) / (F.lit(RRF_K) + F.col(rank_col))),
+            F.lit(0),
+        ).cast("long")
+
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+            (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_micros"),
+        )
+        .orderBy(F.col("rrf_micros").desc(), F.col("doc_id"))
+        .limit(RRF_TOPN)
+    )

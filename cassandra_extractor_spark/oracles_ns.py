@@ -1943,3 +1943,117 @@ def _zipf_sql() -> str:
 
 
 NS_ORACLES["ns_zipf_fit"] = _zipf_sql()
+
+
+def _hybrid_rrf_sql() -> str:
+    """Mirror of ``ns_hybrid_rrf``: the two per-system rankings reuse
+    the already-verified bm25 / cosine spellings; the fusion itself is
+    pure integer (``//`` floor division), so it cannot add a
+    divergence of its own."""
+    from cassandra_extractor_spark.operators.similarity import (
+        RRF_DEPTH,
+        RRF_K,
+        RRF_TOPN,
+    )
+
+    return (
+        f"WITH bm AS ({NS_ORACLES['ns_bm25']}), "
+        f"lex50 AS (SELECT doc_id, bm25 FROM bm WHERE doc_id >= {N_QUERIES} "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}), "
+        "lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank FROM lex50), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0 "
+        f"AND {_dot_sql('emb', 'emb')} > 0), "
+        f"c AS (SELECT vec_id AS doc_id, emb AS n_emb FROM e "
+        f"WHERE vec_id >= {N_QUERIES} AND {_dot_sql('emb', 'emb')} > 0), "
+        "sem50 AS (SELECT doc_id, "
+        f"round({_cos_sql('q_emb', 'n_emb')}, 6) AS cos FROM c, q "
+        f"ORDER BY cos DESC, doc_id LIMIT {RRF_DEPTH}), "
+        "sem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank FROM sem50), "
+        "fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, "
+        "lex_rank, sem_rank FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id) "
+        "SELECT doc_id, CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank, "
+        "CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank, "
+        f"CAST(COALESCE(1000000 // ({RRF_K} + lex_rank), 0) "
+        f"+ COALESCE(1000000 // ({RRF_K} + sem_rank), 0) AS BIGINT) AS rrf_micros "
+        f"FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT {RRF_TOPN}"
+    )
+
+
+NS_ORACLES["ns_hybrid_rrf"] = _hybrid_rrf_sql()
+
+
+def _preference_pairs_sql() -> str:
+    """Mirror of ``ns_preference_pairs``: the same order-preserving
+    integer encoding (``score·10^12 ± doc_id``) under plain
+    ``max``/``min`` — argmax semantics without relying on either
+    engine's arg_max tie rules."""
+    from cassandra_extractor_spark.operators.extraction import (
+        _PREF_ENC,
+        PREF_GAP_MILLI,
+    )
+
+    enc = _PREF_ENC
+    score = "((1000 * n_distinct) // n_tok + (1000 * n_alpha) // n_tok)"
+    return (
+        f"WITH d AS (SELECT doc_id, lang, source, {TOKS} AS toks FROM documents), "
+        "feats AS (SELECT doc_id, lang, source, "
+        "CAST(len(toks) AS BIGINT) AS n_tok, "
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
+        "CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) "
+        "AS BIGINT) AS n_alpha FROM d), "
+        "f2 AS (SELECT * FROM feats WHERE n_tok > 0), "
+        f"enc AS (SELECT lang, source, "
+        f"{score} * {enc} + ({enc - 1} - doc_id) AS best_key, "
+        f"{score} * {enc} + doc_id AS worst_key FROM f2), "
+        "agg AS (SELECT lang, source, max(best_key) AS bk, "
+        "min(worst_key) AS wk FROM enc GROUP BY lang, source) "
+        f"SELECT lang, source, "
+        f"CAST({enc - 1} - (bk % {enc}) AS BIGINT) AS chosen_id, "
+        f"CAST(wk % {enc} AS BIGINT) AS rejected_id, "
+        f"CAST(bk // {enc} AS BIGINT) AS chosen_score, "
+        f"CAST(wk // {enc} AS BIGINT) AS rejected_score, "
+        f"CAST(bk // {enc} - wk // {enc} AS BIGINT) AS gap "
+        f"FROM agg WHERE bk // {enc} - wk // {enc} >= {PREF_GAP_MILLI} "
+        "ORDER BY lang, source"
+    )
+
+
+NS_ORACLES["ns_preference_pairs"] = _preference_pairs_sql()
+
+
+def _hist_quantile_sql() -> str:
+    """Mirror of ``q122_hist_quantile`` (the batch spelling of
+    ``stream_quantile``'s histogram estimate): clamped equi-width
+    binning, cumulative counts, first bin reaching ``ceil(pct·n/100)``
+    — integers end to end."""
+    from cassandra_extractor_spark.streaming.quantile import BIN_CENTS, NBINS
+
+    return (
+        "WITH b0 AS (SELECT CAST(event_type AS VARCHAR) AS group_key, "
+        "CAST(floor(CAST(round(value * 100) AS BIGINT) / "
+        f"{BIN_CENTS}) AS BIGINT) AS rawbin FROM events), "
+        "binned AS (SELECT group_key, "
+        f"least(greatest(rawbin, 0), {NBINS}) AS bin, "
+        f"CASE WHEN rawbin <> least(greatest(rawbin, 0), {NBINS}) "
+        "THEN 1 ELSE 0 END AS clamped FROM b0), "
+        "hist AS (SELECT group_key, bin, COUNT(*) AS c, "
+        "SUM(clamped) AS cl FROM binned GROUP BY group_key, bin), "
+        "cum AS (SELECT group_key, bin, "
+        "SUM(c) OVER (PARTITION BY group_key ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "SUM(c) OVER (PARTITION BY group_key) AS n, "
+        "SUM(cl) OVER (PARTITION BY group_key) AS n_clamped FROM hist) "
+        "SELECT group_key, CAST(MAX(n) AS BIGINT) AS n_seen, "
+        f"CAST(MIN(CASE WHEN cum >= ceil(50 * n / 100) "
+        f"THEN (bin + 1) * {BIN_CENTS} END) AS BIGINT) AS p50_ub_cents, "
+        f"CAST(MIN(CASE WHEN cum >= ceil(95 * n / 100) "
+        f"THEN (bin + 1) * {BIN_CENTS} END) AS BIGINT) AS p95_ub_cents, "
+        "CAST(MAX(n_clamped) AS BIGINT) AS n_clamped "
+        "FROM cum GROUP BY group_key ORDER BY group_key"
+    )
+
+
+NS_ORACLES["q122_hist_quantile"] = _hist_quantile_sql()

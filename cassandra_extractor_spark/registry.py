@@ -22,6 +22,9 @@ from cassandra_extractor_spark.operators import (
     text as TX,
 )
 from cassandra_extractor_spark.oracles_ns import NS_ORACLES
+from cassandra_extractor_spark.streaming.quantile import (
+    q122_hist_quantile as _q122_hist_quantile,
+)
 from cassandra_extractor_spark.streaming.stateful import ns_sessionize as _ns_sessionize
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -35,6 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
+    # new in round 7b — need fresh rows
+    "ns_hybrid_rrf": S.ns_hybrid_rrf,
+    "ns_preference_pairs": X.ns_preference_pairs,
+    "q122_hist_quantile": _q122_hist_quantile,
     # new in round 5 — need fresh rows
     "q100_crosstab_chi2": R.q100_crosstab_chi2,
     "q101_weighted_median": R.q101_weighted_median,
@@ -288,6 +295,8 @@ QUERIES: dict[str, QueryFn] = {
 #: and the r1/r2 ns_text/ns_dedup block), oldest first.  Every entry
 #: stays registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
+    "ns_hybrid_rrf", "ns_preference_pairs", "q122_hist_quantile",
+    "q76_rolling_zscore",  # NULL-boolean COALESCE fix this round
     "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q13",
     "tpch_q17", "tpch_q21",
     "tpch_q02", "tpch_q11", "tpch_q16", "tpch_q20",
