@@ -2034,7 +2034,8 @@ def _hist_quantile_sql() -> str:
     return (
         "WITH b0 AS (SELECT CAST(event_type AS VARCHAR) AS group_key, "
         "CAST(floor(CAST(round(value * 100) AS BIGINT) / "
-        f"{BIN_CENTS}) AS BIGINT) AS rawbin FROM events), "
+        f"{BIN_CENTS}) AS BIGINT) AS rawbin FROM events "
+        "WHERE value IS NOT NULL), "
         "binned AS (SELECT group_key, "
         f"least(greatest(rawbin, 0), {NBINS}) AS bin, "
         f"CASE WHEN rawbin <> least(greatest(rawbin, 0), {NBINS}) "

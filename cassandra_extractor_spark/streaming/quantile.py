@@ -106,8 +106,12 @@ def stream_quantile(
         else:
             counts, n_seen, n_clamped = [0] * (NBINS + 1), 0, 0
         for pdf in pdf_iter:
+            # NULL measurements carry no value — ignored on all three
+            # spellings (stream, batch, oracle), like any aggregate
             cents = (
-                (pdf[value_col].astype(float) * 100).round().astype("int64")
+                (pdf[value_col].dropna().astype(float) * 100)
+                .round()
+                .astype("int64")
             )
             n_seen += len(cents)
             for c in cents:
@@ -116,6 +120,10 @@ def stream_quantile(
                 if b != c // BIN_CENTS:
                     n_clamped += 1
         state.update((counts, n_seen, n_clamped))
+        if n_seen == 0:
+            # key has produced only NULLs so far: no observations, no
+            # summary (matches the batch side, where the key is absent)
+            return
         yield pd.DataFrame(
             [
                 {
@@ -166,6 +174,11 @@ def quantile_hist_batch(
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     b = F.floor(cents / F.lit(BIN_CENTS)).cast("long")
+    # NULL values are ignored (a NULL bin would also sort differently
+    # across engines: Spark NULLS FIRST vs DuckDB NULLS LAST in the
+    # cumulative window — found by design review before the
+    # differential suite could)
+    df = df.where(F.col(value_col).isNotNull())
     binned = df.select(
         F.col(key_col).cast("string").alias("group_key"),
         F.least(F.greatest(b, F.lit(0)), F.lit(NBINS)).alias("bin"),

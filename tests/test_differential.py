@@ -32,6 +32,7 @@ from cassandra_extractor_spark.oracles_ns import NS_ORACLES  # noqa: E402
 
 #: event-table queries under differential test (name → oracle source)
 EVENT_QUERIES = [
+    "q122_hist_quantile",
     "q87_dense_timeseries",
     "q90_time_rollup",
     "q92_ohlc_resample",
@@ -407,6 +408,7 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
 
 
 DOC_QUERIES = [
+    "ns_preference_pairs",
     "ns_token_count",
     "ns_text_normalize",
     "ns_entropy",

@@ -582,3 +582,42 @@ def test_interpolate_single_exchange_per_key(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hybrid_rrf_takeordered_heads(spark, sf_dir):
+    """Each retrieval system reduces via TakeOrderedAndProject (a
+    per-partition heap, never a global sort of the corpus), and the
+    query embedding rides in as a broadcast — the corpus-sized stages
+    are the two scans only."""
+    from cassandra_extractor_spark.operators.similarity import ns_hybrid_rrf
+
+    plan = _executed_plan(ns_hybrid_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # lex, sem, fused
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_preference_pairs_single_aggregate_no_window(spark, sf_dir):
+    """Argmax/argmin ride inside one map-side-combined groupBy via the
+    order-preserving integer encoding — no window, no join, no Python
+    in the plan."""
+    from cassandra_extractor_spark.operators.extraction import ns_preference_pairs
+
+    plan = _executed_plan(ns_preference_pairs(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hist_quantile_shuffle_carries_bins_not_rows(spark, sf_dir):
+    """The histogram groupBy map-side-combines to ≤ keys×(NBINS+1)
+    rows before its exchange; the cumulative window then runs per key
+    over ≤ NBINS+1 rows.  No join, no Python."""
+    from cassandra_extractor_spark.streaming.quantile import q122_hist_quantile
+
+    plan = _executed_plan(q122_hist_quantile(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    # partial/final pair around the (key, bin) exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
