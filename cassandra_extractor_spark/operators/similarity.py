@@ -1161,3 +1161,50 @@ def ns_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micros").desc(), F.col("doc_id"))
         .limit(RRF_TOPN)
     )
+
+
+def ns_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k over the labeled corpus: per query, the reciprocal rank
+    of the first SAME-LABEL neighbor in the exact cosine top-k —
+    completing the retrieval-metric triad with ``ns_ann_recall``
+    (recall@k) and ``ns_ranking_ndcg`` (NDCG@k).  ``first_rank`` and
+    ``rr_micros`` are 0 when no same-label neighbor appears in the
+    top-k (the standard MRR@k truncation).
+
+    Integer outputs (``floor(10^6 / rank)``) so cross-engine
+    comparison is exact.
+
+    Scale shape: the ranking is the already-scale-shaped
+    ``brute_topk`` (broadcast query side, corpus scanned once); the
+    label joins touch only ``|queries|·k`` candidate rows — the query
+    side broadcasts, the neighbor side co-partitions with the label
+    table on vec_id at any corpus size.
+    """
+    lab = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    topk = brute_topk(_load_embeddings(spark, sf_dir))
+    labeled = topk.join(
+        F.broadcast(
+            lab.where(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            )
+        ),
+        "q_id",
+    ).join(
+        lab.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")),
+        "n_id",
+    )
+    per_q = labeled.groupBy("q_id", "q_label").agg(
+        F.min(
+            F.when(F.col("n_label") == F.col("q_label"), F.col("rank"))
+        ).alias("fr")
+    )
+    return per_q.select(
+        "q_id",
+        "q_label",
+        F.coalesce(F.col("fr"), F.lit(0)).cast("long").alias("first_rank"),
+        F.coalesce(F.expr("div(1000000, fr)"), F.lit(0))
+        .cast("long")
+        .alias("rr_micros"),
+    ).orderBy("q_id")

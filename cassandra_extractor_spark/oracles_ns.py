@@ -2058,3 +2058,18 @@ def _hist_quantile_sql() -> str:
 
 
 NS_ORACLES["q122_hist_quantile"] = _hist_quantile_sql()
+
+
+NS_ORACLES["ns_ann_mrr"] = (
+    f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
+    "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), "
+    "j AS (SELECT b.q_id, ql.label AS q_label, nl.label AS n_label, b.rank "
+    "FROM brute b JOIN lab ql ON b.q_id = ql.vec_id "
+    "JOIN lab nl ON b.n_id = nl.vec_id), "
+    "pq AS (SELECT q_id, q_label, "
+    "MIN(CASE WHEN n_label = q_label THEN rank END) AS fr "
+    "FROM j GROUP BY q_id, q_label) "
+    "SELECT q_id, q_label, CAST(COALESCE(fr, 0) AS BIGINT) AS first_rank, "
+    "CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_micros "
+    "FROM pq ORDER BY q_id"
+)
