@@ -247,3 +247,34 @@ def test_quantize_mae_first_principles(spark, sf_dir):
             exp_scale = round_half_up(scale, 8)
             exp_mae = round_half_up(acc / len(v), 8)
         assert got[ids[i]] == (exp_scale, exp_mae), ids[i]
+
+
+def test_mrr_first_principles(spark, sf_dir):
+    """Pin ns_ann_mrr to a Python recomputation over the exact top-k
+    ranking it consumes: first_rank is the smallest rank whose
+    neighbor shares the query's label (0 if none in the top-k), and
+    rr_micros == 1_000_000 // first_rank under the same truncation."""
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.similarity import ns_ann_mrr
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    label = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+
+    ranking = ns_ann_cosine_topk(spark, sf_dir).collect()
+    expected: dict[int, int] = {}
+    for r in ranking:
+        expected.setdefault(r["q_id"], 0)
+        if (
+            expected[r["q_id"]] == 0
+            and label[r["n_id"]] == label[r["q_id"]]
+        ):
+            expected[r["q_id"]] = r["rank"]
+
+    got = ns_ann_mrr(spark, sf_dir).collect()
+    assert {r["q_id"] for r in got} == set(expected)
+    for r in got:
+        fr = expected[r["q_id"]]
+        assert r["q_label"] == label[r["q_id"]], r["q_id"]
+        assert r["first_rank"] == fr, r["q_id"]
+        assert r["rr_micros"] == (1_000_000 // fr if fr else 0), r["q_id"]
