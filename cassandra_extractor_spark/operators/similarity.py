@@ -1208,3 +1208,54 @@ def ns_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_micros"),
     ).orderBy("q_id")
+
+
+def ns_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of the query set over the
+    exact cosine top-k: the predicted label is the label with the
+    most votes among the k neighbors (ties to the smallest label);
+    ``correct`` is 1 when it matches the query's own label.
+    Completes the embedding-evaluation family (linear probe, MRR@k,
+    recall@k, NDCG@k) with the standard zero-training baseline.
+
+    100 TB shape: downstream of ``brute_topk`` (query set broadcast,
+    corpus scanned once) everything operates on the ≤ |queries|·k
+    candidate frame; the argmax rides inside a plain ``max`` of the
+    order-preserving integer encoding ``votes·100 + (99 − label)``
+    (labels are 0–9 in the testdata, asserted ≤ 99 by the oracle
+    contract) — associative, so partial aggregation combines freely;
+    no window, no sort before the final tiny ORDER BY.
+    """
+    lab = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    topk = brute_topk(_load_embeddings(spark, sf_dir))
+    labeled = topk.join(
+        F.broadcast(
+            lab.where(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            )
+        ),
+        "q_id",
+    ).join(
+        lab.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")),
+        "n_id",
+    )
+    votes = labeled.groupBy("q_id", "q_label", "n_label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    per_q = votes.groupBy("q_id", "q_label").agg(
+        F.max(F.col("votes") * 100 + (F.lit(99) - F.col("n_label"))).alias("enc")
+    )
+    return per_q.select(
+        "q_id",
+        "q_label",
+        (F.lit(99) - F.col("enc") % 100).cast("long").alias("pred_label"),
+        F.expr("div(enc, 100)").cast("long").alias("pred_votes"),
+        F.when(
+            F.lit(99) - F.col("enc") % 100 == F.col("q_label"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    ).orderBy("q_id")

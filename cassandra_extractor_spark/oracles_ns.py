@@ -2073,3 +2073,20 @@ NS_ORACLES["ns_ann_mrr"] = (
     "CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_micros "
     "FROM pq ORDER BY q_id"
 )
+
+
+NS_ORACLES["ns_knn_classifier"] = (
+    f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
+    "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), "
+    "j AS (SELECT b.q_id, ql.label AS q_label, nl.label AS n_label "
+    "FROM brute b JOIN lab ql ON b.q_id = ql.vec_id "
+    "JOIN lab nl ON b.n_id = nl.vec_id), "
+    "v AS (SELECT q_id, q_label, n_label, COUNT(*) AS votes "
+    "FROM j GROUP BY q_id, q_label, n_label), "
+    "pq AS (SELECT q_id, q_label, MAX(votes * 100 + (99 - n_label)) AS enc "
+    "FROM v GROUP BY q_id, q_label) "
+    "SELECT q_id, q_label, CAST(99 - (enc % 100) AS BIGINT) AS pred_label, "
+    "CAST(enc // 100 AS BIGINT) AS pred_votes, "
+    "CAST(CASE WHEN 99 - (enc % 100) = q_label THEN 1 ELSE 0 END AS BIGINT) "
+    "AS correct FROM pq ORDER BY q_id"
+)

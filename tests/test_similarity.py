@@ -278,3 +278,30 @@ def test_mrr_first_principles(spark, sf_dir):
         assert r["q_label"] == label[r["q_id"]], r["q_id"]
         assert r["first_rank"] == fr, r["q_id"]
         assert r["rr_micros"] == (1_000_000 // fr if fr else 0), r["q_id"]
+
+
+def test_knn_classifier_first_principles(spark, sf_dir):
+    """Pin ns_knn_classifier to a Python majority vote over the exact
+    top-k ranking it consumes, ties to the smallest label."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.similarity import ns_knn_classifier
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    label = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+
+    by_q: dict[int, list[int]] = {}
+    for r in ns_ann_cosine_topk(spark, sf_dir).collect():
+        by_q.setdefault(r["q_id"], []).append(label[r["n_id"]])
+
+    got = ns_knn_classifier(spark, sf_dir).collect()
+    assert {r["q_id"] for r in got} == set(by_q)
+    for r in got:
+        counts = Counter(by_q[r["q_id"]])
+        best = max(counts.values())
+        pred = min(l for l, c in counts.items() if c == best)
+        assert r["q_label"] == label[r["q_id"]], r["q_id"]
+        assert (r["pred_label"], r["pred_votes"]) == (pred, best), r["q_id"]
+        assert r["correct"] == int(pred == label[r["q_id"]]), r["q_id"]
