@@ -1259,3 +1259,58 @@ def ns_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("correct"),
     ).orderBy("q_id")
+
+
+def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the spherical k-means assignment against the
+    ground-truth labels: per cluster, the majority label, its count,
+    and purity in ppm — the standard external clustering-quality
+    metric (the labeled analogue of ``ns_kmeans_step``'s unsupervised
+    Lloyd audit).
+
+    Assignment is the exact spelling ``ns_kmeans_step`` uses
+    (broadcast centroids, map-only cosine argmax) with the label
+    carried through the scan, so NO join is needed anywhere: the plan
+    is one corpus scan → per-vector argmax → two map-side-combined
+    aggregations down to ≤ K·|labels| then K rows.  Purity is exact
+    integer division (``majority·10⁶ div n_members``) and the
+    majority-label argmax rides inside ``max`` of the
+    order-preserving ``cnt·100 + (99 − label)`` encoding (labels
+    0–9), so every output column is engine-exact.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("long").alias("label"),
+    ).withColumn("nrm", norm(F.col("emb")))
+    cent = e.where(F.col("vec_id") < N_KMEANS).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select(F.col("c_id").alias("cluster_id"), "label")
+    )
+    v = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    pc = v.groupBy("cluster_id").agg(
+        F.sum("cnt").cast("long").alias("n_members"),
+        F.max(F.col("cnt") * 100 + (F.lit(99) - F.col("label"))).alias("enc"),
+    )
+    return pc.select(
+        "cluster_id",
+        "n_members",
+        (F.lit(99) - F.col("enc") % 100).cast("long").alias("majority_label"),
+        F.expr("div(enc, 100)").cast("long").alias("majority_cnt"),
+        F.expr("div(1000000 * div(enc, 100), n_members)")
+        .cast("long")
+        .alias("purity_ppm"),
+    ).orderBy("cluster_id")

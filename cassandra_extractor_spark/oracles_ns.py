@@ -2090,3 +2090,26 @@ NS_ORACLES["ns_knn_classifier"] = (
     "CAST(CASE WHEN 99 - (enc % 100) = q_label THEN 1 ELSE 0 END AS BIGINT) "
     "AS correct FROM pq ORDER BY q_id"
 )
+
+
+NS_ORACLES["ns_cluster_purity"] = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+    "CAST(label AS BIGINT) AS label FROM embeddings), "
+    f"n AS (SELECT vec_id, emb, label, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM e), "
+    f"cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n "
+    f"WHERE vec_id < {N_KMEANS}), "
+    "assigned AS (SELECT c_id AS cluster_id, label FROM ("
+    "SELECT label, c_id, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank FROM "
+    f"(SELECT n.vec_id, n.label, cent.c_id, {_dot_sql('emb', 'c_emb')} / (nrm * c_nrm) "
+    "AS csim FROM n, cent)) WHERE crank = 1), "
+    "v AS (SELECT cluster_id, label, COUNT(*) AS cnt FROM assigned "
+    "GROUP BY cluster_id, label), "
+    "pc AS (SELECT cluster_id, SUM(cnt) AS n_members, "
+    "MAX(cnt * 100 + (99 - label)) AS enc FROM v GROUP BY cluster_id) "
+    "SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members, "
+    "CAST(99 - (enc % 100) AS BIGINT) AS majority_label, "
+    "CAST(enc // 100 AS BIGINT) AS majority_cnt, "
+    "CAST((1000000 * (enc // 100)) // n_members AS BIGINT) AS purity_ppm "
+    "FROM pc ORDER BY cluster_id"
+)

@@ -305,3 +305,46 @@ def test_knn_classifier_first_principles(spark, sf_dir):
         assert r["q_label"] == label[r["q_id"]], r["q_id"]
         assert (r["pred_label"], r["pred_votes"]) == (pred, best), r["q_id"]
         assert r["correct"] == int(pred == label[r["q_id"]]), r["q_id"]
+
+
+def test_cluster_purity_first_principles(spark, sf_dir):
+    """Pin ns_cluster_purity to a NumPy recomputation: cosine argmax
+    assignment (ties to smallest centroid id) then per-cluster
+    majority vote with ties to the smallest label."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.similarity import (
+        N_KMEANS,
+        ns_cluster_purity,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.array(t["label"].to_pylist())
+    cent = embs[ids < N_KMEANS]
+    cent_ids = ids[ids < N_KMEANS]
+    nrm = np.sqrt((embs * embs).sum(axis=1))
+    c_nrm = np.sqrt((cent * cent).sum(axis=1))
+    csim = (embs @ cent.T) / np.outer(nrm, c_nrm)
+    # argmax with ties to the smallest centroid id: argmax returns the
+    # first max index, and cent_ids ascend with vec_id order
+    assign = cent_ids[np.argmax(csim, axis=1)]
+
+    members: dict[int, list[int]] = {}
+    for cid, lab in zip(assign, labels):
+        members.setdefault(int(cid), []).append(int(lab))
+
+    got = {r["cluster_id"]: r for r in ns_cluster_purity(spark, sf_dir).collect()}
+    assert set(got) == set(members)
+    for cid, labs in members.items():
+        counts = Counter(labs)
+        best = max(counts.values())
+        maj = min(l for l, c in counts.items() if c == best)
+        r = got[cid]
+        assert r["n_members"] == len(labs), cid
+        assert (r["majority_label"], r["majority_cnt"]) == (maj, best), cid
+        assert r["purity_ppm"] == 1_000_000 * best // len(labs), cid
