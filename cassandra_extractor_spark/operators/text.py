@@ -1664,3 +1664,46 @@ def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency audit per language: chars per whitespace
+    token, chars per BPE-ish pre-token, and fertility (pre-tokens per
+    whitespace token), each as exact integer ppm — the standard table
+    for deciding whether a tokenizer under- or over-segments a
+    language before committing a 100 TB tokenization run.
+
+    One corpus scan; per-doc token counts are codegen regexp/split
+    expressions (the exact ``ns_token_count`` spellings), and the
+    per-lang reduction is a single map-side-combined groupBy down to
+    |langs| rows.  All ratios are integer division — engine-exact.
+    """
+    d = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long").alias("bpe"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+    )
+    def _ppm(num: str, den: str) -> Column:
+        return (
+            F.when(F.col(den) == 0, F.lit(0))
+            .otherwise(F.expr(f"div(1000000 * {num}, {den})"))
+            .cast("long")
+        )
+
+    return g.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "ws_tokens",
+        "bpe_tokens",
+        _ppm("chars", "ws_tokens").alias("chars_per_ws_ppm"),
+        _ppm("chars", "bpe_tokens").alias("chars_per_bpe_ppm"),
+        _ppm("bpe_tokens", "ws_tokens").alias("fertility_ppm"),
+    ).orderBy("lang")

@@ -2113,3 +2113,23 @@ NS_ORACLES["ns_cluster_purity"] = (
     "CAST((1000000 * (enc // 100)) // n_members AS BIGINT) AS purity_ppm "
     "FROM pc ORDER BY cluster_id"
 )
+
+
+NS_ORACLES["ns_tokenizer_fertility"] = (
+    "WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, "
+    f"CAST(len({TOKS}) AS BIGINT) AS ws, "
+    r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]')) "
+    "AS BIGINT) AS bpe FROM documents), "
+    "g AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars, "
+    "SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens FROM d GROUP BY lang) "
+    "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(chars AS BIGINT) AS chars, CAST(ws_tokens AS BIGINT) AS ws_tokens, "
+    "CAST(bpe_tokens AS BIGINT) AS bpe_tokens, "
+    "CAST(CASE WHEN ws_tokens = 0 THEN 0 ELSE (1000000 * chars) // ws_tokens END "
+    "AS BIGINT) AS chars_per_ws_ppm, "
+    "CAST(CASE WHEN bpe_tokens = 0 THEN 0 ELSE (1000000 * chars) // bpe_tokens END "
+    "AS BIGINT) AS chars_per_bpe_ppm, "
+    "CAST(CASE WHEN ws_tokens = 0 THEN 0 ELSE (1000000 * bpe_tokens) // ws_tokens END "
+    "AS BIGINT) AS fertility_ppm "
+    "FROM g ORDER BY lang"
+)

@@ -39,6 +39,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
     # new in round 7b — need fresh rows
+    "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,
     "ns_knn_classifier": S.ns_knn_classifier,
     "ns_ann_mrr": S.ns_ann_mrr,
@@ -300,6 +301,7 @@ QUERIES: dict[str, QueryFn] = {
 _PRIORITY_PREFIX = [
     "ns_hybrid_rrf", "ns_preference_pairs", "q122_hist_quantile",
     "ns_ann_mrr", "ns_knn_classifier", "ns_cluster_purity",
+    "ns_tokenizer_fertility",
     "q76_rolling_zscore",  # NULL-boolean COALESCE fix this round
     "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q13",
     "tpch_q17", "tpch_q21",

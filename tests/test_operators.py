@@ -1177,3 +1177,46 @@ def test_portable_floor_percent_division():
     ).fetchall()[0]
     assert rounded == 38  # DuckDB cast rounds 37.5 up — the trap
     assert floored == 37  # floor matches Spark's truncating cast
+
+
+def test_tokenizer_fertility_first_principles(spark, sf_dir):
+    """Pin ns_tokenizer_fertility to a pure-Python recomputation of
+    the per-lang sums and integer-ppm ratios."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.text import (
+        BPE_PATTERN,
+        ns_tokenizer_fertility,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+    ws_re = re.compile(r"[ \t\n\x0B\f\r]+")
+    bpe_re = re.compile(BPE_PATTERN)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, text, n_chars in zip(
+        t["lang"].to_pylist(), t["text"].to_pylist(), t["n_chars"].to_pylist()
+    ):
+        a = agg[lang]
+        a[0] += 1
+        a[1] += n_chars
+        a[2] += len(ws_re.split(text.lower().strip(" ")))
+        a[3] += len(bpe_re.findall(text))
+
+    got = {r["lang"]: r for r in ns_tokenizer_fertility(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (n_docs, chars, ws, bpe) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["chars"], r["ws_tokens"], r["bpe_tokens"]) == (
+            n_docs,
+            chars,
+            ws,
+            bpe,
+        ), lang
+        assert r["chars_per_ws_ppm"] == (1_000_000 * chars // ws if ws else 0)
+        assert r["chars_per_bpe_ppm"] == (1_000_000 * chars // bpe if bpe else 0)
+        assert r["fertility_ppm"] == (1_000_000 * bpe // ws if ws else 0)
