@@ -621,3 +621,44 @@ def test_hist_quantile_shuffle_carries_bins_not_rows(spark, sf_dir):
     assert "Python" not in plan, plan
     # partial/final pair around the (key, bin) exchange = map-side combine
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cluster_purity_zero_joins(spark, sf_dir):
+    """The label rides through the assignment scan, so the plan has no
+    shuffle joins at all — only the 16-row centroid broadcast — and
+    every aggregation map-side combines (no ObjectHashAggregate)."""
+    from cassandra_extractor_spark.operators.similarity import ns_cluster_purity
+
+    plan = _executed_plan(ns_cluster_purity(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine present
+
+
+def test_knn_classifier_partial_topk_and_broadcast_labels(spark, sf_dir):
+    """The top-k prunes per-partition BEFORE the exchange
+    (WindowGroupLimit Partial) and the label lookups are broadcast
+    joins — nothing corpus-sized shuffles except the candidate
+    window."""
+    from cassandra_extractor_spark.operators.similarity import ns_knn_classifier
+
+    plan = _executed_plan(ns_knn_classifier(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_tokenizer_fertility_single_exchange(spark, sf_dir):
+    """One scan, one map-side-combined groupBy: exactly one hash
+    exchange (the lang aggregation; the final ORDER BY over |langs|
+    rows is a range exchange, not a hash one)."""
+    from cassandra_extractor_spark.operators.text import ns_tokenizer_fertility
+
+    plan = _executed_plan(ns_tokenizer_fertility(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_" in plan, plan
