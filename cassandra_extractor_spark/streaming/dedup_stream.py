@@ -1,0 +1,95 @@
+"""Streaming incremental near-dup gate: arriving document batches are
+checked against the persisted LSH signature store WITHOUT ever
+re-signing or re-shuffling the corpus.
+
+This is the streaming spelling of
+``operators.dedup.incremental_dedup_against_store`` (reference parity:
+the extractor's incremental crawl loop, `datacrawler.py`, re-reads
+only rows past the modified-ts high-water mark — here the analogous
+"only new work" contract applies to near-dup detection).
+
+Architecture — base store + per-batch delta, the production shape at
+100 TB:
+
+- the BASE store is the bucketed, sorted signature table written once
+  by ``write_signature_store`` (store-side bucket join is
+  exchange-free — plan-asserted in ``tests/test_scale.py``);
+- each micro-batch signs ONLY its own documents, joins them against
+  base ∪ delta, and then absorbs its bands into a ``batch=<id>``
+  partition directory under ``delta_dir``;
+- replay safety: foreachBatch may re-run a batch after a crash.  The
+  batch OVERWRITES its own partition (never appends), and the delta
+  read EXCLUDES the current batch id, so a half-written earlier
+  attempt can neither duplicate store rows nor leak into its own
+  candidate set.  The pairs sink receives ``batch_id`` and must be
+  idempotent per batch — the standard foreachBatch contract;
+- periodic compaction (outside this query) folds the delta back into
+  the bucketed base via ``write_signature_store(base ∪ delta)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from cassandra_extractor_spark.operators.dedup import incremental_dedup
+
+_BAND_COLS = ["doc_id", "band", "sig"]
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    store_table: str,
+    delta_dir: str,
+    pairs_sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    path_glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the streaming dedup gate over a file source of
+    ``(doc_id, text)`` batches.  Drains everything available
+    (``availableNow``) then stops; restarting with the same
+    ``checkpoint_dir`` resumes exactly after the last committed batch.
+
+    ``pairs_sink(dup_pairs_df, batch_id)`` receives, per micro-batch,
+    the (new_id, dup_of) frame where ``dup_of`` may come from the base
+    corpus, an earlier streamed batch (via the delta), or an earlier
+    document of the same batch.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", path_glob)
+        .parquet(source_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.table(store_table).select(*_BAND_COLS)
+        try:
+            delta = (
+                spark.read.parquet(delta_dir)
+                .where(F.col("batch") != batch_id)
+                .select(*_BAND_COLS)
+            )
+            base = base.unionByName(delta)
+        except AnalysisException:
+            pass  # no delta yet (first batch)
+        pairs, new_bands = incremental_dedup(base, batch_df)
+        pairs_sink(pairs, batch_id)
+        (
+            new_bands.select(*_BAND_COLS)
+            .write.mode("overwrite")
+            .parquet(f"{delta_dir}/batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
