@@ -93,3 +93,43 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_table: str,
+    delta_dir: str,
+    n_buckets: int = 16,
+) -> int:
+    """Fold the streaming delta back into the bucketed base store —
+    the periodic maintenance job that keeps the store-side bucket join
+    exchange-free as the streamed corpus grows.
+
+    Reads base ∪ delta, rewrites the store with the SAME bucket spec
+    (one full shuffle, amortized across every future batch join), and
+    removes the absorbed delta partitions.  Run it between streaming
+    query restarts — never concurrently with an active query, which
+    may be appending new ``batch=<id>`` partitions.  Returns the
+    number of delta band rows absorbed (0 = nothing to do, store
+    untouched).
+    """
+    from cassandra_extractor_spark.operators.dedup import write_signature_store
+
+    try:
+        delta = spark.read.parquet(delta_dir).select(*_BAND_COLS)
+    except AnalysisException:
+        return 0
+    absorbed = delta.count()
+    if absorbed == 0:
+        return 0
+    merged = spark.table(store_table).select(*_BAND_COLS).unionByName(delta)
+    # two-phase rename-free rewrite: the store table swaps atomically at
+    # the saveAsTable commit; the delta is removed only afterwards, so a
+    # crash between the two steps leaves duplicate bands (harmless: the
+    # candidate join is set-semantic, pairs go through .distinct())
+    staged = merged.localCheckpoint(eager=True)
+    write_signature_store(staged, store_table, n_buckets=n_buckets)
+    import shutil
+
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return absorbed

@@ -118,3 +118,105 @@ def test_stream_incremental_dedup_base_delta_and_restart(spark, tmp_path):
         assert len({r["count"] for r in per_doc}) == 1  # same #bands each
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_store_stream_t")
+
+
+def test_compaction_folds_delta_into_bucketed_base(spark, tmp_path):
+    """After compact_signature_store the delta is gone, dups against
+    previously-streamed docs resolve via the BASE store alone, and the
+    store side of the bucket join is still exchange-free."""
+    import re
+
+    from cassandra_extractor_spark.operators.dedup import (
+        incremental_dedup_against_store,
+    )
+    from cassandra_extractor_spark.streaming.dedup_stream import (
+        compact_signature_store,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    base_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(_BASE), "text": list(_BASE.values())}),
+        SCHEMA,
+    )
+    write_signature_store(
+        bands_for(minhash_signatures_for(base_docs)), "sig_store_compact_t", n_buckets=4
+    )
+    try:
+        def sink(df, batch_id):
+            df.collect()
+
+        _write_batch(
+            spark,
+            tmp_path,
+            src,
+            0,
+            {100: "a streamed document that will later be duplicated again " * 3},
+        )
+        q = stream_incremental_dedup(
+            spark,
+            source_path=str(src),
+            schema=SCHEMA,
+            store_table="sig_store_compact_t",
+            delta_dir=str(tmp_path / "delta"),
+            pairs_sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        absorbed = compact_signature_store(
+            spark, "sig_store_compact_t", str(tmp_path / "delta"), n_buckets=4
+        )
+        assert absorbed > 0
+        assert not (tmp_path / "delta").exists()
+        # idempotent when nothing to absorb
+        assert (
+            compact_signature_store(
+                spark, "sig_store_compact_t", str(tmp_path / "delta"), n_buckets=4
+            )
+            == 0
+        )
+
+        store_ids = {
+            r["doc_id"]
+            for r in spark.table("sig_store_compact_t")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert store_ids == set(_BASE) | {100}
+
+        # a new batch duplicating doc 100 resolves via the compacted
+        # base alone; the store-side scan keeps its bucketed layout
+        new = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [300],
+                    "text": [
+                        "a streamed document that will later be duplicated again " * 3
+                    ],
+                }
+            ),
+            SCHEMA,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs, _nb = incremental_dedup_against_store(
+                spark, "sig_store_compact_t", new
+            )
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            assert re.search(
+                r"Sort \[band[^\n]*\n[^\n]*Filter[^\n]*\n"
+                r"([^\n]*ColumnarToRow\n)?[^\n]*FileScan parquet[^\n]*Bucketed: true",
+                plan,
+            ), plan[:3000]
+            assert {(r["new_id"], r["dup_of"]) for r in pairs.collect()} == {
+                (300, 100)
+            }
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_store_compact_t")
