@@ -608,7 +608,9 @@ def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < 300)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
-    e = e.withColumn("nrm", norm(F.col("emb")))
+    # zero-norm vectors excluded on BOTH engines (divergence #4):
+    # cosine is undefined for them and 0/0 throws under ANSI
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -683,7 +685,9 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    e = e.withColumn("nrm", norm(F.col("emb")))
+    # zero-norm vectors excluded on BOTH engines (divergence #4):
+    # cosine is undefined for them and 0/0 throws under ANSI
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
     cent = e.where(F.col("vec_id") < N_SEM_CELLS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )

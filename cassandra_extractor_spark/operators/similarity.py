@@ -402,7 +402,13 @@ def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine instead of materializing in one executor.  A
     unit test pins decimal-sum == sorted-fold on the test corpus.
     """
-    e = _load_embeddings(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    # zero-norm vectors excluded on BOTH engines (divergence #4):
+    # cosine is undefined for them and 0/0 throws under ANSI
+    e = (
+        _load_embeddings(spark, sf_dir)
+        .withColumn("nrm", norm(F.col("emb")))
+        .where(F.col("nrm") > 0)
+    )
     cent = e.where(F.col("vec_id") < N_KMEANS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )
@@ -1278,11 +1284,19 @@ def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-preserving ``cnt·100 + (99 − label)`` encoding (labels
     0–9), so every output column is engine-exact.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        F.col("label").cast("long").alias("label"),
-    ).withColumn("nrm", norm(F.col("emb")))
+    # zero-norm vectors are excluded on BOTH engines — cosine is
+    # undefined for them (0/0 throws under ANSI, and NaN sort order is
+    # engine-specific otherwise); the brute_topk/divergence-#4 posture
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .withColumn("nrm", norm(F.col("emb")))
+        .where(F.col("nrm") > 0)
+    )
     cent = e.where(F.col("vec_id") < N_KMEANS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )

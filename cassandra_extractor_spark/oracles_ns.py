@@ -306,8 +306,10 @@ NS_ORACLES: dict[str, str] = {
     ),
     "ns_dedup_simhash": _simhash_sql(),
     "ns_neardup_embedding": (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        # zero-norm vectors excluded on both engines (divergence #4)
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
         "FROM embeddings WHERE vec_id < 300), "
+        f"e AS (SELECT * FROM e0 WHERE {_dot_sql('emb', 'emb')} > 0), "
         "p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, "
         f"round({_cos_sql('a.emb', 'b.emb')}, 6) AS cos "
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
@@ -538,7 +540,9 @@ def _sem_assign_sql(n_cells: int) -> str:
     """Shared CTE prefix: embeddings with norms + nearest-centroid cell."""
     return (
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
-        f"n AS (SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM e), "
+        # zero-norm vectors excluded on both engines (divergence #4)
+        f"n AS (SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm "
+        f"FROM e WHERE {_dot_sql('emb', 'emb')} > 0), "
         f"cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n "
         f"WHERE vec_id < {n_cells}), "
         "assigned AS (SELECT vec_id, emb, nrm, c_id FROM ("
@@ -2095,7 +2099,9 @@ NS_ORACLES["ns_knn_classifier"] = (
 NS_ORACLES["ns_cluster_purity"] = (
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
     "CAST(label AS BIGINT) AS label FROM embeddings), "
-    f"n AS (SELECT vec_id, emb, label, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM e), "
+    # zero-norm vectors excluded on both engines (divergence #4)
+    f"n AS (SELECT vec_id, emb, label, sqrt({_dot_sql('emb', 'emb')}) AS nrm "
+    f"FROM e WHERE {_dot_sql('emb', 'emb')} > 0), "
     f"cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n "
     f"WHERE vec_id < {N_KMEANS}), "
     "assigned AS (SELECT c_id AS cluster_id, label FROM ("

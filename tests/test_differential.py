@@ -409,6 +409,7 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
 
 DOC_QUERIES = [
     "ns_preference_pairs",
+    "ns_tokenizer_fertility",
     "ns_token_count",
     "ns_text_normalize",
     "ns_entropy",
@@ -485,6 +486,12 @@ def test_doc_query_differential(spark, tmp_path_factory, name, texts):
 
 
 EMB_QUERIES = [
+    "ns_ann_mrr",
+    "ns_knn_classifier",
+    "ns_cluster_purity",
+    "ns_kmeans_step",
+    "ns_semantic_dedup",
+    "ns_neardup_embedding",
     "ns_embedding_audit",
     "ns_embedding_quantize",
     "ns_ann_cosine_topk",
