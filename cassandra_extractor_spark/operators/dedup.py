@@ -769,6 +769,12 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("doc_id"), "deg")
     n_nodes = nodes.count()  # driver-side scalar: one number, plan-time
+    if n_nodes == 0:
+        # empty near-dup graph (no LSH candidate pair anywhere): no
+        # node has a rank — 0 rows, matching the oracle, instead of a
+        # plan-time ZeroDivisionError (found by the round-7b
+        # differential expansion on a single-empty-document corpus)
+        return nodes.select("doc_id", F.lit(0).cast("long").alias("pr"))
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n_nodes
     p = nodes.select("doc_id", F.lit(PR_SCALE // n_nodes).cast("long").alias("pr"))
     for _ in range(PR_ITERS):

@@ -628,16 +628,51 @@ def q44b_quantile_disc(spark, sf_dir):
 
 def q45_stats(spark, sf_dir):
     """Statistical aggregates. Moment merges accumulate in partition
-    order, so results are rounded to partition-robust precision."""
-    return _t(spark, sf_dir, "orders").agg(
-        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd"),
-        F.round(F.var_samp("o_totalprice"), 0).cast("double").alias("vr"),
-        # + 0.0: corr is the one aggregate here whose sign comes from a
-        # cancelling co-moment sum that each engine accumulates in its
-        # own order — a ~0 correlation can round to −0.0 on one engine
-        # and +0.0 on the other (PARITY #10 / round-7 audit)
-        (F.round(F.corr("o_totalprice", "o_custkey"), 6) + F.lit(0.0)).alias("cr"),
-        F.round(F.avg("o_totalprice"), 2).alias("mean"),
+    order, so results are rounded to partition-robust precision.
+
+    All four outputs derive from EXACT decimal sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) instead of the native moment
+    aggregates, for three reasons found by the round-7b differential
+    expansion (PARITY #12 follow-ups): (a) Spark 4's ANSI ``corr``
+    throws DIVIDE_BY_ZERO when either variance is 0 (DuckDB returns
+    NULL); (b) native co-moment merges are partition-order-dependent,
+    splitting the last rounded decimal on hostile cancelling inputs —
+    the found case was ``round(avg)`` emitting +0.0 on Spark and −0.0
+    on DuckDB over an exactly-cancelling price column; (c) mean/var
+    are rounded RATIONALS of cents, divergence #7's .5-boundary
+    class.  Money is exact in DECIMAL(18,2), the key in
+    DECIMAL(18,0), so every sufficient statistic is bit-identical on
+    both engines; only the final sqrt/divide runs in doubles — over
+    identical inputs — and the rounding is the pure-IEEE
+    ``floor(x·10ᵏ + 0.5)/10ᵏ`` (identical doubles floor identically,
+    and floor emits +0.0, never −0.0).
+    """
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    y = F.col("o_custkey").cast("decimal(18,0)")
+    stats = _t(spark, sf_dir, "orders").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = n.cast("double")
+    var = denx / (nd * (nd - 1))
+    cr = num / (F.sqrt(denx) * F.sqrt(deny))
+
+    def _f(col, k: int):
+        return F.floor(col * (10**k) + F.lit(0.5)) / F.lit(float(10**k))
+
+    return stats.select(
+        F.when(n >= 2, _f(F.sqrt(var), 2)).alias("sd"),
+        F.when(n >= 2, _f(var, 0)).alias("vr"),
+        F.when((n >= 2) & (denx > 0) & (deny > 0), _f(cr, 6)).alias("cr"),
+        F.when(n >= 1, _f(F.col("sx").cast("double") / nd, 2)).alias("mean"),
     )
 
 

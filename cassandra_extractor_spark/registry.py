@@ -1536,10 +1536,30 @@ ORACLES: dict[str, str] = {
         "quantile_disc(o_totalprice, 0.99) AS p99 FROM orders"
     ),
     "q45_stats": (
-        "SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd, "
-        "ROUND(var_samp(o_totalprice), 0) AS vr, "
-        "ROUND(corr(o_totalprice, o_custkey), 6) + CAST(0.0 AS DOUBLE) AS cr, "
-        "ROUND(AVG(o_totalprice), 2) AS mean FROM orders"
+        # exact-decimal sufficient statistics, mirroring the Spark
+        # spelling (see q45_stats docstring / PARITY #12 follow-ups):
+        # Spark ANSI corr() throws on zero variance, native moment
+        # merges split the last rounded decimal on cancelling inputs,
+        # and mean/var are rounded rationals (divergence #7)
+        "WITH s AS (SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx, "
+        "SUM(CAST(o_custkey AS DECIMAL(18,0))) AS sy, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,0))) AS sxy, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx, "
+        "SUM(CAST(o_custkey AS DECIMAL(18,0)) * CAST(o_custkey AS DECIMAL(18,0))) AS syy "
+        "FROM orders), "
+        "t AS (SELECT n, sx, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS num, "
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS denx, "
+        "CAST(n * syy - sy * sy AS DOUBLE) AS deny, "
+        "CAST(n AS DOUBLE) AS nd FROM s) "
+        "SELECT "
+        "CASE WHEN n >= 2 THEN floor(sqrt(denx / (nd * (nd - 1))) * 100 + 0.5) / 100.0 END AS sd, "
+        "CASE WHEN n >= 2 THEN floor(denx / (nd * (nd - 1)) + 0.5) / 1.0 END AS vr, "
+        "CASE WHEN n >= 2 AND denx > 0 AND deny > 0 THEN "
+        "floor(num / (sqrt(denx) * sqrt(deny)) * 1000000 + 0.5) / 1000000.0 END AS cr, "
+        "CASE WHEN n >= 1 THEN floor(CAST(sx AS DOUBLE) / nd * 100 + 0.5) / 100.0 END AS mean "
+        "FROM t"
     ),
     "q47_regex_funcs": (
         "SELECT c_custkey, "

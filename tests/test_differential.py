@@ -58,6 +58,22 @@ EVENT_QUERIES = [
     "ns_sessionize",
     "ns_sample_stratified",
     "q64_regression",
+    # round-7b coverage audit: every remaining single-table events op
+    "q08_hwm_filter",
+    "q10_epoch_millis",
+    "q31_json_extract",
+    "q32_event_agg",
+    "q33_range_join",
+    "q34_asof_join",
+    "q61_json_keys",
+    "q71_fill_forward",
+    "q73_retention_cohorts",
+    "q74_latency_bands",
+    "q79_window_distinct",
+    "q80_interval_merge",
+    "q85_interval_lookup",
+    "q95_event_pattern",
+    "ns_tablespec_pipeline",
 ]
 
 #: differential depth: default examples per (query, family) are kept
@@ -141,7 +157,18 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
                 [None if r[3] is None else r[3] / 100.0 for r in rows],
                 type=pa.float64(),
             ),
-            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+            # real JSON derived from the drawn fields (hypothesis-varied
+            # without widening the row strategy) — exercises the JSON
+            # extraction ops; event_type is a safe enum, so embedding it
+            # raw keeps the document valid
+            "props": pa.array(
+                [
+                    '{"t": "%s", "v": %s}'
+                    % (r[2], "null" if r[3] is None else r[3] / 100.0)
+                    for r in rows
+                ],
+                type=pa.string(),
+            ),
         }
     )
     pq.write_table(table, d / "events.parquet")
@@ -205,6 +232,49 @@ ORDER_QUERIES = [
     "q117_gini",
     "q118_seasonal_decompose",
     "q120_ltv_curve",
+    # round-7b coverage audit: every remaining single-table orders /
+    # lineitem op joins the adversarial family
+    "q01_projection",
+    "q02_filter",
+    "q04_count",
+    "q05_filtered_count",
+    "q06_sort_limit",
+    "q07_offset_page",
+    "q11_expression",
+    "q12_json_serialize",
+    "q14_having",
+    "q20_distinct",
+    "q21_count_distinct",
+    "q22_window_rank",
+    "q23_window_running_sum",
+    "q27_dedup",
+    "q28_date_funcs",
+    "q30_case",
+    "q36_cube",
+    "q37_grouping_sets",
+    "q40_scalar_subquery",
+    "q42_pivot",
+    "q44_percentile",
+    "q44b_quantile_disc",
+    "q45_stats",
+    "q46_recursive_cte",
+    "q50_lag_lead",
+    "q51_conditional_agg",
+    "q53_ntile",
+    "q54_date_arith",
+    "q55_range_frame",
+    "q56_first_last",
+    "q59_except_all",
+    "q62_histogram",
+    "q66_grouped_median",
+    "q67_grouped_mode",
+    "q69_median_abs_dev",
+    "q70_equidepth_hist",
+    "q77_zorder_key",
+    "q81_rank_metrics",
+    "q84_scd2_history",
+    "q86_sequence_gaps",
+    "q93_column_profile",
 ]
 
 _order_row = st.tuples(
@@ -274,7 +344,7 @@ _adv_li_rows = st.one_of(
 def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
     # documented empty-relation ROLLUP divergence (see PARITY.md and
     # the event-family guard above)
-    assume(lrows or name not in {"q26_rollup", "q91_grouping_id"})
+    assume(lrows or name not in {"q26_rollup", "q91_grouping_id", "q36_cube"})
     d = tmp_path_factory.mktemp("diffo")
     pd.DataFrame(
         {
@@ -434,6 +504,39 @@ DOC_QUERIES = [
     "ns_bpe_pair_counts",
     "ns_cluster_canonical",
     "ns_sample_k_per_group",
+    # round-7b coverage audit: every remaining single-table documents op
+    "ns_ngram_pmi",
+    "ns_dedup_exact",
+    "ns_dedup_fingerprint",
+    "ns_dedup_prefix_jaccard",
+    "ns_dedup_jaccard",
+    "ns_dedup_containment",
+    "ns_dedup_clusters",
+    "ns_multimodal_meta",
+    "ns_corpus_select",
+    "ns_corpus_stats",
+    "ns_repetition_filter",
+    "ns_sequence_pack",
+    "ns_quality_classifier",
+    "ns_lm_fluency_bucket",
+    "ns_cdc_chunk",
+    "ns_corpus_drift",
+    "ns_pagerank",
+    "ns_triangle_count",
+    "ns_training_corpus",
+    "ns_vocab_oov",
+    "ns_topk_per_source",
+    "ns_corpus_diff",
+    "ns_data_audit",
+    "ns_substring_dedup",
+    "ns_shard_layout",
+    "ns_dsir_select",
+    "ns_bm25",
+    "ns_cross_split_leakage",
+    "ns_heavy_hitters",
+    "ns_chunk_dedup",
+    "ns_filter_funnel",
+    "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
     "ns_hll_manual",
@@ -504,7 +607,15 @@ EMB_QUERIES = [
     "ns_random_projection",
     "ns_linear_probe_step",
     "ns_mi_feature_select",
+    # round-7b coverage audit: remaining single-table embeddings ops
+    "q57_array_funcs",
+    "q58_explode",
 ]
+
+#: ops whose documented contract is the testdata's fixed DIM=64
+#: (PQ sub-slices 8×8; the LSH plane matrix is 64-wide) — they get
+#: their own 64-dim generator below instead of the 6-dim one
+EMB64_QUERIES = ["ns_ann_pq", "ns_ann_lsh_bucketed"]
 
 _vec = st.lists(
     st.integers(min_value=-2000, max_value=2000).map(lambda v: v / 1000.0),
@@ -550,6 +661,48 @@ def test_embedding_query_differential(spark, tmp_path_factory, name, vecs):
     import pyarrow.parquet as pq
 
     d = tmp_path_factory.mktemp("diffe")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+
+    sdf = QUERIES[name](spark, str(d)).toPandas()
+    s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d / 'embeddings.parquet'}'")
+    odf = con.sql(_oracle_for(name)).fetchdf()
+    o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+
+    assert s_hash == o_hash, (name, len(sdf), len(odf))
+
+
+_vec64 = st.lists(
+    st.integers(min_value=-2000, max_value=2000).map(lambda v: v / 1000.0),
+    min_size=64,
+    max_size=64,
+)
+
+
+@pytest.mark.parametrize("name", EMB64_QUERIES)
+@settings(
+    max_examples=_EXAMPLES or 5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_vec64, min_size=12, max_size=20))
+def test_embedding64_query_differential(spark, tmp_path_factory, name, vecs):
+    """The fixed-DIM=64 ops (PQ sub-slices, LSH plane matrix) under
+    their documented embedding width — same compare as the 6-dim
+    family, contract-respecting inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("diffe64")
     table = pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
