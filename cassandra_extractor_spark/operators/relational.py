@@ -3070,17 +3070,22 @@ def q113_percent_of_parent(spark, sf_dir):
             "r_name",
             "n_name",
             "cents",
-            (
+            # zero-parent guard (PARITY #14 family): an exactly-
+            # cancelling region total makes the share 0/0 — NULL on
+            # both engines instead of an ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("region_cents") != 0,
                 F.expr(divr_sql("cents_d * 1000000", "region_cents")).cast(
                     "double"
                 )
-                / F.lit(10_000.0)
+                / F.lit(10_000.0),
             ).alias("pct_of_region"),
-            (
+            F.when(
+                F.col("total_cents") != 0,
                 F.expr(divr_sql("region_cents * 1000000", "total_cents")).cast(
                     "double"
                 )
-                / F.lit(10_000.0)
+                / F.lit(10_000.0),
             ).alias("region_pct_of_total"),
         )
         .orderBy("r_name", "n_name")

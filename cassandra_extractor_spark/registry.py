@@ -837,10 +837,14 @@ ORACLES: dict[str, str] = {
         "AS region_cents, CAST(SUM(cents) OVER () AS HUGEINT) AS total_cents "
         "FROM base) "
         "SELECT r_name, n_name, cents, "
+        # zero-parent guard mirrors the Spark side (cancelling region
+        # total -> NULL share, not a division error)
+        "CASE WHEN region_cents <> 0 THEN "
         f"CAST({TP.divr_sql('cents_d * 1000000', 'region_cents', '//')} AS DOUBLE) "
-        "/ CAST(10000.0 AS DOUBLE) AS pct_of_region, "
+        "/ CAST(10000.0 AS DOUBLE) END AS pct_of_region, "
+        "CASE WHEN total_cents <> 0 THEN "
         f"CAST({TP.divr_sql('region_cents * 1000000', 'total_cents', '//')} AS DOUBLE) "
-        "/ CAST(10000.0 AS DOUBLE) AS region_pct_of_total "
+        "/ CAST(10000.0 AS DOUBLE) END AS region_pct_of_total "
         "FROM m ORDER BY r_name, n_name"
     ),
     "q114_bounce_rate": (

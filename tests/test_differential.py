@@ -275,6 +275,26 @@ ORDER_QUERIES = [
     "q84_scd2_history",
     "q86_sequence_gaps",
     "q93_column_profile",
+    # multi-table shapes whose hypothesis-varied side (orders /
+    # lineitem) drives the result; static-dim-only ops (q24, q43,
+    # tpch_q02/q11/q16) are omitted — their inputs never vary here —
+    # and 1993-96-windowed TPC-H (q03/q04/q05/q10/q14/q15/q20, plus
+    # the q07/q08 note above) is vacuously empty on the fixture's
+    # 1997-98 date domain, so their adversarial gate stays the
+    # three-scale oracle sweep
+    "q15_inner_join",
+    "q16_left_join",
+    "q17_semi_join",
+    "q18_anti_join",
+    "q19_multiway_join",
+    "q39_exists_subquery",
+    "q41_cte",
+    "q60_not_exists",
+    "q78_bloom_join",
+    "q83_cdc_apply",
+    "q88_salted_join",
+    "q113_percent_of_parent",
+    "tpch_q19",
 ]
 
 _order_row = st.tuples(
