@@ -698,11 +698,22 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") == 1)
-        .select("vec_id", "emb", "nrm", "c_id")
+    # argmax centroid as a struct-max aggregate, NOT a row_number window:
+    # the broadcast nested-loop join emits all |cells| rows per vector in
+    # one partition, so the partial (map-side) max collapses N×cells back
+    # to N rows before the shuffle — a window would shuffle AND sort the
+    # full N×cells frame.  Tie on csim → lowest c_id, encoded as the
+    # second struct field (-c_id, unique per vector, so comparison never
+    # reaches the payload fields).
+    best = F.max(
+        F.struct(
+            F.col("csim"), (-F.col("c_id")).alias("neg"), F.col("c_id"),
+            F.col("emb"), F.col("nrm"),
+        )
+    ).alias("b")
+    assigned = scored.groupBy("vec_id").agg(best).select(
+        "vec_id", F.col("b.emb").alias("emb"),
+        F.col("b.nrm").alias("nrm"), F.col("b.c_id").alias("c_id"),
     )
     assigned = materialize_once(assigned)  # one assignment pass, not two
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -3223,8 +3223,22 @@ def q116_spearman(spark, sf_dir):
     on them is one deterministic double expression (sqrt denominator →
     irrational → round-safe).
 
-    Scale shape: two rank windows (one sort each) per group key + one
-    map-side-combined aggregate; no joins, no collect.
+    Scale shape — two-pass distributed rank, NO corpus-sized
+    single-partition sort: the group key has 3 distinct values, so a
+    rank window partitioned on it would funnel ~1/3 of the corpus
+    through one task at scale.  Instead, per measure: (1) groupBy
+    (flag, value) → per-value counts (map-side combined, one hash
+    shuffle), (2) a two-level distributed prefix sum — order-preserving
+    range buckets (floor(v/2²⁰), monotone even under double rounding),
+    per-bucket totals cumulated by a window over the TINY bucket frame,
+    plus a within-(flag, bucket) local prefix window whose partitions
+    are domain-bounded slices, never the corpus, (3) join the rank
+    lookup back to the rows (broadcast for qty — bounded id domain;
+    hash-shuffle on (flag, cents) for price — parallel across all value
+    keys), (4) one map-side-combined aggregate.  Identity:
+    min_rank + max_rank = 2·|{rows < v}| + count(v) + 1 — identical
+    integers to a rank()-window spelling, so the oracle hash is
+    unchanged.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -3232,21 +3246,38 @@ def q116_spearman(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
 
-    def ranks2(col, out):
-        """2× average rank (integer): rank() + reverse cumulative."""
-        asc = W.partitionBy("l_returnflag").orderBy(F.col(col).asc())
-        desc = W.partitionBy("l_returnflag").orderBy(F.col(col).desc())
-        # min rank + max rank = rank_asc + (n_group - rank_desc + 1);
-        # expressed purely with rank() so ties share one value
+    def ranks2_lookup(col, out):
+        """(flag, value) → 2× average rank, via per-value counts and a
+        two-level (bucket + in-bucket) distributed prefix sum."""
+        cnt = li.groupBy("l_returnflag", col).agg(F.count("*").alias("c"))
+        # monotone bucketing: double division keeps order even when
+        # |v| > 2^52 loses low bits (rounding is monotone; collisions
+        # only merge ADJACENT buckets, which is harmless)
+        cnt = cnt.withColumn("bkt", F.floor(F.col(col) / F.lit(float(2**20))))
+        btot = cnt.groupBy("l_returnflag", "bkt").agg(F.sum("c").alias("bc"))
+        bw = W.partitionBy("l_returnflag").orderBy("bkt")
+        before_bkt = btot.select(
+            "l_returnflag",
+            "bkt",
+            (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt"),
+        )
+        lw = W.partitionBy("l_returnflag", "bkt").orderBy(col)
+        less = (
+            F.col("before_bkt") + F.sum("c").over(lw) - F.col("c")
+        )  # rows strictly below v, corpus-wide
         return (
-            F.rank().over(asc)
-            + F.count("*").over(W.partitionBy("l_returnflag"))
-            - F.rank().over(desc)
-            + F.lit(1)
-        ).alias(out)
+            cnt.join(F.broadcast(before_bkt), ["l_returnflag", "bkt"])
+            .select(
+                "l_returnflag",
+                col,
+                (F.lit(2) * less + F.col("c") + F.lit(1)).alias(out),
+            )
+        )
 
-    ranked = li.select(
-        "l_returnflag", ranks2("q", "rq"), ranks2("p", "rp")
+    ranked = (
+        li.join(F.broadcast(ranks2_lookup("q", "rq")), ["l_returnflag", "q"])
+        .join(ranks2_lookup("p", "rp"), ["l_returnflag", "p"])
+        .select("l_returnflag", "rq", "rp")
     )
     agg = ranked.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),

@@ -82,23 +82,26 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # CORRECTNESS TRAP — keep scale INLINE.  Hoisting it into a
-    # withColumn and referencing F.col("scale") inside the nested
-    # transform/zip_with/aggregate lambdas makes the optimized narrow
-    # projection silently miscompute the fold (mae drifts ~3e-8 vs the
-    # first-principles value; reproduced on Spark 4.1 whenever ONLY the
-    # final columns are selected — selecting the intermediate arrays
-    # alongside yields the correct fold).  The inline spelling is
-    # evaluation-order-safe and first-principles-exact (pinned by
-    # test_quantize_mae_first_principles); it re-evaluates the max-scan
-    # per element (O(d²) per row, ~2s extra at sf0.1) — accepted.
+    # CORRECTNESS TRAP — no lambda may reference an OUTER column.
+    # Hoisting scale into a withColumn and referencing F.col("scale")
+    # inside the nested transform/zip_with/aggregate lambdas makes the
+    # optimized narrow projection silently miscompute the fold (mae
+    # drifts ~3e-8 vs the first-principles value; reproduced on Spark
+    # 4.1 whenever ONLY the final columns are selected).  The previous
+    # workaround inlined scale inside the lambdas, re-running the
+    # max-scan per element (O(d²)/row, ~2s extra at sf0.1).  This
+    # spelling is O(d): array_repeat evaluates scale ONCE as a plain
+    # function argument (outside any lambda) and ships it to the
+    # lambdas as element data, so every lambda is closed over its own
+    # parameters only — the miscompute cannot trigger, and the
+    # per-element arithmetic (v/s, round, *s, −, abs, left fold) is
+    # bit-identical to the old spelling (pinned by
+    # test_quantize_mae_first_principles).
     scale = F.array_max(F.transform(F.col("emb"), lambda v: F.abs(v))) / F.lit(127.0)
-
-    def quantize(v):  # single-param closure (2-param lambda binds index)
-        return F.round(v / scale, 0)
-
-    q = F.transform(F.col("emb"), quantize)
-    deq = F.zip_with(q, F.col("emb"), lambda qi, vi: F.abs(qi * scale - vi))
+    srep = F.array_repeat(scale, F.size(F.col("emb")))
+    deq = F.zip_with(
+        F.col("emb"), srep, lambda vi, s: F.abs(F.round(vi / s, 0) * s - vi)
+    )
     err = (
         F.aggregate(deq, F.lit(0.0), lambda acc, x: acc + x)
         / F.size(F.col("emb")).cast("double")

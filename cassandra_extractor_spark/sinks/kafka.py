@@ -37,6 +37,13 @@ class KafkaSinkConfig:
     #: ``{partition_id: weight}`` — the reference's id:weight pairs
     partition_weights: dict[int, int] | None = None
     producer_options: dict[str, str] = field(default_factory=dict)
+    #: first-class delivery knobs (reference flush/ack policy,
+    #: kafkaworker.py:85-106).  These are CONFIG PASS-THROUGH: with no
+    #: broker in the sandbox the values are asserted to reach the
+    #: writer option map, never observed live.  Explicit fields win
+    #: over the same key in ``producer_options``.
+    acks: str | None = None
+    linger_ms: int | None = None
 
     @property
     def full_topic(self) -> str:
@@ -99,6 +106,11 @@ def kafka_writer_options(cfg: KafkaSinkConfig) -> dict[str, str]:
     }
     for k, v in cfg.producer_options.items():
         opts[f"kafka.{k}" if not k.startswith("kafka.") else k] = v
+    # explicit fields last: more specific than the generic map
+    if cfg.acks is not None:
+        opts["kafka.acks"] = cfg.acks
+    if cfg.linger_ms is not None:
+        opts["kafka.linger.ms"] = str(cfg.linger_ms)
     return opts
 
 

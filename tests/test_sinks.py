@@ -204,3 +204,42 @@ def test_write_kafka_missing_jar_raises_setup_hint(spark):
     cause = ei.value.__cause__
     assert cause is not None and cause is not ei.value
     assert "kafka" in str(cause).lower() or "DATA_SOURCE" in str(cause)
+
+
+def test_kafka_acks_linger_first_class_fields(spark, tmp_path, monkeypatch):
+    """K1 delivery knobs (reference flush/ack policy,
+    kafkaworker.py:85-106): the first-class ``acks``/``linger_ms``
+    fields must reach the writer option map — through the REAL
+    write_kafka path (file transport) — and win over the same key in
+    the generic producer_options map.  Broker-side behavior is config
+    pass-through (no broker in the sandbox; see README parity notes)."""
+    from cassandra_extractor_spark.sinks import kafka as K
+
+    cfg = K.KafkaSinkConfig(
+        bootstrap_servers=f"file://{tmp_path}",
+        topic="t",
+        acks="all",
+        linger_ms=25,
+        producer_options={"acks": "0", "batch.size": "65536"},
+    )
+    opts = K.kafka_writer_options(cfg)
+    assert opts["kafka.acks"] == "all"  # explicit field beats the map
+    assert opts["kafka.linger.ms"] == "25"
+    assert opts["kafka.batch.size"] == "65536"
+
+    seen: list[dict[str, str]] = []
+    from cassandra_extractor_spark.sinks import kafka_file as KF
+
+    real = KF.write_file_transport
+
+    def capture(frame, o):
+        seen.append(dict(o))
+        return real(frame, o)
+
+    monkeypatch.setattr(KF, "write_file_transport", capture)
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    K.write_kafka(df, cfg)
+    assert seen and seen[0]["kafka.acks"] == "all"
+    assert seen[0]["kafka.linger.ms"] == "25"
+    out = KF.read_kafka_log(spark, cfg.bootstrap_servers, "t")
+    assert out.count() == 1
