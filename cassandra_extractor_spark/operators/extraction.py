@@ -614,8 +614,15 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cassandra_extractor_spark.operators.text import tokens
 
+    from cassandra_extractor_spark.operators.similarity import in_encoding_contract
+
     d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        in_encoding_contract(
+            F.col("doc_id"), 0, _PREF_ENC - 1, "doc_id"
+        ).alias("doc_id"),
+        "lang",
+        "source",
+        tokens(F.col("text")).alias("toks"),
     )
     feats = d.select(
         "doc_id",

@@ -22,6 +22,25 @@ from cassandra_extractor_spark.operators.dedup import cosine, cosine_prenormed, 
 from cassandra_extractor_spark.sources.catalog import load_table
 
 N_QUERIES = 10  #: vec_id < N_QUERIES are the query set in the demo queries
+
+
+def in_encoding_contract(col: Column, lo: int, hi: int, what: str) -> Column:
+    """Loud guard for order-preserving integer encodings.
+
+    The argmax/argmin encodings (``votes·100 + (99 − label)``,
+    ``score·10¹² ± doc_id``) assume a bounded input range; an
+    out-of-contract value corrupts the decoded winner IDENTICALLY on
+    both engines, so the differential harness would hash-match the
+    wrong answers.  This makes the contract a runtime error instead:
+    one cheap per-row branch, zero cost on the happy path."""
+    return F.when((col >= lo) & (col <= hi), col).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{what} outside encoding contract [{lo}, {hi}]: %s",
+                col.cast("string"),
+            )
+        )
+    )
 TOP_K = 5
 LSH_PLANES = 4  #: hyperplanes per LSH table (bucket bits)
 LSH_TABLES = 8  #: independent LSH tables (candidate = collision in ANY)
@@ -1236,7 +1255,10 @@ def ns_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no sort before the final tiny ORDER BY.
     """
     lab = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("label").cast("long").alias("label")
+        "vec_id",
+        in_encoding_contract(
+            F.col("label").cast("long"), 0, 99, "label"
+        ).alias("label"),
     )
     topk = brute_topk(_load_embeddings(spark, sf_dir))
     labeled = topk.join(
@@ -1295,7 +1317,9 @@ def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("emb"),
-            F.col("label").cast("long").alias("label"),
+            in_encoding_contract(
+                F.col("label").cast("long"), 0, 99, "label"
+            ).alias("label"),
         )
         .withColumn("nrm", norm(F.col("emb")))
         .where(F.col("nrm") > 0)

@@ -50,17 +50,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Memoize the ANALYZED PLAN per (session, dir, table): spark.read
     # .parquet is a ~0.1 s JVM round-trip (file listing + footer schema)
-    # that a 228-query suite pays thousands of times over.  DataFrames
+    # that a 241-query suite pays thousands of times over.  DataFrames
     # are immutable, so handing the same object to every caller is safe;
     # execution still scans parquet — this caches no data.  It DOES pin
     # the file listing, which is correct here because catalog tables
     # are immutable snapshot dirs (mutable paths go through
-    # read_source/readStream, never this entry point).  The cache
-    # lives ON the session object, so a stopped/replaced session can
-    # never leak stale JVM handles through the module.
+    # read_source/readStream, never this entry point; callers that DO
+    # rewrite a directory in place must call invalidate_table_cache).
+    # The cache lives ON the session object, so a stopped/replaced
+    # session can never leak stale JVM handles through the module, and
+    # it is LRU-capped: the hypothesis differential sweeps feed
+    # thousands of one-shot tmp dirs through one session, and an
+    # unbounded map would retain a Python handle + JVM analyzed plan
+    # for every one of them for the session's lifetime.
     cache: dict = spark.__dict__.setdefault("_ce_table_plans", {})
     key = (sf_dir, name)
     if key in cache:
+        cache[key] = cache.pop(key)  # move-to-end: mark most recent
         return cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -77,8 +83,30 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    while len(cache) >= _TABLE_CACHE_CAP:
+        cache.pop(next(iter(cache)))  # evict least-recently-used
     cache[key] = df
     return df
+
+
+#: LRU cap for the per-session analyzed-plan cache: 3 standard sf dirs
+#: × 10 tables fit with headroom; one-shot differential tmp dirs churn
+#: through the tail without evicting the hot standard entries.
+_TABLE_CACHE_CAP = 64
+
+
+def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop memoized table plans — required after rewriting a catalog
+    directory IN PLACE (the cache pins the file listing).  With
+    ``sf_dir`` drops that directory's entries; without, drops all."""
+    cache = spark.__dict__.get("_ce_table_plans")
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[0] == sf_dir]:
+            del cache[key]
 
 
 def read_source(

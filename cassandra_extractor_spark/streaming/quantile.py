@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
@@ -107,12 +108,15 @@ def stream_quantile(
             counts, n_seen, n_clamped = [0] * (NBINS + 1), 0, 0
         for pdf in pdf_iter:
             # NULL measurements carry no value — ignored on all three
-            # spellings (stream, batch, oracle), like any aggregate
-            cents = (
-                (pdf[value_col].dropna().astype(float) * 100)
-                .round()
-                .astype("int64")
-            )
+            # spellings (stream, batch, oracle), like any aggregate.
+            # Rounding is HALF_UP (half away from zero) to mirror the
+            # batch spelling (Spark F.round) and the DuckDB oracle —
+            # pandas .round() is half-even, which bins values whose
+            # v*100 lands exactly on .5 in double (e.g. -0.005 →
+            # -0.5 cents, exactly representable) differently and
+            # breaks the documented bit-identical stream==batch parity.
+            v = pdf[value_col].dropna().astype(float) * 100
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
             n_seen += len(cents)
             for c in cents:
                 b = _bin_of_cents(int(c))

@@ -120,3 +120,24 @@ def test_stream_quantile_clamp_saturation(spark, tmp_path):
     want = _batch(spark, src)["view"]
     assert got["p50_ub_cents"] == want["p50_ub_cents"]
     assert got["n_clamped"] == want["n_clamped"]
+
+
+def test_stream_quantile_half_up_rounding_edge(spark, tmp_path):
+    """ADVICE r7: values whose value*100 lands EXACTLY on .5 in double
+    (e.g. -0.005 → -0.5 cents, exactly representable) must round half
+    AWAY FROM ZERO on the stream side, matching the batch spelling
+    (Spark F.round, HALF_UP) — pandas' default half-even binned/clamped
+    them differently and broke stream==batch parity."""
+    src = tmp_path / "qt3src"
+    # -0.005*100 = -0.5 exactly; HALF_UP → -1 cent (clamped, bin 0);
+    # half-even would give 0 cents (bin 0, NOT clamped) → n_clamped split.
+    # 0.005*100 = 0.5 exactly; HALF_UP → 1 cent; half-even → 0.
+    # 0.015*100 = 1.5000000000000002 (not exact) — both rules agree → 2.
+    # 2.5 and 3.5 (whole cents ×100 = 250, 350) exercise in-domain bins.
+    vals = [-0.005, 0.005, 0.015, 2.5, 3.5]
+    _land(spark, tmp_path, src, 0, {"edge": vals})
+    got = _run(spark, src, tmp_path / "qt3ck")["edge"]
+    want = _batch(spark, src)["edge"]
+    for c in ("n_seen", "p50_ub_cents", "p95_ub_cents", "n_clamped"):
+        assert got[c] == want[c], (c, dict(got.asDict()), dict(want.asDict()))
+    assert got["n_clamped"] == want["n_clamped"] == 1  # only -0.005

@@ -348,3 +348,29 @@ def test_cluster_purity_first_principles(spark, sf_dir):
         assert r["n_members"] == len(labs), cid
         assert (r["majority_label"], r["majority_cnt"]) == (maj, best), cid
         assert r["purity_ppm"] == 1_000_000 * best // len(labs), cid
+
+
+def test_encoding_contract_guard_raises_loudly(spark):
+    """ADVICE r7: out-of-contract labels/doc_ids corrupt the argmax
+    encodings identically on both engines (undetectable by the
+    differential hash) — the guard must turn them into a runtime error
+    and stay silent within the contract."""
+    import pytest
+
+    from cassandra_extractor_spark.operators.similarity import in_encoding_contract
+
+    ok = spark.createDataFrame([(0,), (99,), (7,)], "label long").select(
+        in_encoding_contract(F.col("label"), 0, 99, "label").alias("g")
+    )
+    assert [r.g for r in ok.orderBy("g").collect()] == [0, 7, 99]
+
+    bad = spark.createDataFrame([(100,)], "label long").select(
+        in_encoding_contract(F.col("label"), 0, 99, "label").alias("g")
+    )
+    with pytest.raises(Exception, match="encoding contract"):
+        bad.collect()
+    neg = spark.createDataFrame([(-1,)], "label long").select(
+        in_encoding_contract(F.col("label"), 0, 99, "label").alias("g")
+    )
+    with pytest.raises(Exception, match="encoding contract"):
+        neg.collect()
