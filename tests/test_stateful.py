@@ -414,3 +414,131 @@ def test_stream_hll_checkpoint_restart(spark, tmp_path):
     # sketch accuracy: within 15% of truth at these cardinalities
     assert abs(got2["view"]["hll_est"] - 900) / 900 < 0.15
     assert abs(got2["click"]["hll_est"] - 100) / 100 < 0.15
+
+
+def _rollup_land(spark, tmp_path, src, file_no, rows):
+    import pandas as pd
+
+    schema = "event_type STRING, value DOUBLE, ts TIMESTAMP"
+    (
+        spark.createDataFrame(pd.DataFrame(rows), schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "stage" / f"r{file_no}"))
+    )
+    part = next((tmp_path / "stage" / f"r{file_no}").glob("*.parquet"))
+    src.mkdir(exist_ok=True)
+    part.rename(src / f"data_{file_no}.parquet")
+
+
+def _rollup_run(spark, src, ckpt):
+    """One availableNow run of the watermarked rollup from a shared
+    checkpoint; returns the APPEND-mode emissions of this run only."""
+    from cassandra_extractor_spark.streaming.stateful import stream_time_rollup
+
+    schema = "event_type STRING, value DOUBLE, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    emitted = []
+    q = (
+        stream_time_rollup(stream)
+        .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r["w"]["start"].isoformat(), r["event_type"]): (
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in emitted
+    }
+
+
+def test_stream_time_rollup_checkpoint_restart_and_late_drop(spark, tmp_path):
+    """Watermarked APPEND-mode windowed aggregation across a full stop
+    and checkpoint restart — the Structured-Streaming staple:
+
+    - a closed (window, type) row is emitted EXACTLY ONCE, in the run
+      whose watermark crossed the window end, never re-emitted after
+      restart (exactly-once append contract);
+    - every emitted row equals the batch rollup over the landed,
+      non-late rows — bit-exact batch parity;
+    - an event arriving after the (checkpoint-restored) watermark has
+      passed its window is DROPPED, not folded into a new row.
+    """
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "rusrc"
+
+    def at(day, hour, minute=0):
+        return datetime(2025, 1, day, hour, minute)
+
+    day1 = [
+        {"event_type": "view", "value": 1.25, "ts": at(1, 9)},
+        {"event_type": "view", "value": 2.50, "ts": at(1, 10)},
+        {"event_type": "click", "value": 0.75, "ts": at(1, 11)},
+    ]
+    # day-2 arrivals push the watermark (max_ts - 1h = day2 01:00) past
+    # day-1 midnight, closing every day-1 window
+    day2 = [
+        {"event_type": "view", "value": 4.00, "ts": at(2, 2)},
+        {"event_type": "click", "value": 8.25, "ts": at(2, 2, 30)},
+    ]
+    _rollup_land(spark, tmp_path, src, 0, day1)
+    _rollup_land(spark, tmp_path, src, 1, day2)
+    got1 = _rollup_run(spark, src, tmp_path / "ruck")
+    d1 = "2025-01-01T00:00:00"
+    assert got1 == {
+        (d1, "view"): (2, 375),   # 125 + 250 cents
+        (d1, "click"): (1, 75),
+    }
+
+    # STOP; land one LATE day-1 event (watermark restored from the
+    # checkpoint is day-2 01:00 > its window end -> dropped) plus day-3
+    # arrivals that close the day-2 windows; RESTART from the same
+    # checkpoint -- only the new files are read
+    late_and_day3 = [
+        {"event_type": "view", "value": 99.0, "ts": at(1, 23)},  # LATE
+        {"event_type": "view", "value": 16.50, "ts": at(3, 2)},
+        {"event_type": "click", "value": 32.00, "ts": at(3, 2, 30)},
+    ]
+    _rollup_land(spark, tmp_path, src, 2, late_and_day3)
+    got2 = _rollup_run(spark, src, tmp_path / "ruck")
+    d2 = "2025-01-02T00:00:00"
+    # day-1 rows are NOT re-emitted, the late day-1 view is NOT
+    # resurrected as a new day-1 row, and day-2 closes exactly
+    assert got2 == {
+        (d2, "view"): (1, 400),
+        (d2, "click"): (1, 825),
+    }
+
+    # batch parity: stream emissions (both runs) == batch rollup over
+    # all landed NON-LATE rows restricted to closed windows (day 3
+    # stays open; the late day-1 row was dropped by the watermark)
+    batch = (
+        spark.read.parquet(f"{src}/*.parquet")
+        .where(F.col("ts") < F.lit(datetime(2025, 1, 3)))
+        .where(F.col("value") != 99.0)  # the late, dropped row
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    want = {
+        (r["w"]["start"].isoformat(), r["event_type"]): (
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in batch.collect()
+    }
+    assert {**got1, **got2} == want
