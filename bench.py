@@ -62,6 +62,32 @@ def main() -> None:
     # queries that genuinely execute during construction
     for t in TABLES:
         load_table(spark, t, sf_dir)
+    # Shape-representative warm-up, UNTIMED: the first heavy queries of
+    # a cold JVM pay Janino/codegen-infra JIT, parquet-reader and
+    # shuffle-machinery classloading that later queries get for free —
+    # observed +2-5 s on whichever pipelines happen to run first, which
+    # made the total swing with the registry's driver-evidence rotation.
+    # One pass over a fixed mix (scan+agg, multiway join, window,
+    # explode+groupBy text, array-fold embedding, plain dedup, and a
+    # localCheckpoint-based iterative pipeline — the checkpoint/block-
+    # manager machinery is its own classloading hill, observed +3-4 s
+    # on whichever connected-components pipeline ran first) decouples
+    # the timed region from both ordering and rotation.
+    for wname in (
+        "tpch_q01",
+        "q19_multiway_join",
+        "q23_window_running_sum",
+        "ns_token_count",
+        "ns_ann_cosine_topk",
+        "ns_dedup_exact",
+        "ns_dedup_clusters",
+    ):
+        try:
+            QUERIES[wname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup {wname} ERROR: {exc}", file=sys.stderr)
 
     cached = []
     if profile:
@@ -91,7 +117,12 @@ def main() -> None:
     def _jobs() -> int:
         return len(tracker.getJobIdsForGroup(None))
 
-    for name, fn in QUERIES.items():
+    # Sorted-name iteration: the registry's dict order leads with the
+    # driver-evidence rotation prefix, which CHANGES every round — tying
+    # bench order to it made round-over-round totals incomparable
+    # (whatever ran first absorbed residual warm-up).  Name order is
+    # stable across rotations.
+    for name, fn in sorted(QUERIES.items()):
         best = -1.0
         try:
             j0 = _jobs()

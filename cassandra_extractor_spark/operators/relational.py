@@ -3224,21 +3224,26 @@ def q116_spearman(spark, sf_dir):
     irrational → round-safe).
 
     Scale shape — two-pass distributed rank, NO corpus-sized
-    single-partition sort: the group key has 3 distinct values, so a
-    rank window partitioned on it would funnel ~1/3 of the corpus
-    through one task at scale.  Instead, per measure: (1) groupBy
-    (flag, value) → per-value counts (map-side combined, one hash
-    shuffle), (2) a two-level distributed prefix sum — order-preserving
-    range buckets (floor(v/2²⁰), monotone even under double rounding),
-    per-bucket totals cumulated by a window over the TINY bucket frame,
-    plus a within-(flag, bucket) local prefix window whose partitions
-    are domain-bounded slices, never the corpus, (3) join the rank
-    lookup back to the rows (broadcast for qty — bounded id domain;
-    hash-shuffle on (flag, cents) for price — parallel across all value
-    keys), (4) one map-side-combined aggregate.  Identity:
-    min_rank + max_rank = 2·|{rows < v}| + count(v) + 1 — identical
-    integers to a rank()-window spelling, so the oracle hash is
-    unchanged.
+    single-partition sort and NO corpus-sized join-back: the group key
+    has 3 distinct values, so a rank window partitioned on it would
+    funnel ~1/3 of the corpus through one task at scale.  Instead:
+    (1) qty ranks come from a per-value count lookup (qty's id domain
+    is bounded, so the lookup is tiny and broadcasts onto the rows —
+    map-only); (2) ONE corpus hash shuffle groups rows by
+    (flag, price-cents), carrying count, Σrq and Σrq² — every joint
+    statistic the final Pearson-on-ranks formula needs; (3) price
+    ranks are a two-level distributed prefix sum OVER THAT DISTINCT-
+    VALUE FRAME (order-preserving range buckets floor(v/2²⁰) — double
+    division stays monotone even when |v| > 2⁵² loses low bits, and a
+    collision only merges adjacent buckets, which is harmless; bucket
+    totals cumulate via a window over the tiny bucket frame; the
+    in-(flag, bucket) local prefix window sees domain-bounded slices,
+    never the corpus); (4) all five sufficient statistics reduce from
+    the distinct-value frame by one map-side-combined aggregate —
+    sx = Σ srq, sxx = Σ srq², sy = Σ rp·c, syy = Σ rp²·c,
+    sxy = Σ rp·srq.  Identity: min_rank + max_rank
+    = 2·|{rows < v}| + count(v) + 1 — identical integers to a
+    rank()-window spelling, so the oracle hash is unchanged.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -3246,13 +3251,9 @@ def q116_spearman(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
 
-    def ranks2_lookup(col, out):
-        """(flag, value) → 2× average rank, via per-value counts and a
-        two-level (bucket + in-bucket) distributed prefix sum."""
-        cnt = li.groupBy("l_returnflag", col).agg(F.count("*").alias("c"))
-        # monotone bucketing: double division keeps order even when
-        # |v| > 2^52 loses low bits (rounding is monotone; collisions
-        # only merge ADJACENT buckets, which is harmless)
+    def ranks2(cnt, col, out):
+        """Per-value 2× average rank over a (flag, value, c) count
+        frame, via a two-level (bucket + in-bucket) prefix sum."""
         cnt = cnt.withColumn("bkt", F.floor(F.col(col) / F.lit(float(2**20))))
         btot = cnt.groupBy("l_returnflag", "bkt").agg(F.sum("c").alias("bc"))
         bw = W.partitionBy("l_returnflag").orderBy("bkt")
@@ -3265,27 +3266,32 @@ def q116_spearman(spark, sf_dir):
         less = (
             F.col("before_bkt") + F.sum("c").over(lw) - F.col("c")
         )  # rows strictly below v, corpus-wide
-        return (
-            cnt.join(F.broadcast(before_bkt), ["l_returnflag", "bkt"])
-            .select(
-                "l_returnflag",
-                col,
-                (F.lit(2) * less + F.col("c") + F.lit(1)).alias(out),
-            )
+        return cnt.join(F.broadcast(before_bkt), ["l_returnflag", "bkt"]).withColumn(
+            out, F.lit(2) * less + F.col("c") + F.lit(1)
         )
 
-    ranked = (
-        li.join(F.broadcast(ranks2_lookup("q", "rq")), ["l_returnflag", "q"])
-        .join(ranks2_lookup("p", "rp"), ["l_returnflag", "p"])
-        .select("l_returnflag", "rq", "rp")
+    qcnt = li.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
+    qlk = ranks2(qcnt, "q", "rq").select("l_returnflag", "q", "rq")
+    # (flag, price) joint frame: the ONLY corpus-sized shuffle — count,
+    # Σrq and Σrq² ride the same partial/final aggregate
+    pf = (
+        li.join(F.broadcast(qlk), ["l_returnflag", "q"])
+        .groupBy("l_returnflag", "p")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("rq").cast("decimal(38,0)")).alias("srq"),
+            F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("srq2"),
+        )
     )
+    ranked = ranks2(pf, "p", "rp")
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
     agg = ranked.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("rp").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("rq") * F.col("rp")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("rp") * F.col("rp")).cast("decimal(38,0)")).alias("syy"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum("srq").alias("sx"),
+        F.sum(dec(F.col("rp")) * dec(F.col("c"))).alias("sy"),
+        F.sum(dec(F.col("rp")) * F.col("srq")).alias("sxy"),
+        F.sum("srq2").alias("sxx"),
+        F.sum(dec(F.col("rp")) * dec(F.col("rp")) * dec(F.col("c"))).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd, sxyd, sxxd, syyd = (
