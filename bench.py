@@ -115,7 +115,14 @@ def main() -> None:
     tracker = spark.sparkContext.statusTracker()
 
     def _jobs() -> int:
-        return len(tracker.getJobIdsForGroup(None))
+        # HIGHEST job id, not the count: the status store evicts old
+        # jobs past its retention limit (~1000), so len() can DECREASE
+        # over a long run — late eager-build queries then misdetect as
+        # lazy and their timed write re-reads the build's checkpointed
+        # blocks (observed: ns_dedup_clusters "0.099 s" in r7 vs ~3 s
+        # honest).  Job ids are monotonically increasing, so max() is
+        # eviction-proof.
+        return max(tracker.getJobIdsForGroup(None), default=-1)
 
     # Sorted-name iteration: the registry's dict order leads with the
     # driver-evidence rotation prefix, which CHANGES every round — tying

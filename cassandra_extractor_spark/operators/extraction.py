@@ -413,11 +413,15 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        ns_dedup_clusters,
+    )
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
         ns_repetition_filter,
         ns_text_quality,
+        token_stream,
     )
     from cassandra_extractor_spark.sources.catalog import load_table
 
@@ -432,13 +436,19 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("dd"))
     )
+    # one shared token stream feeds both token-level gates, exactly as
+    # ns_training_corpus does — the posexplode+lead pipeline is the
+    # dominant map cost and would otherwise run twice
+    stream = materialize_once(
+        token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    )
     rep = (
-        ns_repetition_filter(spark, sf_dir)
+        ns_repetition_filter(spark, sf_dir, _stream=stream)
         .where(F.col("keep"))
         .select("doc_id", F.lit(True).alias("r"))
     )
     clf = (
-        ns_quality_classifier(spark, sf_dir)
+        ns_quality_classifier(spark, sf_dir, _stream=stream)
         .where(F.col("keep"))
         .select("doc_id", F.lit(True).alias("c"))
     )
