@@ -96,8 +96,13 @@ def main() -> None:
             df.count()
             cached.append(df)
 
-    # best-of-N: single-pass numbers on this box are ±2x noisy (JVM/GC)
-    runs = 3 if profile else 2
+    # best-of-N: single-pass numbers on this box are ±2x noisy (JVM/GC),
+    # and the HOST itself drifts ±15% between whole runs (observed: two
+    # identical-code runs at 137.4 s vs 118.3 s, with the map-only
+    # extract swinging 507k vs 410k rows/s — ambient, not engine).
+    # Best-of-3 shaves the within-run outliers; run-level drift is
+    # documented in PARITY.md and judged on the slowest-25 aggregate.
+    runs = 3
     timings: dict[str, float] = {}
     # Build-vs-execute split: Python-side plan construction (registry
     # fn + eager schema resolutions, 0.05-0.6 s for the deep ns_*
