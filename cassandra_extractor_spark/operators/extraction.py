@@ -481,6 +481,93 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the two independent quality
+    gates (heuristic score ≥ 0.5 ∧ ≥ 50 tokens vs the hashed-vocab
+    classifier's median cut) — the "do my filters agree beyond
+    chance?" audit run before trusting any single gate to prune a
+    100 TB corpus.  Low kappa on high raw agreement means the gates
+    mostly fire on base rates, not shared signal.
+
+    Exactness: the 2×2 confusion counts are integers from ONE
+    aggregate; observed/expected agreement and kappa are exact
+    rationals — po/pe in ppm and kappa in 1e-6 units via the portable
+    divr spelling (truncating div, half away from zero), so every
+    output hashes identically cross-engine.  kappa is NULL when the
+    marginals are degenerate (pe = 1 ⇒ denominator 0).
+
+    100 TB shape: the gates are each one corpus pass (documented on
+    their operators, sharing one materialized token stream here is
+    unnecessary — the classifier is the only token-level gate); the
+    confusion matrix is a map-side-combined aggregate to ONE row; all
+    kappa arithmetic happens on that row.
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.relational import divr_sql
+    from cassandra_extractor_spark.operators.text import (
+        ns_quality_classifier,
+        ns_text_quality,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    heur = (
+        ns_text_quality(spark, sf_dir)
+        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50))
+        .select("doc_id", F.lit(True).alias("ga"))
+    )
+    clf = (
+        ns_quality_classifier(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id", F.lit(True).alias("gb"))
+    )
+    flags = (
+        docs.join(heur, "doc_id", "left")
+        .join(clf, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("ga"), F.lit(False)).alias("ga"),
+            F.coalesce(F.col("gb"), F.lit(False)).alias("gb"),
+        )
+    )
+    cnt = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    conf = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt(F.col("ga") & F.col("gb")).alias("n_both_keep"),
+        cnt(F.col("ga") & ~F.col("gb")).alias("n_heuristic_only"),
+        cnt(~F.col("ga") & F.col("gb")).alias("n_classifier_only"),
+        cnt(~F.col("ga") & ~F.col("gb")).alias("n_both_drop"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    prepped = (
+        conf.withColumn("po_num", dec("n_both_keep") + dec("n_both_drop"))
+        .withColumn(
+            "pe_num",
+            (dec("n_both_keep") + dec("n_heuristic_only"))
+            * (dec("n_both_keep") + dec("n_classifier_only"))
+            + (dec("n_both_drop") + dec("n_classifier_only"))
+            * (dec("n_both_drop") + dec("n_heuristic_only")),
+        )
+        .withColumn("nn", dec("n_docs") * dec("n_docs"))
+        .withColumn("knum", dec("n_docs") * F.col("po_num") - F.col("pe_num"))
+        .withColumn("kden", F.col("nn") - F.col("pe_num"))
+    )
+    return prepped.select(
+        "n_docs",
+        "n_both_keep",
+        "n_heuristic_only",
+        "n_classifier_only",
+        "n_both_drop",
+        F.expr(divr_sql("po_num * 1000000", "n_docs")).cast("long").alias("po_ppm"),
+        F.expr(divr_sql("pe_num * 1000000", "nn")).cast("long").alias("pe_ppm"),
+        F.when(
+            F.col("kden") > 0,
+            F.expr(divr_sql("knum * 1000000", "kden")).cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("kappa"),
+    )
+
+
 def ns_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/partition-key skew audit — the pre-flight check a 100 TB
     job runs before choosing a join strategy: per candidate key, the

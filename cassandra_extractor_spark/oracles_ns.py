@@ -1240,6 +1240,49 @@ def _filter_funnel_sql() -> str:
 NS_ORACLES["ns_filter_funnel"] = _filter_funnel_sql()
 
 
+def _gate_agreement_sql() -> str:
+    """Cohen's kappa between the heuristic and classifier gates —
+    confusion counts as HUGEINT, po/pe/kappa via the portable divr
+    spelling (kappa NULL when pe = 1)."""
+    from cassandra_extractor_spark.operators.relational import divr_sql
+
+    return (
+        f"WITH qual AS (SELECT * FROM ({NS_ORACLES['ns_text_quality']})), "
+        f"clf AS (SELECT * FROM ({NS_ORACLES['ns_quality_classifier']})), "
+        "ga AS (SELECT doc_id FROM qual WHERE quality >= 0.5 AND n_tokens >= 50), "
+        "gb AS (SELECT doc_id FROM clf WHERE keep), "
+        "flags AS (SELECT d.doc_id, "
+        "(ga.doc_id IS NOT NULL) AS a_keep, (gb.doc_id IS NOT NULL) AS b_keep "
+        "FROM documents d LEFT JOIN ga ON d.doc_id = ga.doc_id "
+        "LEFT JOIN gb ON d.doc_id = gb.doc_id), "
+        "conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN a_keep AND b_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep, "
+        "CAST(SUM(CASE WHEN a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_heuristic_only, "
+        "CAST(SUM(CASE WHEN NOT a_keep AND b_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_classifier_only, "
+        "CAST(SUM(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop "
+        "FROM flags), "
+        "m AS (SELECT *, "
+        "CAST(n_both_keep AS HUGEINT) + n_both_drop AS po_num, "
+        "(CAST(n_both_keep AS HUGEINT) + n_heuristic_only) * "
+        "(CAST(n_both_keep AS HUGEINT) + n_classifier_only) + "
+        "(CAST(n_both_drop AS HUGEINT) + n_classifier_only) * "
+        "(CAST(n_both_drop AS HUGEINT) + n_heuristic_only) AS pe_num, "
+        "CAST(n_docs AS HUGEINT) * n_docs AS nn FROM conf), "
+        "k AS (SELECT *, CAST(n_docs AS HUGEINT) * po_num - pe_num AS knum, "
+        "nn - pe_num AS kden FROM m) "
+        "SELECT n_docs, n_both_keep, n_heuristic_only, n_classifier_only, "
+        "n_both_drop, "
+        f"CAST({divr_sql('po_num * 1000000', 'n_docs', '//')} AS BIGINT) AS po_ppm, "
+        f"CAST({divr_sql('pe_num * 1000000', 'nn', '//')} AS BIGINT) AS pe_ppm, "
+        "CASE WHEN kden > 0 THEN "
+        f"CAST({divr_sql('knum * 1000000', 'kden', '//')} AS DOUBLE) "
+        "/ CAST(1000000.0 AS DOUBLE) END AS kappa FROM k"
+    )
+
+
+NS_ORACLES["ns_gate_agreement"] = _gate_agreement_sql()
+
+
 NS_ORACLES["ns_dup_ngram_coverage"] = (
     f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
     "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "

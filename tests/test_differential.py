@@ -556,6 +556,7 @@ DOC_QUERIES = [
     "ns_heavy_hitters",
     "ns_chunk_dedup",
     "ns_filter_funnel",
+    "ns_gate_agreement",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
