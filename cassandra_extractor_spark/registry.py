@@ -298,7 +298,9 @@ QUERIES: dict[str, QueryFn] = {
 #: preceding rounds — so the r8 sample is disjoint from r6∪r7 and
 #: every entry re-earns driver evidence at least once per ~5 rounds.
 #: The union of CORRECTNESS_r0{1..7}.json already covers all 241
-#: names at least once.  This round's 50: the r2/r3-era ns_* block +
+#: pre-round-8 names at least once.  This round's 51 (led by the new
+#: ns_gate_agreement, which needs its first driver evidence): the
+#: r2/r3-era ns_* block +
 #: the q44b…q65 stragglers (oldest green rows first), led by the two
 #: rotation-eligible operators whose plans changed this round
 #: (quantize O(d) fold, semantic-dedup struct-max argmax; the third
