@@ -413,6 +413,64 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(bands).orderBy("d1", "d2")
 
 
+#: edit-distance similarity floor for a verified fuzzy duplicate
+EDITDIST_SIM_PPM = 800_000  # ≥ 80% similar
+
+
+def ns_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFICATION of the MinHash-LSH candidate pairs —
+    the standard two-stage fuzzy dedup: a cheap probabilistic recall
+    stage proposes pairs, an exact character-level stage confirms them
+    (catches shingle-level collisions that are not textual near-dups,
+    e.g. shared boilerplate with different payloads).
+
+    Similarity is pure-integer: ``sim_ppm = (maxlen − lev)·10⁶ div
+    maxlen`` with Spark's and DuckDB's ``levenshtein`` agreeing exactly
+    (unit costs, verified), so the verdict hashes identically
+    cross-engine.  A pair is a verified duplicate at ≥ 80% similarity.
+
+    100 TB shape: levenshtein is O(len²) per pair, so it runs ONLY on
+    the LSH candidate set (bounded by banding, never all-pairs); the
+    two text lookups are hash joins co-partitioned on doc_id.  For
+    adversarially long documents, cap the compared prefix or use
+    Spark's thresholded ``levenshtein(l, r, k)`` early-exit — kept
+    uncapped here for oracle exactness on the bounded test corpus.
+    """
+    pairs = lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    # NULL text normalizes to '' on BOTH engines — otherwise the verdict
+    # column would be a NULL boolean (PARITY divergence #11)
+    txt = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    joined = (
+        pairs.join(txt.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1")), "d1")
+        .join(txt.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2")), "d2")
+    )
+    lev = F.levenshtein(F.col("t1"), F.col("t2"))
+    maxlen = F.greatest(F.length("t1"), F.length("t2")).cast("long")
+    scored = joined.select(
+        "d1",
+        "d2",
+        lev.cast("long").alias("edit_dist"),
+        maxlen.alias("max_len"),
+    ).withColumn(
+        "sim_ppm",
+        # two empty texts: identical by convention (distance 0 over
+        # nothing) — avoid 0/0 on both engines
+        F.when(F.col("max_len") == 0, F.lit(1_000_000).cast("long")).otherwise(
+            F.expr("div((max_len - edit_dist) * 1000000, max_len)")
+        ),
+    )
+    return scored.select(
+        "d1",
+        "d2",
+        "edit_dist",
+        "max_len",
+        "sim_ppm",
+        (F.col("sim_ppm") >= EDITDIST_SIM_PPM).alias("verified_dup"),
+    ).orderBy("d1", "d2")
+
+
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, banded hamming join.
 

@@ -1283,6 +1283,32 @@ def _gate_agreement_sql() -> str:
 NS_ORACLES["ns_gate_agreement"] = _gate_agreement_sql()
 
 
+def _neardup_editdist_sql() -> str:
+    """Edit-distance verify of the LSH candidates — integer sim_ppm via
+    truncating div; DuckDB's levenshtein matches Spark's exactly."""
+    from cassandra_extractor_spark.operators.dedup import EDITDIST_SIM_PPM
+
+    return (
+        f"WITH mh AS ({_minhash_sql()}), "
+        "j AS (SELECT mh.d1, mh.d2, COALESCE(a.text, '') AS t1, "
+        "COALESCE(b.text, '') AS t2 "
+        "FROM mh JOIN documents a ON a.doc_id = mh.d1 "
+        "JOIN documents b ON b.doc_id = mh.d2), "
+        "s AS (SELECT d1, d2, "
+        "CAST(levenshtein(t1, t2) AS BIGINT) AS edit_dist, "
+        "CAST(greatest(length(t1), length(t2)) AS BIGINT) AS max_len FROM j), "
+        "m AS (SELECT *, CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT) "
+        "ELSE CAST((max_len - edit_dist) * 1000000 // max_len AS BIGINT) END "
+        "AS sim_ppm FROM s) "
+        "SELECT d1, d2, edit_dist, max_len, sim_ppm, "
+        f"sim_ppm >= {EDITDIST_SIM_PPM} AS verified_dup "
+        "FROM m ORDER BY d1, d2"
+    )
+
+
+NS_ORACLES["ns_neardup_editdist"] = _neardup_editdist_sql()
+
+
 NS_ORACLES["ns_dup_ngram_coverage"] = (
     f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
     "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "

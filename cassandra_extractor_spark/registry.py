@@ -149,6 +149,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_triangle_count": D.ns_triangle_count,
     "ns_filter_funnel": X.ns_filter_funnel,
     "ns_gate_agreement": X.ns_gate_agreement,
+    "ns_neardup_editdist": D.ns_neardup_editdist,
     "q80_interval_merge": R.q80_interval_merge,
     "q76_rolling_zscore": R.q76_rolling_zscore,
     "q77_zorder_key": R.q77_zorder_key,
@@ -308,7 +309,7 @@ QUERIES: dict[str, QueryFn] = {
 #: disjointness keeps it out — the full tools/check.py sweep covers
 #: it).  Every entry stays registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
-    "ns_gate_agreement",  # NEW in round 8 — first driver evidence
+    "ns_gate_agreement", "ns_neardup_editdist",  # NEW in round 8
     "ns_embedding_quantize", "ns_semantic_dedup", "ns_filter_funnel",
     "ns_ann_cosine_topk", "ns_ann_ivf", "ns_ann_pq", "ns_boilerplate",
     "ns_corpus_diff", "ns_corpus_select", "ns_corpus_stats",

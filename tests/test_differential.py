@@ -557,6 +557,7 @@ DOC_QUERIES = [
     "ns_chunk_dedup",
     "ns_filter_funnel",
     "ns_gate_agreement",
+    "ns_neardup_editdist",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",

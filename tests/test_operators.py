@@ -1220,3 +1220,36 @@ def test_tokenizer_fertility_first_principles(spark, sf_dir):
         assert r["chars_per_ws_ppm"] == (1_000_000 * chars // ws if ws else 0)
         assert r["chars_per_bpe_ppm"] == (1_000_000 * chars // bpe if bpe else 0)
         assert r["fertility_ppm"] == (1_000_000 * bpe // ws if ws else 0)
+
+
+def test_neardup_editdist_first_principles(spark, tmp_path):
+    """Two-stage fuzzy dedup: near-identical docs that share shingles
+    must be LSH candidates AND verify at >= 80% levenshtein similarity;
+    the sim arithmetic is pinned against hand-computed values."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from cassandra_extractor_spark.operators.dedup import ns_neardup_editdist
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " ok"                      # tiny tail edit
+    far = "completely different words " * 3  # shares no shingles
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [base, near, far],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }),
+        d / "documents.parquet",
+    )
+    rows = {(r.d1, r.d2): r for r in ns_neardup_editdist(spark, str(d)).collect()}
+    assert (1, 2) in rows and (1, 3) not in rows and (2, 3) not in rows
+    r = rows[(1, 2)]
+    # levenshtein(base, base+' ok') = 3 appended chars; max_len = len(near)
+    assert r.edit_dist == 3 and r.max_len == len(near)
+    assert r.sim_ppm == (r.max_len - 3) * 1_000_000 // r.max_len
+    assert bool(r.verified_dup) is True
