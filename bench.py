@@ -24,9 +24,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.0
     # --profile: cache every source table first (Spark's CacheManager
     # substitutes the cached InMemoryRelation into any later plan with a
-    # matching scan subtree), and take best-of-3 — per-query numbers
-    # then reflect COMPUTE, not parquet scan + scheduling jitter, so
-    # heavy-query regressions show above the ~0.25 s/query floor.
+    # matching scan subtree) — per-query numbers then reflect COMPUTE,
+    # not parquet scan + scheduling jitter.  Timing protocol (median of
+    # 3) is identical to the default mode; profile mode ONLY adds the
+    # table caching.
     profile = "--profile" in sys.argv[1:]
 
     from cassandra_extractor_spark.registry import QUERIES
@@ -73,7 +74,7 @@ def main() -> None:
     # manager machinery is its own classloading hill, observed +3-4 s
     # on whichever connected-components pipeline ran first) decouples
     # the timed region from both ordering and rotation.
-    for wname in (
+    warmup_names = (
         "tpch_q01",
         "q19_multiway_join",
         "q23_window_running_sum",
@@ -81,13 +82,44 @@ def main() -> None:
         "ns_ann_cosine_topk",
         "ns_dedup_exact",
         "ns_dedup_clusters",
-    ):
+    )
+    # fail FAST on a registry rename: silently skipping a warm-up shape
+    # would reintroduce the ordering-dependent +2-5 s JIT noise the
+    # fixed mix exists to remove
+    missing = [w for w in warmup_names if w not in QUERIES]
+    assert not missing, f"warm-up queries renamed/removed from registry: {missing}"
+    for wname in warmup_names:
         try:
             QUERIES[wname](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception as exc:  # noqa: BLE001
             print(f"# warmup {wname} ERROR: {exc}", file=sys.stderr)
+
+    # The corpus-family pipelines share one materialized signature→LSH→
+    # components chain + token stream per session (the in-session analog
+    # of the persisted signature store — see operators/dedup.session_memo).
+    # Charge that one-time build EXPLICITLY: drop whatever the warm-up
+    # cached, rebuild under the clock, and record it as its own line item
+    # ("shared_dedup_chain_build") in the total.  Consumer queries then
+    # time their honest MARGINAL cost over the store, exactly as a real
+    # multi-query session (or the nightly pipeline reading the persisted
+    # store) would pay it — the build is counted once, not hidden and
+    # not multiply charged.
+    from cassandra_extractor_spark.operators.dedup import (
+        invalidate_dedup_chain,
+        shared_clusters,
+        shared_pairs,
+    )
+    from cassandra_extractor_spark.operators.text import shared_token_stream
+
+    invalidate_dedup_chain(spark)
+    t0 = time.time()
+    shared_pairs(spark, sf_dir)  # builds shared_bands too
+    shared_pairs(spark, sf_dir, max_bucket=64)
+    shared_clusters(spark, sf_dir)
+    shared_token_stream(spark, sf_dir)
+    chain_build_sec = round(time.time() - t0, 3)
 
     cached = []
     if profile:
@@ -96,14 +128,16 @@ def main() -> None:
             df.count()
             cached.append(df)
 
-    # best-of-N: single-pass numbers on this box are ±2x noisy (JVM/GC),
+    # median-of-3: single-pass numbers on this box are ±2x noisy (JVM/GC),
     # and the HOST itself drifts ±15% between whole runs (observed: two
     # identical-code runs at 137.4 s vs 118.3 s, with the map-only
     # extract swinging 507k vs 410k rows/s — ambient, not engine).
-    # Best-of-3 shaves the within-run outliers; run-level drift is
-    # documented in PARITY.md and judged on the slowest-25 aggregate.
+    # The median absorbs one GC/JIT outlier in either direction, where
+    # best-of understates and mean overstates — this matches the
+    # BASELINE.md protocol ("median of 3"); run-level drift is
+    # documented in PARITY.md.
     runs = 3
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {"shared_dedup_chain_build": chain_build_sec}
     # Build-vs-execute split: Python-side plan construction (registry
     # fn + eager schema resolutions, 0.05-0.6 s for the deep ns_*
     # trees) is client authoring overhead, not engine work — a
@@ -135,7 +169,7 @@ def main() -> None:
     # (whatever ran first absorbed residual warm-up).  Name order is
     # stable across rotations.
     for name, fn in sorted(QUERIES.items()):
-        best = -1.0
+        samples: list[float] = []
         try:
             j0 = _jobs()
             t0 = time.time()
@@ -145,23 +179,21 @@ def main() -> None:
                 # probe build did engine work: charge it + the write as
                 # run 1, then fresh end-to-end builds for the rest
                 df.write.format("noop").mode("overwrite").save()
-                best = round(time.time() - t0, 3)
+                samples.append(round(time.time() - t0, 3))
                 for _ in range(runs - 1):
                     t0 = time.time()
                     fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
-                    best = min(best, round(time.time() - t0, 3))
+                    samples.append(round(time.time() - t0, 3))
             else:
                 for _ in range(runs):
                     t0 = time.time()
                     df.write.format("noop").mode("overwrite").save()
-                    elapsed = round(time.time() - t0, 3)
-                    best = elapsed if best < 0 else min(best, elapsed)
+                    samples.append(round(time.time() - t0, 3))
         except Exception as exc:  # noqa: BLE001
             print(f"# {name} ERROR: {exc}", file=sys.stderr)
-            best = -1.0
-        timings[name] = best
+        timings[name] = sorted(samples)[len(samples) // 2] if samples else -1.0
 
     # Stabilize the tail: driver-vs-builder same-commit runs diverge
     # ~8% with occasional 3x single-query noise (JVM/GC), which reads
@@ -169,7 +201,7 @@ def main() -> None:
     # with MEDIAN-of-3 — the median absorbs one GC/JIT outlier in
     # either direction, where best-of understates and mean overstates.
     slowest = sorted(
-        (k for k, v in timings.items() if v >= 0),
+        (k for k, v in timings.items() if v >= 0 and k in QUERIES),
         key=lambda k: timings[k],
         reverse=True,
     )[:25]
@@ -217,15 +249,16 @@ def main() -> None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         df = spec.build(spark, sf_dir)
         n_rows = df.count()
-        # best-of-N, same protocol as the queries above: the first JSON
-        # write pays one-time JVM JIT/classloading (~2x on this box),
-        # which is startup cost, not steady-state throughput
-        extract_sec = -1.0
+        # median-of-3, same protocol as the queries above: the first
+        # JSON write pays one-time JVM JIT/classloading (~2x on this
+        # box), which the median absorbs as startup cost, not
+        # steady-state throughput
+        ext_samples = []
         for _ in range(runs):
             t0 = time.time()
             write_jsonl(df, out_dir)
-            elapsed = round(time.time() - t0, 3)
-            extract_sec = elapsed if extract_sec < 0 else min(extract_sec, elapsed)
+            ext_samples.append(round(time.time() - t0, 3))
+        extract_sec = sorted(ext_samples)[len(ext_samples) // 2]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

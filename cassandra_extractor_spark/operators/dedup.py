@@ -399,18 +399,110 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: cap for the per-session shared-chain cache: one sf_dir uses 5 slots
+#: (bands, pairs×2 bucket policies, clusters, token stream); 12 lets two
+#: standard sf dirs coexist while one-shot differential tmp dirs churn
+#: through the tail (same rationale as catalog._TABLE_CACHE_CAP)
+_CHAIN_CACHE_CAP = 12
+
+
+def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:
+    """Session-scoped memo for MATERIALIZED (localCheckpoint'd) frames —
+    the single-session analog of the persisted signature store
+    (``write_signature_store``): expensive corpus-wide intermediates are
+    built ONCE per (session, corpus snapshot) and every registry entry
+    that needs them reads the materialized blocks instead of re-running
+    the pipeline.
+
+    Each entry stays standalone: a cache miss builds the chain, so any
+    query works alone; in a multi-query session (the correctness sweep,
+    the bench, a real pipeline run) the corpus is signed exactly once.
+    At 100 TB the durable variant is the bucketed signature store on
+    disk; in-session, localCheckpoint blocks play that role.  The cache
+    lives ON the session object (a replaced session can't serve stale
+    JVM handles) and is LRU-capped; evicted frames are reclaimed by
+    Spark's ContextCleaner once unreferenced.
+    """
+    cache: dict = spark.__dict__.setdefault("_ce_dedup_chain", {})
+    if key in cache:
+        cache[key] = cache.pop(key)  # move-to-end: mark most recent
+        return cache[key]
+    df = builder()
+    while len(cache) >= _CHAIN_CACHE_CAP:
+        cache.pop(next(iter(cache)))  # evict least-recently-used
+    cache[key] = df
+    return df
+
+
+def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop memoized chain frames — required after rewriting a corpus
+    directory in place (mirrors ``invalidate_table_cache``), and used by
+    the bench to charge the one-time chain build explicitly."""
+    cache = spark.__dict__.get("_ce_dedup_chain")
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[1] == sf_dir]:
+            del cache[key]
+
+
+def shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized LSH band signatures for the corpus, built once per
+    (session, sf_dir) — every LSH consumer (pair generation, incremental
+    dedup, calibration) reads these blocks."""
+    return session_memo(
+        spark,
+        ("bands", sf_dir),
+        lambda: materialize_once(minhash_bands(spark, sf_dir)),
+    )
+
+
+def shared_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Materialized LSH candidate pairs (per bucket policy), built once
+    per (session, sf_dir, max_bucket) over ``shared_bands`` — the edge
+    list feeding verification (editdist), graph analytics (PageRank,
+    triangles, label propagation, leakage), and clustering."""
+    return session_memo(
+        spark,
+        ("pairs", sf_dir, max_bucket),
+        lambda: lsh_candidate_pairs(
+            shared_bands(spark, sf_dir), max_bucket=max_bucket
+        ).localCheckpoint(eager=True),
+    )
+
+
+def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components, built once per (session, sf_dir) —
+    the cluster map consumed by canonical selection, corpus selection,
+    the training-corpus pipeline, and the filter funnel.  Uses the
+    star-topology skew guard (``max_bucket=64``): connectivity — hence
+    the clusters and the oracle hash — is identical to all-pairs."""
+
+    def build() -> DataFrame:
+        pairs = shared_pairs(spark, sf_dir, max_bucket=64)
+        # pairs are materialized, so the count is free — it sizes the
+        # iteration partitioning inside connected_components
+        return connected_components(pairs, n_edges=pairs.count())
+
+    return session_memo(spark, ("clusters", sf_dir), build)
+
+
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
 
     shingle→minhash (map-only) → band→bucket self-join (one shuffle on
     uniformly-distributed md5 band signatures) → distinct pairs.
 
-    The band frame is materialized once (``materialize_once``) so the
-    bucket self-join does NOT recompute the shingle→signature pipeline
-    per aliased side.
+    The band and pair frames are built once per session
+    (``shared_bands``/``shared_pairs``): the bucket self-join does NOT
+    recompute the shingle→signature pipeline per aliased side, and the
+    five other pair consumers read the same materialized edge list.
     """
-    bands = materialize_once(minhash_bands(spark, sf_dir))
-    return lsh_candidate_pairs(bands).orderBy("d1", "d2")
+    return shared_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
 #: edit-distance similarity floor for a verified fuzzy duplicate
@@ -427,16 +519,24 @@ def ns_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Similarity is pure-integer: ``sim_ppm = (maxlen − lev)·10⁶ div
     maxlen`` with Spark's and DuckDB's ``levenshtein`` agreeing exactly
     (unit costs, verified), so the verdict hashes identically
-    cross-engine.  A pair is a verified duplicate at ≥ 80% similarity.
+    cross-engine.  A pair is a verified duplicate at ≥ 80% similarity,
+    which is algebraically ``lev ≤ maxlen div 5``.
 
-    100 TB shape: levenshtein is O(len²) per pair, so it runs ONLY on
-    the LSH candidate set (bounded by banding, never all-pairs); the
-    two text lookups are hash joins co-partitioned on doc_id.  For
-    adversarially long documents, cap the compared prefix or use
-    Spark's thresholded ``levenshtein(l, r, k)`` early-exit — kept
-    uncapped here for oracle exactness on the bounded test corpus.
+    100 TB shape: levenshtein runs ONLY on the LSH candidate set
+    (bounded by banding, never all-pairs), and it runs THRESHOLDED:
+    ``levenshtein(t1, t2, maxlen div 5)`` early-exits with −1 the
+    moment the distance provably exceeds the verification bound —
+    O(k·minlen) per pair instead of O(len²), and O(1) when the length
+    gap alone disqualifies (``lev ≥ |len1−len2|``, checked before any
+    matrix work).  An adversarially long pair that can't pass 80%
+    therefore never pays the quadratic cost.  Capped rows report the
+    −1 sentinel in ``edit_dist``/``sim_ppm`` (documented contract:
+    "provably below threshold, not computed"); the DuckDB oracle
+    replicates the cap algebraically from the full distance, so both
+    engines hash identically.  The two text lookups are hash joins
+    co-partitioned on doc_id.
     """
-    pairs = lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    pairs = shared_pairs(spark, sf_dir)
     # NULL text normalizes to '' on BOTH engines — otherwise the verdict
     # column would be a NULL boolean (PARITY divergence #11)
     txt = load_table(spark, "documents", sf_dir).select(
@@ -446,20 +546,30 @@ def ns_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(txt.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1")), "d1")
         .join(txt.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2")), "d2")
     )
-    lev = F.levenshtein(F.col("t1"), F.col("t2"))
-    maxlen = F.greatest(F.length("t1"), F.length("t2")).cast("long")
-    scored = joined.select(
+    sized = joined.select(
         "d1",
         "d2",
-        lev.cast("long").alias("edit_dist"),
-        maxlen.alias("max_len"),
+        "t1",
+        "t2",
+        F.greatest(F.length("t1"), F.length("t2")).cast("long").alias("max_len"),
+    )
+    # verified ⟺ sim_ppm ≥ 800000 ⟺ 5·lev ≤ maxlen ⟺ lev ≤ maxlen div 5,
+    # so the verification threshold IS the early-exit bound
+    scored = sized.select(
+        "d1",
+        "d2",
+        "max_len",
+        F.expr("levenshtein(t1, t2, cast(max_len div 5 as int))")
+        .cast("long")
+        .alias("edit_dist"),
     ).withColumn(
         "sim_ppm",
-        # two empty texts: identical by convention (distance 0 over
-        # nothing) — avoid 0/0 on both engines
-        F.when(F.col("max_len") == 0, F.lit(1_000_000).cast("long")).otherwise(
-            F.expr("div((max_len - edit_dist) * 1000000, max_len)")
-        ),
+        # −1: thresholded early-exit fired (distance provably > bound).
+        # Two empty texts: identical by convention (distance 0 over
+        # nothing) — avoid 0/0 on both engines.
+        F.when(F.col("edit_dist") < 0, F.lit(-1).cast("long"))
+        .when(F.col("max_len") == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(F.expr("div((max_len - edit_dist) * 1000000, max_len)")),
     )
     return scored.select(
         "d1",
@@ -467,7 +577,7 @@ def ns_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edit_dist",
         "max_len",
         "sim_ppm",
-        (F.col("sim_ppm") >= EDITDIST_SIM_PPM).alias("verified_dup"),
+        (F.col("edit_dist") >= 0).alias("verified_dup"),
     ).orderBy("d1", "d2")
 
 
@@ -639,19 +749,16 @@ def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH candidate pairs → connected
     components → (doc_id, cluster_id).  The full production dedup
     pipeline shape: signatures (map-only) → LSH join → clustering →
-    keep min doc per cluster."""
-    # materialize the candidate pairs once: every propagation round
-    # joins against the edge list, which would otherwise re-run the
-    # whole signature+LSH pipeline per iteration.  max_bucket engages
-    # the star-topology skew guard — connectivity (and therefore the
-    # clusters, and the oracle hash) is identical to all-pairs, but a
-    # mass-duplicated bucket costs O(k) instead of O(k²) pairs.
-    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir), max_bucket=64).localCheckpoint(
-        eager=True
-    )
-    # pairs are materialized, so the count is free — it sizes the
-    # iteration partitioning inside connected_components
-    return connected_components(pairs, n_edges=pairs.count()).orderBy("doc_id")
+    keep min doc per cluster.
+
+    The signature→pairs→components chain is built once per session
+    (``shared_clusters``): the four corpus-family pipelines that
+    consume the cluster map (canonical selection, corpus select,
+    training corpus, filter funnel) read the same materialized labels
+    instead of each re-signing the corpus and re-running the
+    fixpoint — the in-session analog of the persisted signature store.
+    """
+    return shared_clusters(spark, sf_dir).orderBy("doc_id")
 
 
 def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -830,9 +937,7 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aren't in the graph; symmetric edges mean every node has degree
     >= 1), matching the oracle exactly.
     """
-    pairs = materialize_once(
-        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
-    )
+    pairs = shared_pairs(spark, sf_dir)
     edges = materialize_once(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
             pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
@@ -981,7 +1086,7 @@ def ns_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.operators.sampling import split_by_hash
     from cassandra_extractor_spark.sources.catalog import load_table
 
-    pairs = lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
+    pairs = shared_pairs(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     splits = split_by_hash(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
     s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("sa"))
@@ -1163,9 +1268,7 @@ def ns_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-orientation keeps the oracle deterministic and is the identical
     join shape.
     """
-    pairs = materialize_once(
-        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
-    )
+    pairs = shared_pairs(spark, sf_dir)
     a, b, c = pairs.alias("a"), pairs.alias("b"), pairs.alias("c")
     tri = (
         a.join(b, F.col("b.d1") == F.col("a.d2"))
@@ -1389,9 +1492,7 @@ def ns_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs) materialized ONCE across rounds.  Isolated docs keep
     their own label (left join back to the full doc set).
     """
-    pairs = materialize_once(
-        lsh_candidate_pairs(materialize_once(minhash_bands(spark, sf_dir)))
-    )
+    pairs = shared_pairs(spark, sf_dir)
     edges = materialize_once(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
             pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))

@@ -159,15 +159,12 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from cassandra_extractor_spark.operators.dedup import (
-        materialize_once,
-        ns_dedup_clusters,
-    )
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
         ns_repetition_filter,
         ns_text_quality,
-        token_stream,
+        shared_token_stream,
         tokens,
     )
 
@@ -176,9 +173,7 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = ns_dedup_clusters(spark, sf_dir)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    stream = materialize_once(
-        token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
-    )
+    stream = shared_token_stream(spark, sf_dir)
     rep = ns_repetition_filter(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
     clf = ns_quality_classifier(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
     surv = (
@@ -413,15 +408,12 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from cassandra_extractor_spark.operators.dedup import (
-        materialize_once,
-        ns_dedup_clusters,
-    )
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
         ns_repetition_filter,
         ns_text_quality,
-        token_stream,
+        shared_token_stream,
     )
     from cassandra_extractor_spark.sources.catalog import load_table
 
@@ -438,10 +430,9 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one shared token stream feeds both token-level gates, exactly as
     # ns_training_corpus does — the posexplode+lead pipeline is the
-    # dominant map cost and would otherwise run twice
-    stream = materialize_once(
-        token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
-    )
+    # dominant map cost and would otherwise run twice (and the session
+    # memo shares it ACROSS the two pipelines as well)
+    stream = shared_token_stream(spark, sf_dir)
     rep = (
         ns_repetition_filter(spark, sf_dir, _stream=stream)
         .where(F.col("keep"))

@@ -495,9 +495,19 @@ def q38_approx_distinct(spark, sf_dir):
     the row hashes match iff both sketches honor the contract — which
     turns the one formerly rows-only registry entry fully green
     without pretending sketch equality.
+
+    One-scan shape: mixing COUNT(DISTINCT) with another aggregate
+    triggers Spark's Expand-based distinct rewrite (every input row
+    duplicated per aggregate group).  Instead the keys are deduped
+    first (map-side-combined partial aggregate — the standard
+    distributed distinct) and BOTH the exact count and the HLL run
+    over the distinct keys: HLL register updates are max-based, hence
+    duplicate-insensitive, so inserting each key once yields the
+    identical sketch and estimate as inserting every occurrence.
     """
-    wide = _t(spark, sf_dir, "orders").agg(
-        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+    keys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    wide = keys.agg(
+        F.count("*").cast("long").alias("n_exact"),
         F.approx_count_distinct("o_custkey", rsd=0.01).cast("long").alias("n_approx"),
     )
     return wide.select(

@@ -32,7 +32,14 @@ def in_encoding_contract(col: Column, lo: int, hi: int, what: str) -> Column:
     out-of-contract value corrupts the decoded winner IDENTICALLY on
     both engines, so the differential harness would hash-match the
     wrong answers.  This makes the contract a runtime error instead:
-    one cheap per-row branch, zero cost on the happy path."""
+    one cheap per-row branch, zero cost on the happy path.
+
+    DELIBERATE ASYMMETRY: the paired DuckDB oracles carry no
+    equivalent guard — on contract-violating data Spark fails loud
+    while the oracle silently computes a corrupted winner.  That is
+    the intent (the oracle is a reference spelling for VALID inputs,
+    not a production engine), but any future operator reusing this
+    guard should note the asymmetry next to its oracle builder."""
     return F.when((col >= lo) & (col <= hi), col).otherwise(
         F.raise_error(
             F.format_string(

@@ -340,6 +340,26 @@ def token_stream(d: DataFrame) -> DataFrame:
     return toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
 
 
+def shared_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus ``token_stream``, materialized once per (session,
+    sf_dir) through the dedup chain's ``session_memo`` — the
+    training-corpus pipeline and the filter funnel both feed their
+    token-level gates from these blocks instead of exploding the corpus
+    once each (same sharing discipline as ``shared_clusters``)."""
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        ("token_stream", sf_dir),
+        lambda: materialize_once(
+            token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+        ),
+    )
+
+
 def ns_repetition_filter(
     spark: SparkSession, sf_dir: str, _stream: DataFrame | None = None
 ) -> DataFrame:

@@ -1285,9 +1285,12 @@ NS_ORACLES["ns_gate_agreement"] = _gate_agreement_sql()
 
 def _neardup_editdist_sql() -> str:
     """Edit-distance verify of the LSH candidates — integer sim_ppm via
-    truncating div; DuckDB's levenshtein matches Spark's exactly."""
-    from cassandra_extractor_spark.operators.dedup import EDITDIST_SIM_PPM
-
+    truncating div; DuckDB's levenshtein matches Spark's exactly.  The
+    Spark side runs the THRESHOLDED ``levenshtein(t1, t2, maxlen div
+    5)`` (early-exit −1 above the verification bound); DuckDB has no
+    thresholded form, so the cap is replicated algebraically from the
+    full distance: Spark returns −1 ⟺ lev > floor(maxlen/5) ⟺
+    5·lev > maxlen."""
     return (
         f"WITH mh AS ({_minhash_sql()}), "
         "j AS (SELECT mh.d1, mh.d2, COALESCE(a.text, '') AS t1, "
@@ -1295,13 +1298,17 @@ def _neardup_editdist_sql() -> str:
         "FROM mh JOIN documents a ON a.doc_id = mh.d1 "
         "JOIN documents b ON b.doc_id = mh.d2), "
         "s AS (SELECT d1, d2, "
-        "CAST(levenshtein(t1, t2) AS BIGINT) AS edit_dist, "
+        "CAST(levenshtein(t1, t2) AS BIGINT) AS lev_full, "
         "CAST(greatest(length(t1), length(t2)) AS BIGINT) AS max_len FROM j), "
-        "m AS (SELECT *, CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT) "
-        "ELSE CAST((max_len - edit_dist) * 1000000 // max_len AS BIGINT) END "
+        "m AS (SELECT d1, d2, "
+        "CASE WHEN lev_full * 5 > max_len THEN CAST(-1 AS BIGINT) "
+        "ELSE lev_full END AS edit_dist, max_len, "
+        "CASE WHEN lev_full * 5 > max_len THEN CAST(-1 AS BIGINT) "
+        "WHEN max_len = 0 THEN CAST(1000000 AS BIGINT) "
+        "ELSE CAST((max_len - lev_full) * 1000000 // max_len AS BIGINT) END "
         "AS sim_ppm FROM s) "
         "SELECT d1, d2, edit_dist, max_len, sim_ppm, "
-        f"sim_ppm >= {EDITDIST_SIM_PPM} AS verified_dup "
+        "edit_dist >= 0 AS verified_dup "
         "FROM m ORDER BY d1, d2"
     )
 

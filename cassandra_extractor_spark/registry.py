@@ -298,36 +298,39 @@ QUERIES: dict[str, QueryFn] = {
 #: driver-green row is OLDEST, excluding everything sampled in the two
 #: preceding rounds — so the r8 sample is disjoint from r6∪r7 and
 #: every entry re-earns driver evidence at least once per ~5 rounds.
-#: The union of CORRECTNESS_r0{1..7}.json already covers all 241
-#: pre-round-8 names at least once.  This round's 51 (led by the new
-#: ns_gate_agreement, which needs its first driver evidence): the
-#: r2/r3-era ns_* block +
-#: the q44b…q65 stragglers (oldest green rows first), led by the two
-#: rotation-eligible operators whose plans changed this round
-#: (quantize O(d) fold, semantic-dedup struct-max argmax; the third
-#: changed plan, q116_spearman's two-pass rank, was sampled in r7 so
-#: disjointness keeps it out — the full tools/check.py sweep covers
-#: it).  Every entry stays registered — prioritization, not selection.
+#: As of round 8 the union of CORRECTNESS_r0{1..8}.json covers ALL 243
+#: registry names at least once — the rotation now accrues SECOND-pass
+#:  evidence where it is stalest.  This round's 52: the 52
+#: oldest-evidence entries among the 143 eligible (registry minus the
+#: r7∪r8 samples), computed mechanically from the CORRECTNESS files —
+#: oldest round first, name-ordered within a round.  Two of them
+#: (ns_neardup_editdist's thresholded-levenshtein output contract and
+#: the corpus family's shared chain) changed plan or values this round
+#: and get fresh driver evidence through their family members here
+#: (ns_triangle_count, ns_minhash_calibration, ns_cluster_canonical,
+#: ns_dup_ngram_coverage, ns_substring_dedup); editdist itself was
+#: r8-sampled, so disjointness keeps it out — the full tools/check.py
+#: sweep covers it.  Every entry stays registered — prioritization,
+#: not selection.
 _PRIORITY_PREFIX = [
-    "ns_gate_agreement", "ns_neardup_editdist",  # NEW in round 8
-    "ns_embedding_quantize", "ns_semantic_dedup", "ns_filter_funnel",
-    "ns_ann_cosine_topk", "ns_ann_ivf", "ns_ann_pq", "ns_boilerplate",
-    "ns_corpus_diff", "ns_corpus_select", "ns_corpus_stats",
-    "ns_data_audit", "ns_decontaminate", "ns_dedup_clusters",
-    "ns_dedup_containment", "ns_dedup_exact", "ns_dedup_fingerprint",
-    "ns_dedup_jaccard", "ns_dedup_minhash_lsh", "ns_dedup_simhash",
-    "ns_doc_chunk", "ns_kmeans_step", "ns_mixture_sample",
-    "ns_multimodal_meta", "ns_neardup_embedding",
-    "ns_quality_classifier", "ns_repetition_filter",
-    "ns_sample_stratified", "ns_sample_uniform", "ns_sequence_pack",
-    "ns_sessionize", "ns_split_assign", "ns_tablespec_pipeline",
-    "ns_top_terms", "ns_topk_per_source", "ns_training_corpus",
-    "ns_vocab_oov", "q44b_quantile_disc", "q51_conditional_agg",
-    "q52_string_agg", "q53_ntile", "q63_sliding_window",
-    "q64_regression", "q65_schema_evolution_union", "ns_ann_recall",
-    "ns_cdc_chunk", "ns_chunk_dedup", "ns_corpus_drift",
-    "ns_dedup_prefix_jaccard", "ns_dup_ngram_coverage",
-    "ns_embedding_audit",
+    "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
+    "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
+    "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",
+    "ns_temperature_sample", "ns_text_normalize", "ns_triangle_count",
+    "ns_winsorize", "q38_approx_distinct", "q66_grouped_median",
+    "q67_grouped_mode", "q68_fuzzy_join", "q69_median_abs_dev",
+    "q70_equidepth_hist", "q71_fill_forward", "q77_zorder_key",
+    "q78_bloom_join", "q79_window_distinct", "q80_interval_merge",
+    "q81_rank_metrics", "q82_rolling_median", "q83_cdc_apply",
+    "q84_scd2_history", "q85_interval_lookup", "q86_sequence_gaps",
+    "q87_dense_timeseries", "q88_salted_join", "q89_grouped_quantiles",
+    "q90_time_rollup", "q91_grouping_id", "q92_ohlc_resample",
+    "q93_column_profile", "q94_rank_distributions", "q95_event_pattern",
+    "q96_relational_division", "q97_constraint_audit",
+    "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
+    "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",
+    "ns_cms_estimate", "ns_dp_noise", "ns_embedding_centering",
+    "ns_hll_manual", "ns_hll_set_ops",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)

@@ -41,9 +41,14 @@ class KafkaSinkConfig:
     #: kafkaworker.py:85-106).  These are CONFIG PASS-THROUGH: with no
     #: broker in the sandbox the values are asserted to reach the
     #: writer option map, never observed live.  Explicit fields win
-    #: over the same key in ``producer_options``.
+    #: over the same key in ``producer_options``.  NOTE: the reference
+    #: defaults acks=-1 and derives a FRACTIONAL linger.ms from
+    #: flush_latency (default 0.5 ms) — neither default is implied
+    #: here: pass ``acks="-1"`` explicitly to mirror it, and
+    #: ``linger_ms`` accepts floats so sub-millisecond linger is
+    #: expressible (emitted as ``str(value)`` unchanged).
     acks: str | None = None
-    linger_ms: int | None = None
+    linger_ms: float | int | None = None
 
     @property
     def full_topic(self) -> str:

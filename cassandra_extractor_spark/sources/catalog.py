@@ -100,13 +100,17 @@ def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> No
     directory IN PLACE (the cache pins the file listing).  With
     ``sf_dir`` drops that directory's entries; without, drops all."""
     cache = spark.__dict__.get("_ce_table_plans")
-    if not cache:
-        return
-    if sf_dir is None:
-        cache.clear()
-    else:
-        for key in [k for k in cache if k[0] == sf_dir]:
-            del cache[key]
+    if cache:
+        if sf_dir is None:
+            cache.clear()
+        else:
+            for key in [k for k in cache if k[0] == sf_dir]:
+                del cache[key]
+    # the shared dedup/token-stream chain caches MATERIALIZED data over
+    # these tables — stale blocks are worse than a stale file listing
+    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+    invalidate_dedup_chain(spark, sf_dir)
 
 
 def read_source(

@@ -1235,14 +1235,15 @@ def test_neardup_editdist_first_principles(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog again and again"
     near = base + " ok"                      # tiny tail edit
     far = "completely different words " * 3  # shares no shingles
+    rep = (base + " ") * 20                  # shares shingles, 20x longer
     d = tmp_path / "sfx"
     d.mkdir()
     pq.write_table(
         pa.table({
-            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
-            "text": [base, near, far],
-            "lang": ["en"] * 3,
-            "source": ["s"] * 3,
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [base, near, far, rep],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
         }),
         d / "documents.parquet",
     )
@@ -1253,3 +1254,9 @@ def test_neardup_editdist_first_principles(spark, tmp_path):
     assert r.edit_dist == 3 and r.max_len == len(near)
     assert r.sim_ppm == (r.max_len - 3) * 1_000_000 // r.max_len
     assert bool(r.verified_dup) is True
+    # the repeated doc IS an LSH candidate of base (same shingle set)
+    # but its length gap alone proves sim < 80% — the thresholded
+    # levenshtein early-exits in O(1) and reports the −1 sentinel
+    r4 = rows[(1, 4)]
+    assert r4.edit_dist == -1 and r4.sim_ppm == -1
+    assert bool(r4.verified_dup) is False

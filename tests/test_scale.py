@@ -662,3 +662,61 @@ def test_tokenizer_fertility_single_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def _window_paths_pass_aggregate(node, under_window=False) -> bool:
+    """True iff every path from a Window down to a base relation passes
+    an Aggregate — i.e., no window operator ever sorts raw corpus rows.
+    Walks the optimized LOGICAL plan (stable across AQE re-planning)."""
+    name = node.nodeName()
+    if name == "Aggregate":
+        under_window = False  # rows below here reach windows pre-reduced
+    if "Relation" in name and under_window:
+        return False
+    if name == "Window":
+        under_window = True
+    ch = node.children()
+    return all(
+        _window_paths_pass_aggregate(ch.apply(i), under_window)
+        for i in range(ch.size())
+    )
+
+
+def test_q116_spearman_windows_never_see_corpus_rows(spark, sf_dir):
+    """Regression guard for the r8 two-pass-rank fix: q116's prefix-sum
+    windows must only run over distinct-value/bucket frames (post-
+    aggregate), never over raw lineitem rows — a rank window partitioned
+    by the 3-value flag over the corpus funnels ~1/3 of all rows through
+    one task at scale."""
+    from cassandra_extractor_spark.registry import QUERIES
+
+    df = QUERIES["q116_spearman"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan()
+    assert _window_paths_pass_aggregate(opt), opt.toString()
+
+
+def test_corpus_family_single_signing_pass(spark, sf_dir):
+    """Regression guard for the round-9 shared chain: the corpus-family
+    pipelines must read the session-shared materialized signature→LSH→
+    components chain, not re-sign the corpus each.  Pinned two ways:
+    (a) the funnel's own executed plan contains NO shingle explosion —
+    all posexplode work lives in the prebuilt chain blocks (read back
+    as ExistingRDD scans); (b) a second family pipeline reuses the
+    IDENTICAL cached cluster/stream frames (object identity)."""
+    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+    from cassandra_extractor_spark.operators.extraction import (
+        ns_filter_funnel,
+        ns_training_corpus,
+    )
+
+    invalidate_dedup_chain(spark)
+    funnel = ns_filter_funnel(spark, sf_dir)  # builds the chain eagerly
+    cache = spark.__dict__["_ce_dedup_chain"]
+    clusters_obj = cache[("clusters", sf_dir)]
+    stream_obj = cache[("token_stream", sf_dir)]
+    plan = _executed_plan(funnel)
+    assert "posexplode" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    ns_training_corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert cache[("clusters", sf_dir)] is clusters_obj
+    assert cache[("token_stream", sf_dir)] is stream_obj

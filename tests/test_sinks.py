@@ -174,6 +174,28 @@ def test_kafka_producer_options_pass_through():
     assert "kafka.kafka.batch.size" not in opts
 
 
+def test_kafka_fractional_linger_and_reference_acks():
+    """The reference derives linger.ms from flush_latency with a
+    FRACTIONAL default (0.5 ms, kafkaworker.py) and defaults acks=-1;
+    the first-class fields must express both: floats emit unchanged
+    via str(), and acks='-1' passes through verbatim (it is NOT an
+    implied default — callers mirroring the reference pass it)."""
+    from cassandra_extractor_spark.sinks.kafka import (
+        KafkaSinkConfig,
+        kafka_writer_options,
+    )
+
+    cfg = KafkaSinkConfig(
+        bootstrap_servers="b:9092", topic="t", acks="-1", linger_ms=0.5
+    )
+    opts = kafka_writer_options(cfg)
+    assert opts["kafka.acks"] == "-1"
+    assert opts["kafka.linger.ms"] == "0.5"
+    # no implied defaults: omitting the fields emits no kafka.acks/linger
+    bare = kafka_writer_options(KafkaSinkConfig(bootstrap_servers="b:9092", topic="t"))
+    assert "kafka.acks" not in bare and "kafka.linger.ms" not in bare
+
+
 def test_kafka_error_split_missing_jar_vs_runtime():
     """Only the missing-jar failure is rewritten to the setup hint;
     runtime failures (auth/broker) propagate unchanged."""

@@ -542,3 +542,91 @@ def test_stream_time_rollup_checkpoint_restart_and_late_drop(spark, tmp_path):
         for r in batch.collect()
     }
     assert {**got1, **got2} == want
+
+
+def test_stream_incremental_rollup_restart_replay_compact(spark, tmp_path):
+    """Streaming twin of batch q98_incremental_rollup.  Four contracts:
+    (1) after a drain, the merged rollup equals the one-shot batch
+    aggregate over everything landed (the q98 equivalence, streamed);
+    (2) checkpoint restart processes ONLY newly landed files and the
+    equivalence still holds; (3) foreachBatch replay of a batch id
+    OVERWRITES its partial instead of double-counting; (4) compaction
+    writes a NEW directory whose swapped-in rollup is identical."""
+    import os
+
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        rollup_partial,
+        stream_incremental_rollup,
+    )
+
+    src = tmp_path / "rosrc"
+    store = tmp_path / "rostore"
+    ckpt = str(tmp_path / "rock")
+    schema = "event_type STRING, cents LONG"
+
+    def land(file_no, rows):
+        (
+            spark.createDataFrame(pd.DataFrame(rows), schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "stage" / f"ro{file_no}"))
+        )
+        part = next((tmp_path / "stage" / f"ro{file_no}").glob("*.parquet"))
+        src.mkdir(exist_ok=True)
+        part.rename(src / f"data_{file_no}.parquet")
+
+    def run():
+        q = stream_incremental_rollup(
+            spark, str(src), schema, str(store), ckpt, keys=("event_type",)
+        )
+        q.awaitTermination()
+
+    def merged():
+        return {
+            r.event_type: (r.n, r.sum_cents)
+            for r in read_rollup(spark, str(store), ("event_type",)).collect()
+        }
+
+    def batch_truth():
+        full = spark.read.schema(schema).parquet(f"{src}/*.parquet")
+        return {
+            r.event_type: (r.n, r.sum_cents)
+            for r in rollup_partial(full, ["event_type"], "cents").collect()
+        }
+
+    land(0, [{"event_type": "click", "cents": 100}] * 3 + [{"event_type": "view", "cents": 7}])
+    land(1, [{"event_type": "click", "cents": 50}] * 2)
+    run()
+    assert merged() == batch_truth()
+    assert merged()["click"] == (5, 400)
+    n_parts = len([p for p in os.listdir(store) if p.startswith("batch=")])
+    assert n_parts == 2  # one partial per micro-batch (maxFilesPerTrigger=1)
+
+    # restart: only the new file is read, equivalence holds
+    land(2, [{"event_type": "view", "cents": 13}] * 4)
+    run()
+    assert merged() == batch_truth()
+    assert merged()["view"] == (5, 59)
+    assert len([p for p in os.listdir(store) if p.startswith("batch=")]) == 3
+
+    # replay safety: re-writing an existing batch id overwrites the
+    # partial — sums must NOT double-count
+    replay = spark.read.schema(schema).parquet(str(src / "data_2.parquet"))
+    rollup_partial(replay, ["event_type"], "cents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch=2")
+    assert merged() == batch_truth()
+
+    # compaction: new-directory write + caller swap, rollup unchanged
+    compacted = str(tmp_path / "rostore2")
+    compact_rollup(spark, str(store), compacted, ("event_type",))
+    before = merged()
+    import shutil
+
+    shutil.rmtree(store)
+    os.rename(compacted, store)
+    assert merged() == before == batch_truth()
