@@ -1469,6 +1469,51 @@ def ns_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup audit published with
+    every corpus snapshot: how many clusters of each size exist and how
+    many documents they hold (singletons included), so "what fraction
+    of the corpus is duplicated, and is it many small clusters or one
+    mega-cluster?" is answered before any removal runs.  The r8
+    star-topology guard exists precisely because this distribution has
+    a heavy tail on real crawls.
+
+    Pure-integer output (size, n_clusters, n_docs) — hash-exact.
+    100 TB shape: reads the session-shared cluster map (built once per
+    session); the histogram is two map-side-combined aggregations down
+    to |clusters| then |distinct sizes| rows; the singleton count is
+    two one-row aggregates crossed broadcast-style — zero corpus-sized
+    shuffles beyond the shared chain itself.
+    """
+    clusters = shared_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    hist = sizes.groupBy("size").agg(F.count("*").cast("long").alias("n_clusters"))
+    total = load_table(spark, "documents", sf_dir).agg(
+        F.count("*").alias("n_total")
+    )
+    in_graph = clusters.agg(F.count("*").alias("n_graph"))
+    # docs in no candidate pair form size-1 clusters (pair graph members
+    # have size >= 2 by construction); row emitted only when non-empty
+    singles = (
+        total.crossJoin(in_graph)
+        .select(
+            F.lit(1).cast("long").alias("size"),
+            (F.col("n_total") - F.col("n_graph")).cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.select(F.col("size").cast("long"), "n_clusters")
+        .unionByName(singles)
+        .select(
+            F.col("size").alias("cluster_size"),
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 LPA_ROUNDS = 3  #: synchronous label-propagation rounds (unrolled in the oracle)
 
 

@@ -579,6 +579,139 @@ def ns_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_load_embeddings(spark, sf_dir))
 
 
+def _vsub(a: Column, b: Column) -> Column:
+    """Element-wise a − b (fixed order — both engines zip identically)."""
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def ivfpq_topk(
+    e: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_IVF_CENTROIDS,
+    probes: int = IVF_PROBES,
+    subs: int = PQ_SUBS,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (Jégou et al. 2011;
+    FAISS ``IVFxx,PQyy``): an inverted file of coarse cells bounds the
+    candidate set, and within probed cells candidates are scored
+    against PQ codes of the RESIDUAL (vector − coarse centroid) via an
+    asymmetric distance table.  Composes ``ivf_topk``'s cell machinery
+    with ``pq_topk``'s encode/ADC, with the one twist that defines
+    IVF-PQ: the query builds a SEPARATE distance table per probed cell
+    (its residual differs per centroid), so ADC lookups join on
+    (cell, subspace, code).
+
+    Determinism (oracle-exact): centroids and residual codebook are
+    deterministic corpus members (first ``n_centroids`` / ``n_codes``
+    corpus vectors; codebook sub-slices come from those vectors'
+    residuals w.r.t. their own assigned centroid — production k-means
+    both, same plan shape); argmins are min over (distance, code)
+    structs; the per-candidate ADC sum folds a sorted list so the
+    addition order is partition-independent.
+
+    100 TB shape: centroid set and codebook broadcast; coarse
+    assignment and residual encoding are one corpus-linear pass
+    (posexplode → broadcast join → map-side-combined min-agg); the ADC
+    join meets codes on (c_id, s, code) and moves ``subs`` ints per
+    candidate — never an embedding — and only for the ~probes/K of the
+    corpus inside probed cells.  This is the memory/recall trade the
+    exact ``brute_topk`` baseline and the ``ns_ann_recall`` audit
+    exist to calibrate.
+    """
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+    cent = e.where(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+
+    def cell_rank(side: DataFrame, id_col: str, emb: str, nrm: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            "c_id",
+            cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= keep)
+            .select(id_col, "c_id")
+        )
+
+    corpus = e.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    queries = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    ccell = cell_rank(corpus, "n_id", "n_emb", "n_nrm", 1)
+    qcell = cell_rank(queries, "q_id", "q_emb", "q_nrm", probes)
+    # corpus residuals w.r.t. the assigned centroid, split into subspaces
+    corpus_res = (
+        corpus.join(ccell, "n_id")
+        .join(F.broadcast(cent.select("c_id", "c_emb")), "c_id")
+        .select("n_id", "c_id", _vsub(F.col("n_emb"), F.col("c_emb")).alias("res"))
+    )
+    res_sub = corpus_res.select(
+        "n_id", "c_id", F.explode(_sub_slices(F.col("res"), subs)).alias("ss")
+    ).select("n_id", "c_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
+    # shared residual codebook: sub-slices of the first n_codes corpus
+    # vectors' residuals (each w.r.t. its OWN assigned centroid)
+    cb = res_sub.where(
+        (F.col("n_id") >= n_queries) & (F.col("n_id") < n_queries + n_codes)
+    ).select(
+        (F.col("n_id") - n_queries).cast("int").alias("code"), "s", F.col("sub").alias("cvec")
+    )
+    codes = (
+        res_sub.join(F.broadcast(cb), "s")
+        .select(
+            "n_id",
+            "c_id",
+            "s",
+            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+        )
+        .groupBy("n_id", "c_id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select("n_id", "c_id", "s", F.col("best.code").alias("code"))
+    )
+    # per-(query, probed cell) residual distance table — the IVF-PQ twist
+    qres = (
+        qcell.join(F.broadcast(queries), "q_id")
+        .join(F.broadcast(cent.select("c_id", "c_emb")), "c_id")
+        .select("q_id", "c_id", _vsub(F.col("q_emb"), F.col("c_emb")).alias("res"))
+    )
+    qdist = (
+        qres.select("q_id", "c_id", F.explode(_sub_slices(F.col("res"), subs)).alias("ss"))
+        .select("q_id", "c_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
+        .join(F.broadcast(cb), "s")
+        .select("q_id", "c_id", "s", "code", _l2sq(F.col("sub"), F.col("cvec")).alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["c_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("qd2")), F.lit(0.0), lambda acc, v: acc + v
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def ns_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk(_load_embeddings(spark, sf_dir))
+
+
 HARD_NEG_K = 3
 
 

@@ -646,6 +646,74 @@ def _pq_sql() -> str:
 NS_ORACLES["ns_ann_pq"] = _pq_sql()
 
 
+def _ivfpq_sql() -> str:
+    """IVF-PQ: the ivf oracle's cell machinery + the pq oracle's
+    encode/ADC over RESIDUALS (vector − assigned coarse centroid), with
+    the query distance table keyed per probed cell — mirrors
+    ``similarity.ivfpq_topk`` expression for expression (same zip
+    order, same sorted-list ADC fold, same struct-min tie-breaks)."""
+    from cassandra_extractor_spark.operators.similarity import (
+        IVF_PROBES,
+        N_IVF_CENTROIDS,
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_SUBS,
+    )
+
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    vsub = "list_transform(list_zip({a}, {b}), p -> p[1] - p[2])"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings "
+        "WHERE list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), "
+        "(x, y) -> x + y) > 0), "
+        f"cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= {N_QUERIES} "
+        f"AND vec_id < {N_QUERIES + N_IVF_CENTROIDS}), "
+        f"corpus AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE vec_id >= {N_QUERIES}), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}), "
+        "ccell AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, ROW_NUMBER() OVER "
+        "(PARTITION BY n_id ORDER BY csim DESC, c_id) AS crank FROM "
+        f"(SELECT n_id, c_id, {_cos_sql('n_emb', 'c_emb')} AS csim FROM corpus, cent)) "
+        "WHERE crank <= 1), "
+        "qcell AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY csim DESC, c_id) AS crank FROM "
+        f"(SELECT q_id, c_id, {_cos_sql('q_emb', 'c_emb')} AS csim FROM q, cent)) "
+        f"WHERE crank <= {IVF_PROBES}), "
+        "cres AS (SELECT n_id, ccell.c_id AS c_id, "
+        + vsub.format(a="n_emb", b="c_emb")
+        + " AS res FROM corpus JOIN ccell USING (n_id) JOIN cent ON ccell.c_id = cent.c_id), "
+        f"rsub AS (SELECT n_id, c_id, s, list_slice(res, s * {PQ_SUBDIM} + 1, "
+        f"s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub "
+        f"FROM cres, (SELECT unnest(range({PQ_SUBS})) AS s) t), "
+        f"cb AS (SELECT CAST(n_id - {N_QUERIES} AS INTEGER) AS code, s, sub AS cvec "
+        f"FROM rsub WHERE n_id >= {N_QUERIES} AND n_id < {N_QUERIES + PQ_K}), "
+        "codes AS (SELECT n_id, c_id, s, code FROM ("
+        "SELECT r.n_id, r.c_id, r.s, cb.code, ROW_NUMBER() OVER "
+        "(PARTITION BY r.n_id, r.s ORDER BY " + l2.format(a="r.sub", b="cb.cvec")
+        + ", cb.code) AS rn FROM rsub r JOIN cb ON r.s = cb.s) WHERE rn = 1), "
+        "qres AS (SELECT q_id, qcell.c_id AS c_id, "
+        + vsub.format(a="q_emb", b="c_emb")
+        + " AS res FROM qcell JOIN q USING (q_id) JOIN cent ON qcell.c_id = cent.c_id), "
+        f"qsub AS (SELECT q_id, c_id, s, list_slice(res, s * {PQ_SUBDIM} + 1, "
+        f"s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub "
+        f"FROM qres, (SELECT unnest(range({PQ_SUBS})) AS s) t), "
+        "qdist AS (SELECT q_id, c_id, qsub.s AS s, cb.code AS code, "
+        + l2.format(a="qsub.sub", b="cb.cvec")
+        + " AS qd2 FROM qsub JOIN cb ON qsub.s = cb.s), "
+        "adc AS (SELECT q_id, n_id, "
+        "round(list_reduce(list_sort(list(qd2)), (x, y) -> x + y), 6) AS adist "
+        "FROM codes JOIN qdist USING (c_id, s, code) GROUP BY q_id, n_id) "
+        "SELECT q_id, n_id, adist, rank FROM (SELECT q_id, n_id, adist, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id) AS rank "
+        f"FROM adc) WHERE rank <= {TOP_K} ORDER BY q_id, rank"
+    )
+
+
+NS_ORACLES["ns_ann_ivfpq"] = _ivfpq_sql()
+
+
 NS_ORACLES["ns_lm_fluency_bucket"] = (
     # pure-integer bigram-LM fluency terciles (see ns_lm_fluency_bucket
     # docstring); `//` mirrors Spark's `div`, SUMs cast off HUGEINT
@@ -1515,6 +1583,21 @@ NS_ORACLES["ns_ranking_ndcg"] = (
     "FROM j GROUP BY q_id) "
     f"SELECT q_id, n_hits, round(dcg / CAST({IDCG_AT_K!r} AS DOUBLE), 6) AS ndcg "
     "FROM d ORDER BY q_id"
+)
+
+NS_ORACLES["ns_cluster_size_hist"] = (
+    # dedup-audit histogram over the cluster map; singletons = docs in
+    # no candidate pair (graph members have size >= 2 by construction)
+    f"WITH cl AS ({NS_ORACLES['ns_dedup_clusters']}), "
+    "sizes AS (SELECT cluster_id, COUNT(*) AS size FROM cl GROUP BY cluster_id), "
+    "h AS (SELECT CAST(size AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters "
+    "FROM sizes GROUP BY size), "
+    "singles AS (SELECT CAST(1 AS BIGINT) AS size, "
+    "CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl) AS BIGINT) "
+    "AS n_clusters), "
+    "u AS (SELECT * FROM h UNION ALL SELECT * FROM singles WHERE n_clusters > 0) "
+    "SELECT size AS cluster_size, n_clusters, "
+    "CAST(size * n_clusters AS BIGINT) AS n_docs FROM u ORDER BY cluster_size"
 )
 
 NS_ORACLES["ns_cluster_canonical"] = (

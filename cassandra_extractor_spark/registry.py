@@ -57,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_pca_power_iter": S.ns_pca_power_iter,
     "ns_ranking_ndcg": S.ns_ranking_ndcg,
     "ns_cluster_canonical": D.ns_cluster_canonical,
+    "ns_cluster_size_hist": D.ns_cluster_size_hist,
     "q105_skyline": R.q105_skyline,
     "ns_sample_k_per_group": SM.ns_sample_k_per_group,
     "ns_embedding_centering": S.ns_embedding_centering,
@@ -275,6 +276,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_semantic_dedup": D.ns_semantic_dedup,
     "ns_repetition_filter": TX.ns_repetition_filter,
     "ns_ann_pq": S.ns_ann_pq,
+    "ns_ann_ivfpq": S.ns_ann_ivfpq,
     "ns_ann_cosine_topk": S.ns_ann_cosine_topk,
     "ns_ann_ivf": S.ns_ann_ivf,
     "ns_embedding_quantize": S.ns_embedding_quantize,
@@ -313,6 +315,7 @@ QUERIES: dict[str, QueryFn] = {
 #: sweep covers it.  Every entry stays registered — prioritization,
 #: not selection.
 _PRIORITY_PREFIX = [
+    "ns_ann_ivfpq", "ns_cluster_size_hist",  # NEW in round 9: zero evidence, oldest by rule
     "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
     "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
     "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",

@@ -1260,3 +1260,66 @@ def test_neardup_editdist_first_principles(spark, tmp_path):
     r4 = rows[(1, 4)]
     assert r4.edit_dist == -1 and r4.sim_ppm == -1
     assert bool(r4.verified_dup) is False
+
+
+def test_cluster_size_hist_partitions_the_corpus(spark, sf_dir):
+    """The histogram must partition the corpus exactly: sum(n_docs)
+    equals the document count, graph clusters have size >= 2 (pair
+    members), and the singleton bucket absorbs the rest."""
+    from cassandra_extractor_spark.operators.dedup import ns_cluster_size_hist
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    rows = ns_cluster_size_hist(spark, sf_dir).collect()
+    total = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.cluster_size == 1 or r.cluster_size >= 2
+
+
+def test_ann_ivfpq_rank_contract_and_candidate_provenance(spark, sf_dir):
+    """IVF-PQ output contract: per-query ranks are contiguous from 1,
+    ADC distances are non-decreasing in rank, and every returned
+    candidate's coarse cell is one of the query's probed cells (the
+    inverted-file guarantee — a candidate outside probed cells can
+    never be scored)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.similarity import (
+        IVF_PROBES,
+        N_IVF_CENTROIDS,
+        N_QUERIES,
+        _load_embeddings,
+        cosine_prenormed,
+        norm,
+        ns_ann_ivfpq,
+    )
+
+    out = ns_ann_ivfpq(spark, sf_dir).collect()
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r.q_id].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), q
+        assert all(a.adist <= b.adist for a, b in zip(rs, rs[1:])), q
+
+    # provenance: recompute coarse cells independently
+    e = _load_embeddings(spark, sf_dir)
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+    cent = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"))
+    sim = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias("csim"),
+    ).collect()
+    best = defaultdict(list)
+    for r in sim:
+        best[r.vec_id].append((r.csim, -r.c_id))
+    def top_cells(vid, k):
+        return {-c for _, c in sorted(best[vid], reverse=True)[:k]}
+    for r in out:
+        assert top_cells(r.n_id, 1) <= top_cells(r.q_id, IVF_PROBES), (r.q_id, r.n_id)
