@@ -340,6 +340,47 @@ def stream_time_rollup(
     )
 
 
+def stream_session_rollup(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows — the BUILT-IN-operator twin of
+    ``sessionize_stream`` (which demonstrates the custom
+    ``applyInPandasWithState`` spelling of the same semantics) and the
+    streaming half of batch ``ns_sessionize``: events gapped ≤
+    ``gap_min`` minutes merge into one session per user.
+
+    ``F.session_window`` keeps the state machine (window merging,
+    watermark eviction) entirely JVM-side — prefer it in production
+    over the Pandas-state spelling whenever the aggregate is
+    expressible as built-in functions; the custom-state version exists
+    for session payloads Spark's aggregates can't express.  In append
+    mode a session row is emitted exactly once, when the watermark
+    passes its close.
+
+    Output matches ``ns_sessionize``'s contract: session_window.end is
+    last-event + gap, so ``session_end_ms`` subtracts the gap back to
+    the last event's timestamp — making stream rows directly
+    comparable to the batch lag/cumsum spelling (the parity test does
+    exactly that).
+    """
+    gap_ms = gap_min * 60 * 1000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            (F.unix_millis(F.col("w.end")) - F.lit(gap_ms)).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
 # --- streaming HLL distinct (mergeable sketch state, round 7) --------
 
 _HLL_OUT_SCHEMA = T.StructType(

@@ -630,3 +630,185 @@ def test_stream_incremental_rollup_restart_replay_compact(spark, tmp_path):
     shutil.rmtree(store)
     os.rename(compacted, store)
     assert merged() == before == batch_truth()
+
+
+def test_stream_cdc_apply_view_parity_stale_and_replay(spark, tmp_path):
+    """Streaming CDC materialized view (streaming twin of cdc_apply).
+    Contracts: (1) after a drain the served view equals batch
+    cdc_apply(base, all landed changes); (2) checkpoint restart
+    processes only new files and a LATE STALE update neither regresses
+    an applied newer update nor resurrects a deleted key (tombstone +
+    retained order_cols fence it); (3) re-merging an already-applied
+    batch is a no-op (replay idempotence by algebra)."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.operators.relational import cdc_apply
+    from cassandra_extractor_spark.streaming.cdc_stream import (
+        init_cdc_store,
+        merge_cdc_batch,
+        read_cdc_view,
+        stream_cdc_apply,
+    )
+
+    src = tmp_path / "cdcsrc"
+    store = str(tmp_path / "cdcstore")
+    ckpt = str(tmp_path / "cdcck")
+    schema = "k LONG, op STRING, seq LONG, bal LONG"
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"k": 1, "op": "U", "seq": 0, "bal": 100},
+                {"k": 2, "op": "U", "seq": 0, "bal": 200},
+            ]
+        ),
+        schema,
+    )
+    init_cdc_store(spark, base, store, op_col="op", order_cols=["seq"])
+
+    def land(file_no, rows):
+        (
+            spark.createDataFrame(pd.DataFrame(rows), schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "stage" / f"c{file_no}"))
+        )
+        part = next((tmp_path / "stage" / f"c{file_no}").glob("*.parquet"))
+        src.mkdir(exist_ok=True)
+        part.rename(src / f"data_{file_no}.parquet")
+
+    def run():
+        q = stream_cdc_apply(
+            spark, str(src), schema, store, ckpt,
+            key="k", order_cols=["seq"], op_col="op", payload_cols=["bal"],
+        )
+        q.awaitTermination()
+
+    def view():
+        return {r.k: r.bal for r in read_cdc_view(spark, store).collect()}
+
+    def batch_truth():
+        changes = spark.read.schema(schema).parquet(f"{src}/*.parquet")
+        applied = cdc_apply(
+            base.select("k", "bal"), changes,
+            key="k", order_cols=["seq"], op_col="op", payload_cols=["bal"],
+        )
+        return {r.k: r.bal for r in applied.collect()}
+
+    land(0, [{"k": 1, "op": "U", "seq": 10, "bal": 111},
+             {"k": 3, "op": "U", "seq": 11, "bal": 333}])
+    land(1, [{"k": 2, "op": "D", "seq": 20, "bal": 0}])
+    run()
+    assert view() == batch_truth() == {1: 111, 3: 333}
+
+    # restart with LATE STALE changes: older update for k=1 (must not
+    # regress 111) and an older update for deleted k=2 (tombstone wins)
+    land(2, [{"k": 1, "op": "U", "seq": 5, "bal": 999},
+             {"k": 2, "op": "U", "seq": 15, "bal": 888}])
+    run()
+    assert view() == batch_truth() == {1: 111, 3: 333}
+
+    # replay idempotence: re-merging batch 2's changes into the current
+    # snapshot reproduces the identical snapshot
+    from cassandra_extractor_spark.streaming.cdc_stream import _read_current
+
+    cur = _read_current(spark, store)
+    replay = spark.read.schema(schema).parquet(str(src / "data_2.parquet"))
+    again = merge_cdc_batch(cur, replay, "k", ["seq"], "op", ["bal"])
+    a = {tuple(r) for r in cur.collect()}
+    b = {tuple(r) for r in again.collect()}
+    assert a == b
+
+
+def test_stream_session_rollup_native_batch_parity_and_restart(spark, tmp_path):
+    """Native session_window streaming sessionization: closed sessions
+    are emitted exactly once (append contract across a checkpoint
+    restart) and match the batch ns_sessionize lag/cumsum spelling row
+    for row — two entirely different engines for the same semantics."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.stateful import (
+        sessionize,
+        stream_session_rollup,
+    )
+
+    src = tmp_path / "sessrc"
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+
+    from datetime import timezone
+
+    def at(day, hour, minute=0):
+        return datetime(2025, 3, day, hour, minute)
+
+    def at_ms(day, hour, minute=0):
+        # epoch from an explicit-UTC datetime: the session TZ is pinned
+        # UTC, so naive inputs land as UTC instants; datetime.timestamp()
+        # on a NAIVE value would use the OS timezone instead (hostile-TZ
+        # hazard)
+        return int(
+            datetime(2025, 3, day, hour, minute, tzinfo=timezone.utc).timestamp()
+            * 1000
+        )
+
+    def land(file_no, rows):
+        (
+            spark.createDataFrame(pd.DataFrame(rows), schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "stage" / f"s{file_no}"))
+        )
+        part = next((tmp_path / "stage" / f"s{file_no}").glob("*.parquet"))
+        src.mkdir(exist_ok=True)
+        part.rename(src / f"data_{file_no}.parquet")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*.parquet")
+        )
+        emitted = []
+        q = (
+            stream_session_rollup(stream)
+            .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+            for r in emitted
+        }
+
+    # user 1: two events 10 min apart (one session), then a 40-min gap
+    # (new session); user 2: one event.  Day-2 arrivals push the
+    # watermark past every day-1 session close.
+    land(0, [
+        {"user_id": 1, "event_id": 1, "ts": at(1, 9, 0)},
+        {"user_id": 1, "event_id": 2, "ts": at(1, 9, 10)},
+        {"user_id": 1, "event_id": 3, "ts": at(1, 9, 50)},
+        {"user_id": 2, "event_id": 4, "ts": at(1, 9, 5)},
+    ])
+    land(1, [{"user_id": 2, "event_id": 5, "ts": at(2, 9, 0)}])
+    got1 = run(tmp_path / "sesck")
+    batch = spark.read.schema(schema).parquet(f"{src}/*.parquet")
+    closed = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in sessionize(batch).collect()
+        # day-1 sessions only: the day-2 event's session is still open
+        if r.session_end_ms < at_ms(2, 0)
+    }
+    assert got1 == closed and len(got1) == 3
+
+    # restart: day-3 arrival closes user 2's day-2 session; day-1
+    # sessions are NOT re-emitted
+    land(2, [{"user_id": 2, "event_id": 6, "ts": at(3, 9, 0)}])
+    got2 = run(tmp_path / "sesck")
+    assert set(got2) & set(got1) == set()
+    assert got2 == {
+        (2, at_ms(2, 9)): (at_ms(2, 9), 1)
+    }
