@@ -198,6 +198,40 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ns_pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-fragmentation audit over ``ns_sequence_pack``'s layout —
+    the shard report a pretraining pipeline reads before committing a
+    pack: per source shard, how many documents were SPLIT across a
+    sequence boundary (``seq_offset + n_tokens > budget``: their
+    context window is truncated mid-document), how many sequences the
+    shard fills, and the split rate in ppm.  Contiguous packing wastes
+    zero padding by construction, so fragmentation is the quantity to
+    audit (the padding-vs-fragmentation trade is exactly why packers
+    choose contiguous vs padded layouts).
+
+    Pure-integer output; one map-side-combined aggregate over the pack
+    frame — the pack itself is the one windowed pass documented on
+    ``ns_sequence_pack``.
+    """
+    pack = ns_sequence_pack(spark, sf_dir)
+    return (
+        pack.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+            F.sum(
+                (F.col("seq_offset") + F.col("n_tokens") > SEQ_BUDGET).cast("long")
+            ).alias("n_split_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "split_ppm",
+            F.expr("div(n_split_docs * 1000000, n_docs)"),
+        )
+        .orderBy("source")
+    )
+
+
 #: the "previous snapshot" horizon for ns_corpus_diff (docs below this
 #: id stand in for yesterday's crawl; a real run reads two snapshots)
 DIFF_OLD_DOCS = 400

@@ -715,6 +715,37 @@ def ns_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEG_K = 3
 
 
+def ns_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ index against exact brute force — the
+    acceptance gate for the COMPRESSED index (``ns_ann_recall`` gates
+    the uncompressed IVF): IVF-PQ loses candidates two ways (cell not
+    probed, PQ distance distortion reorders the tail), so its recall is
+    the number that tunes probes AND codebook size together.  Same
+    integer comparison shape as ``ns_ann_recall`` — a left join marks
+    hits, one aggregate, recall in integer percent."""
+    brute = brute_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
+    approx = (
+        ivfpq_topk(_load_embeddings(spark, sf_dir))
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "k",
+            "n_hits",
+            F.floor(F.col("n_hits") * 100 / F.col("k")).cast("long").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     vector, the top-k most-similar corpus vectors with a DIFFERENT

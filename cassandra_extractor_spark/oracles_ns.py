@@ -589,6 +589,20 @@ NS_ORACLES["ns_sequence_pack"] = (
 )
 
 
+NS_ORACLES["ns_pack_fragmentation"] = (
+    f"WITH pack AS ({NS_ORACLES['ns_sequence_pack']}), "
+    "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs, "
+    f"CAST(SUM(CASE WHEN seq_offset + n_tokens > {SEQ_BUDGET} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_split_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens "
+    "FROM pack GROUP BY source) "
+    "SELECT source, n_docs, n_seqs, n_split_docs, sum_tokens, "
+    "CAST(n_split_docs * 1000000 // n_docs AS BIGINT) AS split_ppm "
+    "FROM a ORDER BY source"
+)
+
+
 NS_ORACLES["ns_quality_classifier"] = (
     f"WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
     "s AS (SELECT doc_id, "
@@ -1439,6 +1453,18 @@ NS_ORACLES["ns_skew_audit"] = (
 NS_ORACLES["ns_ann_recall"] = (
     f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
     f"approx AS ({NS_ORACLES['ns_ann_ivf']}), "
+    "per AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k, "
+    "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM approx a "
+    "WHERE a.q_id = b.q_id AND a.n_id = b.n_id) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits "
+    "FROM brute b GROUP BY b.q_id) "
+    "SELECT q_id, k, n_hits, "
+    "CAST(floor(n_hits * 100 / k) AS BIGINT) AS recall_pct "
+    "FROM per ORDER BY q_id"
+)
+
+NS_ORACLES["ns_ann_ivfpq_recall"] = (
+    f"WITH brute AS ({NS_ORACLES['ns_ann_cosine_topk']}), "
+    f"approx AS ({NS_ORACLES['ns_ann_ivfpq']}), "
     "per AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k, "
     "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM approx a "
     "WHERE a.q_id = b.q_id AND a.n_id = b.n_id) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits "

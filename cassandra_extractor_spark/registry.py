@@ -123,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     "q89_grouped_quantiles": R.q89_grouped_quantiles,
     "ns_skew_audit": X.ns_skew_audit,
     "ns_ann_recall": S.ns_ann_recall,
+    "ns_ann_ivfpq_recall": S.ns_ann_ivfpq_recall,
     "ns_minhash_calibration": D.ns_minhash_calibration,
     "ns_winsorize": SM.ns_winsorize,
     "q91_grouping_id": R.q91_grouping_id,
@@ -248,6 +249,7 @@ QUERIES: dict[str, QueryFn] = {
     "q65_schema_evolution_union": R.q65_schema_evolution_union,
     "ns_mixture_sample": SM.ns_mixture_sample,
     "ns_sequence_pack": X.ns_sequence_pack,
+    "ns_pack_fragmentation": X.ns_pack_fragmentation,
     "ns_quality_classifier": TX.ns_quality_classifier,
     "ns_training_corpus": X.ns_training_corpus,
     "q44b_quantile_disc": R.q44b_quantile_disc,
@@ -315,7 +317,9 @@ QUERIES: dict[str, QueryFn] = {
 #: sweep covers it.  Every entry stays registered — prioritization,
 #: not selection.
 _PRIORITY_PREFIX = [
-    "ns_ann_ivfpq", "ns_cluster_size_hist",  # NEW in round 9: zero evidence, oldest by rule
+    # NEW in round 9: zero evidence, oldest by rule
+    "ns_ann_ivfpq", "ns_cluster_size_hist",
+    "ns_ann_ivfpq_recall", "ns_pack_fragmentation",
     "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
     "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
     "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",

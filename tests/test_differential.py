@@ -559,6 +559,7 @@ DOC_QUERIES = [
     "ns_gate_agreement",
     "ns_neardup_editdist",
     "ns_cluster_size_hist",
+    "ns_pack_fragmentation",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
@@ -638,7 +639,12 @@ EMB_QUERIES = [
 #: ops whose documented contract is the testdata's fixed DIM=64
 #: (PQ sub-slices 8×8; the LSH plane matrix is 64-wide) — they get
 #: their own 64-dim generator below instead of the 6-dim one
-EMB64_QUERIES = ["ns_ann_pq", "ns_ann_lsh_bucketed", "ns_ann_ivfpq"]
+EMB64_QUERIES = [
+    "ns_ann_pq",
+    "ns_ann_lsh_bucketed",
+    "ns_ann_ivfpq",
+    "ns_ann_ivfpq_recall",
+]
 
 _vec = st.lists(
     st.integers(min_value=-2000, max_value=2000).map(lambda v: v / 1000.0),
