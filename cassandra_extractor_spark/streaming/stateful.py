@@ -162,6 +162,73 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
     )
 
 
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_offset", T.LongType()),
+    ]
+)
+
+_PACK_STATE_SCHEMA = T.StructType([T.StructField("cum", T.LongType())])
+
+
+def stream_pack(docs: DataFrame, budget: int | None = None) -> DataFrame:
+    """Streaming sequence packing — the streaming twin of batch
+    ``ns_sequence_pack``: as curated documents arrive, each is assigned
+    its training-sequence id and offset from a per-source-shard
+    cumulative token counter carried as state, so a live ingest packs
+    incrementally instead of re-windowing the whole corpus nightly.
+
+    Contract: assignment is ARRIVAL-ordered (micro-batch rows are
+    sorted by doc_id within the batch; state carries the running total
+    across batches and restarts).  When arrival order is doc_id order
+    — the usual case for an ordered ingest, and what the parity test
+    lands — the output is ROW-IDENTICAL to the batch pack.  A shuffled
+    arrival still yields a valid packing (offsets exactly partition
+    the token stream), just a different doc→sequence assignment, the
+    same guarantee any online packer gives.
+
+    State is ONE long per source shard — bounded by the shard count,
+    independent of stream length; no timeout (a counter has nothing to
+    flush).  Input: streaming frame (doc_id, source, n_tokens) — token
+    counting is the upstream map stage, exactly as in the batch
+    spelling.
+    """
+    from cassandra_extractor_spark.operators.extraction import SEQ_BUDGET
+
+    b = budget or SEQ_BUDGET
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum = int(state.get[0]) if state.exists else 0
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("doc_id")
+        out = []
+        for r in rows.itertuples():
+            out.append(
+                {
+                    "doc_id": int(r.doc_id),
+                    "source": source,
+                    "n_tokens": int(r.n_tokens),
+                    "seq_id": cum // b,
+                    "seq_offset": cum % b,
+                }
+            )
+            cum += int(r.n_tokens)
+        state.update((cum,))
+        yield pd.DataFrame(out, columns=[f.name for f in _PACK_SCHEMA.fields])
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=_PACK_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_dedup(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
     """Streaming cross-batch exact dedup: emit each fingerprint's FIRST
     occurrence across the whole stream, suppress every later one — the

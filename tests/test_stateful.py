@@ -812,3 +812,93 @@ def test_stream_session_rollup_native_batch_parity_and_restart(spark, tmp_path):
     assert got2 == {
         (2, at_ms(2, 9)): (at_ms(2, 9), 1)
     }
+
+
+def test_stream_pack_batch_parity_across_restart(spark, tmp_path):
+    """Streaming sequence packing: with ordered arrival the per-source
+    state-carried assignment is ROW-IDENTICAL to the batch window
+    spelling, across micro-batches AND a checkpoint restart; offsets
+    exactly partition each shard's token stream."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.operators.extraction import SEQ_BUDGET
+    from cassandra_extractor_spark.streaming.stateful import stream_pack
+
+    src = tmp_path / "pksrc"
+    ckpt = str(tmp_path / "pkck")
+    schema = "doc_id LONG, source STRING, n_tokens LONG"
+
+    def land(file_no, rows):
+        (
+            spark.createDataFrame(pd.DataFrame(rows), schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "stage" / f"p{file_no}"))
+        )
+        part = next((tmp_path / "stage" / f"p{file_no}").glob("*.parquet"))
+        src.mkdir(exist_ok=True)
+        part.rename(src / f"data_{file_no}.parquet")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*.parquet")
+        )
+        emitted = []
+        q = (
+            stream_pack(stream)
+            .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.doc_id: (r.source, r.n_tokens, r.seq_id, r.seq_offset) for r in emitted}
+
+    def batch_truth():
+        d = spark.read.schema(schema).parquet(f"{src}/*.parquet")
+        w = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        return {
+            r.doc_id: (r.source, r.n_tokens, r.seq_id, r.seq_offset)
+            for r in d.select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
+                (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
+            ).collect()
+        }
+
+    # sizes chosen so docs straddle sequence boundaries mid-batch and
+    # mid-restart (budget 512)
+    land(0, [
+        {"doc_id": 1, "source": "a", "n_tokens": 300},
+        {"doc_id": 2, "source": "a", "n_tokens": 300},
+        {"doc_id": 3, "source": "b", "n_tokens": 500},
+    ])
+    land(1, [
+        {"doc_id": 4, "source": "a", "n_tokens": 100},
+        {"doc_id": 5, "source": "b", "n_tokens": 100},
+    ])
+    got1 = run()
+    assert got1 == batch_truth()
+    assert got1[2] == ("a", 300, 0, 300)   # straddles into seq 1
+    assert got1[4] == ("a", 100, 1, 88)    # state carried across batches
+
+    # restart: state (cum per source) survives the checkpoint
+    land(2, [{"doc_id": 6, "source": "a", "n_tokens": 50},
+             {"doc_id": 7, "source": "b", "n_tokens": 50}])
+    got2 = run()
+    assert set(got2) == {6, 7}  # earlier docs not re-emitted
+    truth = batch_truth()
+    assert got2[6] == truth[6] and got2[7] == truth[7]
