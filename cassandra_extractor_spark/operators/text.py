@@ -512,6 +512,82 @@ def ns_quality_classifier(
     )
 
 
+def ns_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the hashed-vocab classifier against the
+    heuristic quality gate: classifier scores bucket into deciles (nine
+    discrete-quantile cutoffs) and each bucket reports its heuristic
+    pass rate — the reliability diagram read before trusting either
+    gate's threshold (``ns_gate_agreement`` gives one kappa number;
+    this shows WHERE on the score axis the gates diverge).
+
+    Exactness: scores are the classifier's exact integers; the nine
+    cutoffs are discrete quantiles (``percentile_approx`` at max
+    accuracy == DuckDB ``quantile_disc``, the q44b-verified
+    equivalence); bucket membership is integer comparisons and the
+    pass rate is integer ppm — every output hashes identically.
+
+    100 TB shape: one classifier pass (documented on its operator),
+    one 9-value quantile sketch broadcast back, one map-side-combined
+    aggregate to ≤10 rows.  No sort window anywhere.
+    """
+    clf = ns_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    heur = ns_text_quality(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)).alias("hpass"),
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    thr = clf.agg(F.percentile_approx("score", qs, 2147483647).alias("t"))
+    bucket = F.lit(1) + sum(
+        (F.col("score") > F.element_at(F.col("t"), i + 1)).cast("long")
+        for i in range(9)
+    )
+    return (
+        clf.join(heur, "doc_id")
+        .join(F.broadcast(thr))
+        .select(bucket.cast("long").alias("bucket"), "hpass")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("hpass").cast("long")).cast("long").alias("n_pass"),
+        )
+        .withColumn("pass_ppm", F.expr("div(n_pass * 1000000, n_docs)"))
+        .orderBy("bucket")
+    )
+
+
+def ns_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-data frontier: surviving document and token counts at
+    each quality cutoff 0.0, 0.1, …, 0.9 — the curve a pipeline reads
+    to choose its quality threshold ("how many training tokens does a
+    stricter gate cost?").  The N-cutoffs-one-pass shape: all twenty
+    conditional sums ride ONE map-side-combined aggregate over the
+    quality frame, then ``stack`` to long form — no per-cutoff scans.
+
+    Comparisons are double-exact cross-engine: ``quality`` is the same
+    round(…, 6) double on both engines and each cutoff literal i/10 is
+    the identical nearest-double.
+    """
+    tq = ns_text_quality(spark, sf_dir).select("n_tokens", "quality")
+    aggs = []
+    for i in range(10):
+        cond = F.col("quality") >= F.lit(i / 10.0)
+        aggs.append(F.sum(cond.cast("long")).cast("long").alias(f"d{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    wide = tq.agg(*aggs)
+    stack = ", ".join(f"{i * 100000}, d{i}, t{i}" for i in range(10))
+    return (
+        wide.selectExpr(
+            f"stack(10, {stack}) AS (cutoff_ppm, n_docs, sum_tokens)"
+        )
+        .select(F.col("cutoff_ppm").cast("long"), "n_docs", "sum_tokens")
+        .orderBy("cutoff_ppm")
+    )
+
+
 #: vocabulary size for the OOV-rate operator (50k-ish in production;
 #: sized to the synthetic corpus' 31 distinct tokens here)
 VOCAB_SIZE = 20

@@ -621,6 +621,44 @@ NS_ORACLES["ns_quality_classifier"] = (
 )
 
 
+NS_ORACLES["ns_classifier_calibration"] = (
+    # decile reliability curve: nine discrete-quantile cutoffs on the
+    # classifier's exact integer score (quantile_disc == Spark
+    # percentile_approx at max accuracy, the q44b-verified equivalence),
+    # bucket = 1 + #cutoffs strictly below the score, per-bucket
+    # heuristic pass rate in integer ppm
+    f"WITH c AS ({NS_ORACLES['ns_quality_classifier']}), "
+    f"hq AS ({NS_ORACLES['ns_text_quality']}), "
+    "j AS (SELECT c.doc_id, c.score, "
+    "(hq.quality >= 0.5 AND hq.n_tokens >= 50) AS hpass "
+    "FROM c JOIN hq ON c.doc_id = hq.doc_id), "
+    "t AS (SELECT "
+    + ", ".join(
+        f"quantile_disc(score, {i / 10.0}) AS t{i}" for i in range(1, 10)
+    )
+    + " FROM c), "
+    "b AS (SELECT hpass, CAST(1 + "
+    + " + ".join(f"CAST(score > t{i} AS INTEGER)" for i in range(1, 10))
+    + " AS BIGINT) AS bucket FROM j, t) "
+    "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CAST(hpass AS INTEGER)) AS BIGINT) AS n_pass, "
+    "CAST(SUM(CAST(hpass AS INTEGER)) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm "
+    "FROM b GROUP BY bucket ORDER BY bucket"
+)
+
+NS_ORACLES["ns_quality_token_frontier"] = (
+    # quality-vs-tokens frontier: survivors at each cutoff i/10 — the
+    # cutoff literal is the identical nearest-double on both engines
+    f"WITH tq AS ({NS_ORACLES['ns_text_quality']}), "
+    "g AS (SELECT unnest(range(10)) AS i) "
+    "SELECT CAST(i * 100000 AS BIGINT) AS cutoff_ppm, "
+    "CAST(SUM(CASE WHEN quality >= i / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN quality >= i / 10.0 THEN n_tokens ELSE 0 END) AS BIGINT) "
+    "AS sum_tokens "
+    "FROM tq, g GROUP BY i ORDER BY cutoff_ppm"
+)
+
+
 def _pq_sql() -> str:
     from cassandra_extractor_spark.operators.similarity import (
         PQ_K,

@@ -251,6 +251,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_sequence_pack": X.ns_sequence_pack,
     "ns_pack_fragmentation": X.ns_pack_fragmentation,
     "ns_quality_classifier": TX.ns_quality_classifier,
+    "ns_classifier_calibration": TX.ns_classifier_calibration,
+    "ns_quality_token_frontier": TX.ns_quality_token_frontier,
     "ns_training_corpus": X.ns_training_corpus,
     "q44b_quantile_disc": R.q44b_quantile_disc,
     "ns_vocab_oov": TX.ns_vocab_oov,
@@ -320,6 +322,7 @@ _PRIORITY_PREFIX = [
     # NEW in round 9: zero evidence, oldest by rule
     "ns_ann_ivfpq", "ns_cluster_size_hist",
     "ns_ann_ivfpq_recall", "ns_pack_fragmentation",
+    "ns_classifier_calibration", "ns_quality_token_frontier",
     "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
     "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
     "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",

@@ -560,6 +560,8 @@ DOC_QUERIES = [
     "ns_neardup_editdist",
     "ns_cluster_size_hist",
     "ns_pack_fragmentation",
+    "ns_classifier_calibration",
+    "ns_quality_token_frontier",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
