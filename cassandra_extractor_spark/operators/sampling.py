@@ -274,15 +274,18 @@ def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count to 1024 rows per distribution, one
     broadcast join, one per-doc aggregation.  No corpus-sized shuffle
     except the final groupBy(doc_id) — same key the explode started
-    partitioned on.
+    partitioned on.  The feature stream has THREE consumers (raw
+    counts, target counts, per-doc scoring), so it derives from the
+    session-shared materialized token stream — the explode+window
+    pipeline runs once per session, not three times per query.
     """
-    from cassandra_extractor_spark.operators.text import token_stream
+    from cassandra_extractor_spark.operators.text import shared_token_stream
     from cassandra_extractor_spark.sources.catalog import load_table
 
     b = DSIR_BUCKETS
     d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
     feats = (
-        token_stream(d)
+        shared_token_stream(spark, sf_dir)
         .where(F.col("nxt").isNotNull())
         .select(
             "doc_id",

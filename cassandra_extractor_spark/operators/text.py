@@ -373,22 +373,20 @@ def ns_repetition_filter(
     fraction is one posexplode→count→max aggregation pair, map-side
     combined, partitioned by doc_id — linear, two shuffles, no Python.
     ``_stream``: a pre-built ``token_stream`` to aggregate instead of
-    exploding again (the fused-pipeline path).
+    the session-shared one (the explicitly-fused-pipeline path; since
+    round 9 the default already reads ``shared_token_stream``'s
+    materialized blocks, so standalone invocations in a multi-query
+    session explode nothing).
     """
-    from cassandra_extractor_spark.operators.dedup import exploded_shingles
-
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     base = d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.size(distinct_tokens(F.col("text"))).cast("long").alias("n_distinct"),
     )
-    bigrams = (
-        _stream.where(F.col("nxt").isNotNull()).select(
-            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("sh")
-        )
-        if _stream is not None
-        else exploded_shingles(d, n=2)
+    stream = _stream if _stream is not None else shared_token_stream(spark, sf_dir)
+    bigrams = stream.where(F.col("nxt").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "nxt").alias("sh")
     )
     top_bigram = (
         bigrams.groupBy("doc_id", "sh")
@@ -461,13 +459,12 @@ def ns_quality_classifier(
     bounded-memory GK sketch; the max-accuracy setting here makes the
     threshold exact for oracle parity at test scale.
     """
-    if _stream is not None:
-        # fused path: aggregate the shared token stream (one row per
-        # token; `nxt` ignored) instead of exploding again
-        tok = _stream.select("doc_id", "tok")
-    else:
-        d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-        tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # aggregate the (shared) token stream — one row per token, `nxt`
+    # ignored; since round 9 the standalone default reads the session-
+    # shared materialized stream, so no explode runs here at all in a
+    # multi-query session
+    stream = _stream if _stream is not None else shared_token_stream(spark, sf_dir)
+    tok = stream.select("doc_id", "tok")
     sums = tok.groupBy("doc_id").agg(
         F.sum(_token_weight(F.col("tok"))).alias("wsum"),
         F.count("*").alias("n_tokens"),
