@@ -184,3 +184,67 @@ def test_bpe_pieces_always_reconstruct_word(word, merges):
     joined = "".join(pieces)
     assert joined.replace(END, "") == word
     assert joined.count(END) == 1 and joined.endswith(END) or pieces[-1].endswith(END)
+
+
+# --- CDC merge algebra: the properties the generational store's replay
+# safety rests on (streaming/cdc_stream.py) -------------------------------
+
+_cdc_change = st.tuples(
+    st.integers(min_value=1, max_value=5),     # key
+    st.sampled_from(["U", "D"]),               # op
+    st.integers(min_value=1, max_value=50),    # seq (order col)
+    st.integers(min_value=-100, max_value=100)  # payload
+)
+
+
+@given(
+    changes=st.lists(_cdc_change, min_size=1, max_size=20),
+    split=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_cdc_merge_split_invariance_and_idempotence(spark, changes, split):
+    """Folding a change log through ANY micro-batch split yields the
+    same snapshot as one-shot latest-per-key, and re-merging the last
+    batch is a no-op — the two algebraic facts that make the
+    generational CDC store replay-safe and arrival-split-independent.
+    Ties on (key, seq) are broken deterministically by favoring the
+    later (op, bal) tuple ordering, so duplicate seqs are assumed
+    away."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.cdc_stream import merge_cdc_batch
+
+    # de-duplicate (key, seq) pairs: a real change log has unique
+    # sequence numbers per key; merge order on exact ties is undefined
+    seen = set()
+    uniq = []
+    for k, op, seq, bal in changes:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            uniq.append({"k": k, "op": op, "seq": seq, "bal": bal})
+    schema = "k LONG, op STRING, seq LONG, bal LONG"
+
+    def df_of(rows):
+        return spark.createDataFrame(pd.DataFrame(rows), schema)
+
+    # one-shot truth: latest change per key
+    latest = {}
+    for r in uniq:
+        if r["k"] not in latest or r["seq"] > latest[r["k"]]["seq"]:
+            latest[r["k"]] = r
+    truth = {
+        (r["k"], r["op"], r["seq"], r["bal"]) for r in latest.values()
+    }
+
+    # fold through `split` batches in arrival order
+    n = max(1, len(uniq) // split)
+    store = None
+    batches = [uniq[i : i + n] for i in range(0, len(uniq), n)]
+    for b in batches:
+        store = merge_cdc_batch(store, df_of(b), "k", ["seq"], "op", ["bal"])
+    got = {tuple(r) for r in store.collect()}
+    assert got == truth
+
+    # idempotence: re-merging the final batch changes nothing
+    again = merge_cdc_batch(store, df_of(batches[-1]), "k", ["seq"], "op", ["bal"])
+    assert {tuple(r) for r in again.collect()} == truth
