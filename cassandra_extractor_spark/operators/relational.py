@@ -2432,32 +2432,48 @@ def q100_crosstab_chi2(spark, sf_dir):
 
 def q101_weighted_median(spark, sf_dir):
     """Weighted median price per return flag (weight = quantity) — the
-    order-statistic that q66's plain median can't express.  Spelled as
-    a RANGE-framed cumulative weight (peers share one cumulative
-    value, so ties are engine-order-proof) and the selector
-    ``min(value where 2·cum ≥ total)``.  Integer weights and cents
-    throughout — no floats anywhere.
+    order-statistic that q66's plain median can't express.  The
+    selector is ``min(value where 2·cum ≥ total)`` over the RANGE-frame
+    cumulative weight (peers share one cumulative value, so ties are
+    engine-order-proof).  Integer weights and cents throughout — no
+    floats anywhere.
 
-    Scale shape: one shuffle on the group key; the window is the
-    standard running-total plan.  No collect, no global sort.
+    Scale shape (round 9, same two-level prefix sum as q116): a RANGE
+    window partitioned on the 3-value flag over RAW lineitem rows
+    would funnel ~1/3 of the corpus through one task — the exact
+    low-cardinality-window hazard the Spearman rewrite removed.
+    Instead weights first reduce to the DISTINCT (flag, price) frame
+    (ONE corpus hash shuffle, map-side combined — grouping by value
+    gives the RANGE frame's peers-share-one-value semantics for
+    free), the cumulative weight is a two-level prefix sum over that
+    frame (cumulative window over the tiny per-(flag, bucket) totals;
+    in-bucket local prefix over domain-bounded slices), and the group
+    totals broadcast back.  Identical integers, identical oracle.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         F.round(F.col("l_quantity")).cast("long").alias("w"),
     )
-    cum_w = (
-        W.partitionBy("l_returnflag")
-        .orderBy("price_cents")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    pf = li.groupBy("l_returnflag", "price_cents").agg(F.sum("w").alias("c"))
+    # order-preserving range buckets (floor(v / 2^20)): double division
+    # stays monotone even where |v| > 2^52 loses low bits — a collision
+    # only merges adjacent buckets, which is harmless
+    pf = pf.withColumn("bkt", F.floor(F.col("price_cents") / F.lit(float(2**20))))
+    btot = pf.groupBy("l_returnflag", "bkt").agg(F.sum("c").alias("bc"))
+    bw = W.partitionBy("l_returnflag").orderBy("bkt")
+    before_bkt = btot.select(
+        "l_returnflag",
+        "bkt",
+        (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt"),
     )
+    lw = W.partitionBy("l_returnflag", "bkt").orderBy("price_cents")
+    cum = F.col("before_bkt") + F.sum("c").over(lw)  # inclusive of current value
+    totals = pf.groupBy("l_returnflag").agg(F.sum("c").alias("total"))
     return (
-        li.select(
-            "l_returnflag",
-            "price_cents",
-            F.sum("w").over(cum_w).alias("cum"),
-            F.sum("w").over(W.partitionBy("l_returnflag")).alias("total"),
-        )
+        pf.join(F.broadcast(before_bkt), ["l_returnflag", "bkt"])
+        .withColumn("cum", cum)
+        .join(F.broadcast(totals), "l_returnflag")
         .where(F.col("cum") * 2 >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(

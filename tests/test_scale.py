@@ -682,17 +682,18 @@ def _window_paths_pass_aggregate(node, under_window=False) -> bool:
     )
 
 
-def test_q116_spearman_windows_never_see_corpus_rows(spark, sf_dir):
-    """Regression guard for the r8 two-pass-rank fix: q116's prefix-sum
-    windows must only run over distinct-value/bucket frames (post-
-    aggregate), never over raw lineitem rows — a rank window partitioned
-    by the 3-value flag over the corpus funnels ~1/3 of all rows through
-    one task at scale."""
+def test_low_cardinality_windows_never_see_corpus_rows(spark, sf_dir):
+    """Regression guard for the two-level prefix-sum rewrites (q116 in
+    r8, q101 in r9): their windows must only run over distinct-value/
+    bucket frames (post-aggregate), never over raw lineitem rows — a
+    window partitioned by the 3-value flag over the corpus funnels
+    ~1/3 of all rows through one task at scale."""
     from cassandra_extractor_spark.registry import QUERIES
 
-    df = QUERIES["q116_spearman"](spark, sf_dir)
-    opt = df._jdf.queryExecution().optimizedPlan()
-    assert _window_paths_pass_aggregate(opt), opt.toString()
+    for name in ("q116_spearman", "q101_weighted_median"):
+        df = QUERIES[name](spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        assert _window_paths_pass_aggregate(opt), (name, opt.toString())
 
 
 def test_corpus_family_single_signing_pass(spark, sf_dir):
