@@ -1124,9 +1124,14 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     From w₀=0: w₁ = (2λ/n)·Xᵀy, then w₂ = w₁ − (2λ/n)·Xᵀ(Xw₁ − y).
     Every Xᵀ-product accumulates per-dimension in DECIMAL(38,18)
-    (order-independent); w₁ is rounded to 12 decimals BEFORE reuse so
-    both engines carry the identical weight into step two; n and the
-    learning-rate ratio are exact scalars.
+    (order-independent); w₁ is rounded BEFORE reuse so both engines
+    carry the identical weight into step two; n and the learning-rate
+    ratio are exact scalars.  Both outputs round to 6 decimals — the
+    PARITY #9 rule: double→DECIMAL casts are engine-asymmetric at
+    ~1e-17 RELATIVE per term, so on adversarial magnitudes (~1e6+)
+    the accumulated asymmetry reaches ~1e-8 and an 8-decimal round
+    splits (found by the round-9 deep differential sweep); the
+    ≤6-digit grid gives two orders of margin.
 
     100 TB shape: the exploded (row, dim) frame hashes on vec_id for
     the prediction pass and on dim for the two gradient reductions
@@ -1162,7 +1167,7 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("g0").cast("double")
                     * lr2
                     / F.col("n_rows").cast("double"),
-                    12,
+                    6,
                 )
                 + F.lit(0.0)
             ).alias("w1"),
@@ -1192,7 +1197,7 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("g1").cast("double")
                     * lr2
                     / F.col("n_rows").cast("double"),
-                    8,
+                    6,
                 )
                 + F.lit(0.0)
             ).alias("w2"),

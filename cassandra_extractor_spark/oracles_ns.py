@@ -1792,7 +1792,7 @@ def _probe_sql() -> str:
         "ex AS (SELECT vec_id, y, i AS dim, emb[i] AS x FROM "
         "(SELECT vec_id, y, emb, unnest(generate_series(1, len(emb))) AS i FROM e)), "
         "w1 AS (SELECT dim, round(CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) "
-        f"* {lr2} / CAST(n_rows AS DOUBLE), 12) + CAST(0.0 AS DOUBLE) AS w1 "
+        f"* {lr2} / CAST(n_rows AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS w1 "
         "FROM ex, n GROUP BY dim, n_rows), "
         "pred AS (SELECT vec_id, "
         "CAST(SUM(CAST(x * w1 AS DECIMAL(38,18))) AS DOUBLE) AS pred "
@@ -1801,7 +1801,7 @@ def _probe_sql() -> str:
         "g1 AS (SELECT dim, CAST(SUM(CAST(x * r AS DECIMAL(38,18))) AS DOUBLE) AS g1 "
         "FROM ex JOIN resid USING (vec_id) GROUP BY dim) "
         "SELECT CAST(dim AS BIGINT) AS dim, w1, "
-        f"round(w1 - g1 * {lr2} / CAST(n_rows AS DOUBLE), 8) "
+        f"round(w1 - g1 * {lr2} / CAST(n_rows AS DOUBLE), 6) "
         "+ CAST(0.0 AS DOUBLE) AS w2 "
         "FROM g1 JOIN w1 USING (dim), n ORDER BY dim"
     )
