@@ -585,6 +585,48 @@ def ns_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 10_000  #: training-token budget for ns_budget_select
+
+
+def ns_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: keep the HIGHEST-quality
+    documents that still fill a ``TOKEN_BUDGET`` training-token budget
+    — the "we want N tokens, give us the best N" decision every
+    pretraining run makes, spelled as: pick the strictest quality
+    cutoff on the ``ns_quality_token_frontier`` grid whose surviving
+    tokens still meet the budget (cutoff 0 when even the whole corpus
+    falls short), then keep documents at or above it.
+
+    100 TB shape: the frontier is one aggregate to 10 rows; the chosen
+    cutoff is a one-row broadcast; selection is a scan-stage filter.
+    NO global quality sort anywhere — the naive spelling (ORDER BY
+    quality DESC + running token sum to the budget line) funnels the
+    corpus through one task; the grid-cutoff contract is what makes
+    the selection a filter instead of a sort, at the cost of
+    overshooting the budget by at most one grid step's worth of docs.
+    """
+    frontier = ns_quality_token_frontier(spark, sf_dir)
+    cut = frontier.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("sum_tokens") >= TOKEN_BUDGET, F.col("cutoff_ppm")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cutoff_ppm")
+    )
+    tq = ns_text_quality(spark, sf_dir)
+    return (
+        tq.join(F.broadcast(cut))
+        .where(F.col("quality") >= F.col("cutoff_ppm") / F.lit(1000000.0))
+        .select("doc_id", "n_tokens", "quality", "cutoff_ppm")
+        .orderBy("doc_id")
+    )
+
+
 #: vocabulary size for the OOV-rate operator (50k-ish in production;
 #: sized to the synthetic corpus' 31 distinct tokens here)
 VOCAB_SIZE = 20

@@ -659,6 +659,23 @@ NS_ORACLES["ns_quality_token_frontier"] = (
 )
 
 
+def _budget_select_sql() -> str:
+    from cassandra_extractor_spark.operators.text import TOKEN_BUDGET
+
+    return (
+        f"WITH f AS ({NS_ORACLES['ns_quality_token_frontier']}), "
+        "cut AS (SELECT CAST(COALESCE(MAX(CASE WHEN sum_tokens >= "
+        f"{TOKEN_BUDGET} THEN cutoff_ppm END), 0) AS BIGINT) AS cutoff_ppm FROM f), "
+        f"tq AS ({NS_ORACLES['ns_text_quality']}) "
+        "SELECT doc_id, n_tokens, quality, cut.cutoff_ppm AS cutoff_ppm "
+        "FROM tq, cut WHERE quality >= cut.cutoff_ppm / 1000000.0 "
+        "ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_budget_select"] = _budget_select_sql()
+
+
 def _pq_sql() -> str:
     from cassandra_extractor_spark.operators.similarity import (
         PQ_K,

@@ -253,6 +253,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_quality_classifier": TX.ns_quality_classifier,
     "ns_classifier_calibration": TX.ns_classifier_calibration,
     "ns_quality_token_frontier": TX.ns_quality_token_frontier,
+    "ns_budget_select": TX.ns_budget_select,
     "ns_training_corpus": X.ns_training_corpus,
     "q44b_quantile_disc": R.q44b_quantile_disc,
     "ns_vocab_oov": TX.ns_vocab_oov,
@@ -323,6 +324,7 @@ _PRIORITY_PREFIX = [
     "ns_ann_ivfpq", "ns_cluster_size_hist",
     "ns_ann_ivfpq_recall", "ns_pack_fragmentation",
     "ns_classifier_calibration", "ns_quality_token_frontier",
+    "ns_budget_select",
     "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
     "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
     "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",
