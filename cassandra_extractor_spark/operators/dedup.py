@@ -1469,6 +1469,64 @@ def ns_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_RECALL_MIN_PCT = 30  #: lowest exact-Jaccard band the recall audit reports
+
+
+def ns_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall by similarity band — the actionable
+    companion to ``ns_minhash_calibration``: within the bounded audit
+    window, every pair with exact 3-shingle Jaccard ≥ 30% is bucketed
+    into 10-point bands and checked for membership in the banded
+    candidate set, yielding the empirical S-curve (recall per band)
+    that validates the NUM_PERM/BANDS layout against its theoretical
+    1−(1−s^r)^b guarantee before trusting LSH at corpus scale.
+
+    Pure-integer output (band_lo, n_pairs, n_caught, recall_pct).
+    Scale note: the all-pairs exact side exists only for this bounded
+    window (same contract as the calibration operator); the candidate
+    side reads the session-shared pair frame.
+    """
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+    sh = exploded_shingles(d).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    exact_pct = F.floor(
+        F.col("i") * 100 / (F.col("n1") + F.col("n2") - F.col("i"))
+    ).cast("long")
+    pairs = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", exact_pct.alias("exact_pct"))
+        .where(F.col("exact_pct") >= LSH_RECALL_MIN_PCT)
+    )
+    cand = shared_pairs(spark, sf_dir).select("d1", "d2", F.lit(1).alias("hit"))
+    return (
+        pairs.join(cand, ["d1", "d2"], "left")
+        .select(
+            (F.least(F.expr("exact_pct div 10"), F.lit(9)) * 10)
+            .cast("long")
+            .alias("band_lo"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+        .groupBy("band_lo")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall_pct", F.floor(F.col("n_caught") * 100 / F.col("n_pairs")).cast("long")
+        )
+        .orderBy("band_lo")
+    )
+
+
 def ns_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram — the dedup audit published with
     every corpus snapshot: how many clusters of each size exist and how

@@ -1568,6 +1568,35 @@ def _minhash_calibration_sql() -> str:
 NS_ORACLES["ns_minhash_calibration"] = _minhash_calibration_sql()
 
 
+def _lsh_recall_sql() -> str:
+    from cassandra_extractor_spark.operators.dedup import LSH_RECALL_MIN_PCT
+
+    return (
+        f"WITH mh AS ({_minhash_sql()}), "
+        f"d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 200), "
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2), "
+        "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh "
+        "FROM d WHERE len(toks) >= 3), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i "
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT d1, d2, "
+        "CAST(floor(i * 100 / (sa.n + sb.n - i)) AS BIGINT) AS exact_pct "
+        "FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 "
+        f"WHERE CAST(floor(i * 100 / (sa.n + sb.n - i)) AS BIGINT) >= {LSH_RECALL_MIN_PCT}), "
+        "banded AS (SELECT CAST(least(exact_pct // 10, 9) * 10 AS BIGINT) AS band_lo, "
+        "CASE WHEN EXISTS (SELECT 1 FROM mh WHERE mh.d1 = pairs.d1 AND mh.d2 = pairs.d2) "
+        "THEN 1 ELSE 0 END AS hit FROM pairs) "
+        "SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(hit) AS BIGINT) AS n_caught, "
+        "CAST(floor(SUM(hit) * 100 / COUNT(*)) AS BIGINT) AS recall_pct "
+        "FROM banded GROUP BY band_lo ORDER BY band_lo"
+    )
+
+
+NS_ORACLES["ns_lsh_recall"] = _lsh_recall_sql()
+
+
 NS_ORACLES["ns_winsorize"] = (
     "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
     "FROM events), "

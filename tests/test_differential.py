@@ -563,6 +563,7 @@ DOC_QUERIES = [
     "ns_classifier_calibration",
     "ns_quality_token_frontier",
     "ns_budget_select",
+    "ns_lsh_recall",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
