@@ -1527,6 +1527,39 @@ def ns_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — corpus forensics: how many
+    near-dup candidate pairs join each (source, source) combination.
+    Off-diagonal mass is mirror/syndication detection (site B republishes
+    site A); diagonal mass is within-source boilerplate — the table that
+    decides WHERE dedup effort and crawl exclusions go.
+
+    Pure-integer; the pair side reads the session-shared candidate
+    frame, the two source lookups are hash joins on doc_id, and the
+    matrix is a map-side-combined aggregate to ≤ |sources|² rows.
+    Sources order-normalize (least/greatest) so each unordered pair
+    counts once.
+    """
+    pairs = shared_pairs(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")), "d1"
+        ).join(
+            src.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")), "d2"
+        )
+    )
+    return (
+        j.select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def ns_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram — the dedup audit published with
     every corpus snapshot: how many clusters of each size exist and how

@@ -1596,6 +1596,16 @@ def _lsh_recall_sql() -> str:
 
 NS_ORACLES["ns_lsh_recall"] = _lsh_recall_sql()
 
+NS_ORACLES["ns_source_dedup_matrix"] = (
+    f"WITH mh AS ({_minhash_sql()}) "
+    "SELECT least(a.source, b.source) AS source_a, "
+    "greatest(a.source, b.source) AS source_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    "FROM mh JOIN documents a ON a.doc_id = mh.d1 "
+    "JOIN documents b ON b.doc_id = mh.d2 "
+    "GROUP BY 1, 2 ORDER BY source_a, source_b"
+)
+
 
 NS_ORACLES["ns_winsorize"] = (
     "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "

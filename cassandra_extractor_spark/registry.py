@@ -59,6 +59,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_cluster_canonical": D.ns_cluster_canonical,
     "ns_cluster_size_hist": D.ns_cluster_size_hist,
     "ns_lsh_recall": D.ns_lsh_recall,
+    "ns_source_dedup_matrix": D.ns_source_dedup_matrix,
     "q105_skyline": R.q105_skyline,
     "ns_sample_k_per_group": SM.ns_sample_k_per_group,
     "ns_embedding_centering": S.ns_embedding_centering,
@@ -325,7 +326,7 @@ _PRIORITY_PREFIX = [
     "ns_ann_ivfpq", "ns_cluster_size_hist",
     "ns_ann_ivfpq_recall", "ns_pack_fragmentation",
     "ns_classifier_calibration", "ns_quality_token_frontier",
-    "ns_budget_select", "ns_lsh_recall",
+    "ns_budget_select", "ns_lsh_recall", "ns_source_dedup_matrix",
     "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
     "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
     "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",

@@ -564,6 +564,7 @@ DOC_QUERIES = [
     "ns_quality_token_frontier",
     "ns_budget_select",
     "ns_lsh_recall",
+    "ns_source_dedup_matrix",
     "ns_minhash_calibration",
     "ns_bigram_lm",
     "ns_cms_estimate",
