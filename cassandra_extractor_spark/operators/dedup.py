@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from cassandra_extractor_spark.operators.text import distinct_tokens, doc_fingerprint_col, tokens
-from cassandra_extractor_spark.sources.catalog import load_table
+from cassandra_extractor_spark.sources.catalog import _norm_dir, load_table
 
 NUM_PERM = 8  #: minhash permutations
 BANDS = 4  #: LSH bands (NUM_PERM/BANDS rows per band)
@@ -424,6 +424,10 @@ def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:
     Spark's ContextCleaner once unreferenced.
     """
     cache: dict = spark.__dict__.setdefault("_ce_dedup_chain", {})
+    # key convention: key[1] is the corpus directory — normalize it so
+    # two spellings of one dir (trailing slash, relative vs absolute)
+    # share a chain, and invalidation with either spelling hits it
+    key = (key[0], _norm_dir(key[1]), *key[2:])
     if key in cache:
         cache[key] = cache.pop(key)  # move-to-end: mark most recent
         return cache[key]
@@ -444,7 +448,8 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
     if sf_dir is None:
         cache.clear()
     else:
-        for key in [k for k in cache if k[1] == sf_dir]:
+        norm = _norm_dir(sf_dir)
+        for key in [k for k in cache if k[1] == norm]:
             del cache[key]
 
 

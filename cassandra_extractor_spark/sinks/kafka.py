@@ -44,9 +44,13 @@ class KafkaSinkConfig:
     #: over the same key in ``producer_options``.  NOTE: the reference
     #: defaults acks=-1 and derives a FRACTIONAL linger.ms from
     #: flush_latency (default 0.5 ms) — neither default is implied
-    #: here: pass ``acks="-1"`` explicitly to mirror it, and
-    #: ``linger_ms`` accepts floats so sub-millisecond linger is
-    #: expressible (emitted as ``str(value)`` unchanged).
+    #: here: pass ``acks="-1"`` explicitly to mirror it.  ``linger_ms``
+    #: accepts whole-valued floats for API symmetry, but this sink
+    #: feeds Spark's built-in Kafka writer whose JAVA producer parses
+    #: ``linger.ms`` as a Long — a fractional value (the reference's
+    #: librdkafka-only 0.5 ms capability) is REJECTED at config time
+    #: with an explanatory error rather than exploding at producer
+    #: construction.
     acks: str | None = None
     linger_ms: float | int | None = None
 
@@ -115,7 +119,17 @@ def kafka_writer_options(cfg: KafkaSinkConfig) -> dict[str, str]:
     if cfg.acks is not None:
         opts["kafka.acks"] = cfg.acks
     if cfg.linger_ms is not None:
-        opts["kafka.linger.ms"] = str(cfg.linger_ms)
+        # the Java client parses linger.ms as a Long: '0.5' throws
+        # ConfigException at producer construction — fail fast here
+        if cfg.linger_ms != int(cfg.linger_ms):
+            raise ValueError(
+                f"linger_ms={cfg.linger_ms!r}: Spark's Kafka sink uses the "
+                "Java producer, which parses linger.ms as an integer number "
+                "of milliseconds; sub-millisecond linger (the reference's "
+                "librdkafka flush_latency=0.5ms) is not expressible — pass "
+                "0 (fire immediately) or a whole number of ms."
+            )
+        opts["kafka.linger.ms"] = str(int(cfg.linger_ms))
     return opts
 
 

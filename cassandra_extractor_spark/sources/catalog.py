@@ -64,7 +64,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # unbounded map would retain a Python handle + JVM analyzed plan
     # for every one of them for the session's lifetime.
     cache: dict = spark.__dict__.setdefault("_ce_table_plans", {})
-    key = (sf_dir, name)
+    # normalize so two spellings of one directory (trailing slash,
+    # relative vs absolute) share one cache entry — and so a later
+    # invalidate_table_cache with a different spelling still hits it
+    key = (_norm_dir(sf_dir), name)
     if key in cache:
         cache[key] = cache.pop(key)  # move-to-end: mark most recent
         return cache[key]
@@ -89,6 +92,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def _norm_dir(sf_dir: str) -> str:
+    """One canonical spelling per directory for cache keys (realpath:
+    absolute, symlink-free, no trailing slash) — only for LOCAL paths;
+    URI-schemed paths (s3a://, hdfs://) pass through untouched since
+    os.path would mangle the double slash."""
+    return sf_dir if "://" in sf_dir else os.path.realpath(sf_dir)
+
+
 #: LRU cap for the per-session analyzed-plan cache: 3 standard sf dirs
 #: × 10 tables fit with headroom; one-shot differential tmp dirs churn
 #: through the tail without evicting the hot standard entries.
@@ -104,7 +115,8 @@ def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> No
         if sf_dir is None:
             cache.clear()
         else:
-            for key in [k for k in cache if k[0] == sf_dir]:
+            norm = _norm_dir(sf_dir)
+            for key in [k for k in cache if k[0] == norm]:
                 del cache[key]
     # the shared dedup/token-stream chain caches MATERIALIZED data over
     # these tables — stale blocks are worse than a stale file listing

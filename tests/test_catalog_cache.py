@@ -25,6 +25,9 @@ def test_load_table_memoizes_and_caps(spark, tmp_path):
     _write(spark, base)
     df1 = load_table(spark, "region", str(base))
     assert load_table(spark, "region", str(base)) is df1  # memo hit
+    # two spellings of the same dir share one cache entry
+    assert load_table(spark, "region", str(base) + "/") is df1
+    assert load_table(spark, "region", str(base / ".")) is df1
 
     # churn through > cap one-shot dirs: the cache must stay bounded
     for i in range(_TABLE_CACHE_CAP + 5):

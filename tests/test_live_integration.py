@@ -149,7 +149,9 @@ def test_kafka_roundtrip_acks_and_partitioner(live_spark):
         topic=topic,
         key_template="%(k)s",
         acks="-1",
-        linger_ms=0.5,
+        # 0 = fire immediately (the Java producer cannot express the
+        # reference's fractional 0.5 ms; see kafka_writer_options)
+        linger_ms=0,
     )
     src = live_spark.createDataFrame([(i, f"payload-{i}") for i in range(200)], "k INT, v STRING")
     frame = prepare_kafka_frame(src, cfg)

@@ -49,6 +49,11 @@ def test_session_memo_lru_and_invalidation(tmp_path):
     a1 = session_memo(spark, ("bands", "/d1"), builder("a"))
     a2 = session_memo(spark, ("bands", "/d1"), builder("a'"))
     assert a1 is a2 and built == ["a"]  # memo hit, second builder never ran
+    # path-spelling normalization: trailing slash / redundant segments
+    # resolve to the SAME chain (two spellings must not build twice)
+    a3 = session_memo(spark, ("bands", "/d1/"), builder("a-slash"))
+    a4 = session_memo(spark, ("bands", "//d1/./"), builder("a-dot"))
+    assert a3 is a1 and a4 is a1 and built == ["a"]
 
     # fill past the cap: oldest evicts, a re-ask rebuilds
     for i in range(_CHAIN_CACHE_CAP):
@@ -57,8 +62,9 @@ def test_session_memo_lru_and_invalidation(tmp_path):
     session_memo(spark, ("bands", "/d1"), builder("a2"))
     assert built[-1] == "a2"  # /d1 was evicted, rebuilt
 
-    # per-dir invalidation (sf_dir is key[1])
-    invalidate_dedup_chain(spark, "/d1")
+    # per-dir invalidation (sf_dir is key[1]) — a DIFFERENT spelling of
+    # the dir must still hit the entry (post-rewrite staleness guard)
+    invalidate_dedup_chain(spark, "/d1/")
     assert ("bands", "/d1") not in spark.__dict__["_ce_dedup_chain"]
     invalidate_dedup_chain(spark)
     assert spark.__dict__["_ce_dedup_chain"] == {}

@@ -174,23 +174,33 @@ def test_kafka_producer_options_pass_through():
     assert "kafka.kafka.batch.size" not in opts
 
 
-def test_kafka_fractional_linger_and_reference_acks():
+def test_kafka_fractional_linger_rejected_and_reference_acks():
     """The reference derives linger.ms from flush_latency with a
-    FRACTIONAL default (0.5 ms, kafkaworker.py) and defaults acks=-1;
-    the first-class fields must express both: floats emit unchanged
-    via str(), and acks='-1' passes through verbatim (it is NOT an
-    implied default — callers mirroring the reference pass it)."""
+    FRACTIONAL default (0.5 ms, kafkaworker.py) — a librdkafka-only
+    capability: Spark's built-in Kafka sink uses the JAVA producer,
+    which parses linger.ms as a Long, so '0.5' would throw
+    ConfigException at producer construction.  The config must reject
+    fractional values UP FRONT with the explanation, accept
+    whole-valued floats (emitted as integer text), and pass acks='-1'
+    through verbatim (NOT an implied default)."""
+    import pytest
+
     from cassandra_extractor_spark.sinks.kafka import (
         KafkaSinkConfig,
         kafka_writer_options,
     )
 
     cfg = KafkaSinkConfig(
-        bootstrap_servers="b:9092", topic="t", acks="-1", linger_ms=0.5
+        bootstrap_servers="b:9092", topic="t", acks="-1", linger_ms=2.0
     )
     opts = kafka_writer_options(cfg)
     assert opts["kafka.acks"] == "-1"
-    assert opts["kafka.linger.ms"] == "0.5"
+    assert opts["kafka.linger.ms"] == "2"  # whole float → integer text
+
+    with pytest.raises(ValueError, match="Java producer"):
+        kafka_writer_options(
+            KafkaSinkConfig(bootstrap_servers="b:9092", topic="t", linger_ms=0.5)
+        )
     # no implied defaults: omitting the fields emits no kafka.acks/linger
     bare = kafka_writer_options(KafkaSinkConfig(bootstrap_servers="b:9092", topic="t"))
     assert "kafka.acks" not in bare and "kafka.linger.ms" not in bare
