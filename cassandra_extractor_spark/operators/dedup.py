@@ -265,9 +265,16 @@ def minhash_signatures_for(docs: DataFrame) -> DataFrame:
     vectorizes (measured ~4× on the bands stage at sf0.1).
     """
     d = docs.where(F.size(tokens(F.col("text"))) >= 3)
-    exploded = exploded_shingles(d)
+    return signatures_from_shingles(exploded_shingles(d))
+
+
+def signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash signatures from a prebuilt (doc_id, sh) frame.  MIN is
+    duplicate-insensitive, so distinct and non-distinct shingle frames
+    produce bit-identical signatures — the session-shared DISTINCT
+    frame (``shared_shingles``) therefore feeds this directly."""
     h1, h2 = _mh_base_hashes(F.col("sh"))
-    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     return hashed.groupBy("doc_id").agg(
         *[
             F.min(_mh_perm(F.col("h1"), F.col("h2"), s)).alias(f"mh{s}")
@@ -277,7 +284,10 @@ def minhash_signatures_for(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures_for(load_table(spark, "documents", sf_dir))
+    """Corpus signatures from the session-shared shingle frame: the
+    corpus is exploded+deduped ONCE per session (``shared_shingles``)
+    and the signature aggregation reads those materialized blocks."""
+    return signatures_from_shingles(shared_shingles(spark, sf_dir))
 
 
 def bands_for(sig: DataFrame) -> DataFrame:
@@ -399,11 +409,11 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: cap for the per-session shared-chain cache: one sf_dir uses 5 slots
-#: (bands, pairs×2 bucket policies, clusters, token stream); 12 lets two
-#: standard sf dirs coexist while one-shot differential tmp dirs churn
-#: through the tail (same rationale as catalog._TABLE_CACHE_CAP)
-_CHAIN_CACHE_CAP = 12
+#: cap for the per-session shared-chain cache: one sf_dir uses 6 slots
+#: (shingles, bands, pairs×2 bucket policies, clusters, token stream);
+#: 14 lets two standard sf dirs coexist while one-shot differential tmp
+#: dirs churn through the tail (same rationale as catalog._TABLE_CACHE_CAP)
+_CHAIN_CACHE_CAP = 14
 
 
 def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:
@@ -451,6 +461,25 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
         norm = _norm_dir(sf_dir)
         for key in [k for k in cache if k[1] == norm]:
             del cache[key]
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized corpus-wide DISTINCT 3-shingle frame (doc_id, sh),
+    built once per (session, sf_dir) — the root of the shared chain.
+    Consumers: the MinHash signature builder (MIN is duplicate-
+    insensitive, so distinct input is signature-identical), SimHash
+    votes (which REQUIRE set semantics), and duplicate-n-gram coverage.
+    At 100 TB this is one corpus scan+explode+dedup shuffle instead of
+    one per consumer; the bounded audit-window queries (doc_id < 200)
+    keep their own explosion so their filter pushes to the parquet scan
+    and they stay cheap standalone."""
+    return session_memo(
+        spark,
+        ("shingles", sf_dir),
+        lambda: materialize_once(
+            exploded_shingles(load_table(spark, "documents", sf_dir)).distinct()
+        ),
+    )
 
 
 def shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,12 +621,12 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham(x,y) ≤ 3 with 4 byte-chunks ⇒ at least one chunk matches, so the
     chunk-equality self-join finds all such pairs without all-pairs cost.
     """
-    d = load_table(spark, "documents", sf_dir).where(F.size(tokens(F.col("text"))) >= 3)
-    # codegen'd shingles → DISTINCT (votes must count each shingle once,
-    # matching the oracle's list_distinct) → md5 → 32 vote-sum aggs
-    # (simhash_col is the map-only per-row variant for pipelines that
-    # cannot afford the shuffles)
-    exploded = exploded_shingles(d).distinct()
+    # session-shared DISTINCT shingles (votes must count each shingle
+    # once, matching the oracle's list_distinct; docs with <3 tokens
+    # produce zero shingles, so the old ≥3-token pre-filter is implied)
+    # → md5 → 32 vote-sum aggs (simhash_col is the map-only per-row
+    # variant for pipelines that cannot afford the shuffles)
+    exploded = shared_shingles(spark, sf_dir)
     h = exploded.select("doc_id", _md5_hash64(F.col("sh"), "sh").alias("hv"))
     votes = h.groupBy("doc_id").agg(
         *[
@@ -1307,8 +1336,10 @@ def ns_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n_dup·10 ≥ n_grams·3``) — no float division, so the oracle
     comparison cannot drift.
 
-    Scale shape: shingles stream out of the codegen'd posexplode+lead
-    pipeline (`exploded_shingles`); the gram→doc-count aggregation is
+    Scale shape: shingles come from the session-shared materialized
+    frame (`shared_shingles` — one corpus explosion per session, shared
+    with the MinHash signature builder and SimHash); the gram→doc-count
+    aggregation is
     map-side combined and keyed by gram (uniform md5-ish distribution,
     no hot reducer); the count joins back on the same gram key so the
     two shuffles share partitioning.  At 100 TB the exact gram-count
@@ -1319,8 +1350,7 @@ def ns_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     star); no reference equivalent — the reference ships rows, it does
     not score corpora (`worker.py` row loop).
     """
-    d = load_table(spark, "documents", sf_dir)
-    sh = exploded_shingles(d).distinct()
+    sh = shared_shingles(spark, sf_dir)
     gram_docs = sh.groupBy("sh").agg(F.count("*").cast("long").alias("nd"))
     per = (
         sh.join(gram_docs, "sh")

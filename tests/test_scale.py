@@ -721,3 +721,27 @@ def test_corpus_family_single_signing_pass(spark, sf_dir):
     ns_training_corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
     assert cache[("clusters", sf_dir)] is clusters_obj
     assert cache[("token_stream", sf_dir)] is stream_obj
+
+
+def test_one_shingle_explosion_per_session(spark, sf_dir, monkeypatch):
+    """Regression guard for the round-10 shared shingle frame: after the
+    session-shared DISTINCT shingle frame exists, every corpus-wide
+    shingle consumer (the MinHash signature builder → bands → pairs,
+    SimHash, duplicate-n-gram coverage) must read its materialized
+    blocks — re-exploding the corpus is the bug.  Pinned by poisoning
+    ``exploded_shingles`` after the one allowed build and running each
+    consumer end-to-end."""
+    import cassandra_extractor_spark.operators.dedup as dd
+
+    dd.invalidate_dedup_chain(spark)
+    shingles_obj = dd.shared_shingles(spark, sf_dir)  # the ONE explosion
+
+    def _boom(*args, **kwargs):  # noqa: ANN002, ANN003
+        raise AssertionError("corpus shingles re-exploded after chain build")
+
+    monkeypatch.setattr(dd, "exploded_shingles", _boom)
+    dd.ns_dedup_simhash(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dd.ns_dup_ngram_coverage(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dd.shared_bands(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cache = spark.__dict__["_ce_dedup_chain"]
+    assert cache[("shingles", sf_dir)] is shingles_obj
