@@ -3249,67 +3249,87 @@ def q116_spearman(spark, sf_dir):
     on them is one deterministic double expression (sqrt denominator →
     irrational → round-safe).
 
-    Scale shape — two-pass distributed rank, NO corpus-sized
-    single-partition sort and NO corpus-sized join-back: the group key
-    has 3 distinct values, so a rank window partitioned on it would
-    funnel ~1/3 of the corpus through one task at scale.  Instead:
-    (1) qty ranks come from a per-value count lookup (qty's id domain
-    is bounded, so the lookup is tiny and broadcasts onto the rows —
-    map-only); (2) ONE corpus hash shuffle groups rows by
-    (flag, price-cents), carrying count, Σrq and Σrq² — every joint
-    statistic the final Pearson-on-ranks formula needs; (3) price
-    ranks are a two-level distributed prefix sum OVER THAT DISTINCT-
-    VALUE FRAME (order-preserving range buckets floor(v/2²⁰) — double
+    Scale shape — ONE meaningful shuffle, NO corpus-sized single-
+    partition sort, NO corpus-sized join-back, NO materialization
+    (the plan is fully lazy; every subplan that reads the corpus is a
+    cheap 3-column scan feeding a map-side-combined aggregate).  The
+    group key has 3 distinct values, so a rank window partitioned on it
+    would funnel ~1/3 of the corpus through one task at scale.  Instead:
+    (1) qty ranks: the (flag, qty) marginal aggregates to ~|qty domain|
+    rows (map-side combine ⇒ negligible shuffle traffic) and a plain
+    window over that tiny post-aggregate frame assigns
+    rq = 2·|{rows < v}| + count(v) + 1, broadcast back onto the rows;
+    (2) the (flag, price-cents) marginal is THE one corpus-volume
+    shuffle — count, Σrq and Σrq² ride the same partial/final
+    aggregate, and it is referenced exactly ONCE downstream (the r9
+    spelling referenced it twice through the rank helper, which — with
+    no exchange reuse across aliased subplans — re-ran the corpus
+    shuffle per side; 6 corpus scans total, measured);
+    (3) price ranks are a two-level distributed prefix sum: bucket
+    totals floor(v/2²⁰) come from their OWN map-side-combined corpus
+    aggregate (~|buckets| rows — this is what breaks the double
+    reference), cumulate via a window over that tiny frame, broadcast
+    onto the marginal, and the in-(flag, bucket) local prefix window
+    sees range-bounded slices, never the corpus (the bucket double
     division stays monotone even when |v| > 2⁵² loses low bits, and a
-    collision only merges adjacent buckets, which is harmless; bucket
-    totals cumulate via a window over the tiny bucket frame; the
-    in-(flag, bucket) local prefix window sees domain-bounded slices,
-    never the corpus); (4) all five sufficient statistics reduce from
-    the distinct-value frame by one map-side-combined aggregate —
-    sx = Σ srq, sxx = Σ srq², sy = Σ rp·c, syy = Σ rp²·c,
-    sxy = Σ rp·srq.  Identity: min_rank + max_rank
-    = 2·|{rows < v}| + count(v) + 1 — identical integers to a
-    rank()-window spelling, so the oracle hash is unchanged.
+    collision only merges adjacent buckets — harmless);
+    (4) all five sufficient statistics reduce from the marginal frame
+    by one map-side-combined aggregate — sx = Σ srq, sxx = Σ srq²,
+    sy = Σ rp·c, syy = Σ rp²·c, sxy = Σ rp·srq.
+    Identity: min_rank + max_rank = 2·|{rows < v}| + count(v) + 1 —
+    identical integers to a rank()-window spelling, so the oracle hash
+    is unchanged.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_quantity")).cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-
-    def ranks2(cnt, col, out):
-        """Per-value 2× average rank over a (flag, value, c) count
-        frame, via a two-level (bucket + in-bucket) prefix sum."""
-        cnt = cnt.withColumn("bkt", F.floor(F.col(col) / F.lit(float(2**20))))
-        btot = cnt.groupBy("l_returnflag", "bkt").agg(F.sum("c").alias("bc"))
-        bw = W.partitionBy("l_returnflag").orderBy("bkt")
-        before_bkt = btot.select(
+    # qty ranks: tiny post-aggregate window (|flag|·|qty| ≈ 150 rows)
+    qw = W.partitionBy("l_returnflag").orderBy("q")
+    qlk = (
+        li.groupBy("l_returnflag", "q")
+        .agg(F.count("*").alias("c"))
+        .select(
             "l_returnflag",
-            "bkt",
-            (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt"),
+            "q",
+            (F.lit(2) * (F.sum("c").over(qw) - F.col("c")) + F.col("c") + F.lit(1)).alias(
+                "rq"
+            ),
         )
-        lw = W.partitionBy("l_returnflag", "bkt").orderBy(col)
-        less = (
-            F.col("before_bkt") + F.sum("c").over(lw) - F.col("c")
-        )  # rows strictly below v, corpus-wide
-        return cnt.join(F.broadcast(before_bkt), ["l_returnflag", "bkt"]).withColumn(
-            out, F.lit(2) * less + F.col("c") + F.lit(1)
+    )
+    # price bucket totals from the corpus directly (map-side combined,
+    # ~|flag|·|price range / 2²⁰| rows) — NOT derived from pf, so pf
+    # stays single-referenced and the plan needs no checkpoint
+    bkt = F.floor(F.col("p") / F.lit(float(2**20)))
+    bw = W.partitionBy("l_returnflag").orderBy("bkt")
+    before_bkt = (
+        li.groupBy("l_returnflag", bkt.alias("bkt"))
+        .agg(F.count("*").alias("bc"))
+        .select(
+            "l_returnflag", "bkt", (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt")
         )
-
-    qcnt = li.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
-    qlk = ranks2(qcnt, "q", "rq").select("l_returnflag", "q", "rq")
-    # (flag, price) joint frame: the ONLY corpus-sized shuffle — count,
+    )
+    # (flag, price) marginal: THE one corpus-volume shuffle — count,
     # Σrq and Σrq² ride the same partial/final aggregate
     pf = (
         li.join(F.broadcast(qlk), ["l_returnflag", "q"])
         .groupBy("l_returnflag", "p")
         .agg(
             F.count("*").alias("c"),
+            # decimal-first products: rq ~ 2n, so Σrq² overflows LONG
+            # once a flag group passes ~2^31 rows — decimal(38,0) won't
             F.sum(F.col("rq").cast("decimal(38,0)")).alias("srq"),
-            F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("srq2"),
+            F.sum(F.col("rq").cast("decimal(38,0)") * F.col("rq")).alias("srq2"),
         )
     )
-    ranked = ranks2(pf, "p", "rp")
+    lw = W.partitionBy("l_returnflag", "bkt").orderBy("p")
+    less = F.col("before_bkt") + F.sum("c").over(lw) - F.col("c")  # rows < v, corpus-wide
+    ranked = (
+        pf.withColumn("bkt", F.floor(F.col("p") / F.lit(float(2**20))))
+        .join(F.broadcast(before_bkt), ["l_returnflag", "bkt"])
+        .withColumn("rp", F.lit(2) * less + F.col("c") + F.lit(1))
+    )
     dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
     agg = ranked.groupBy("l_returnflag").agg(
         F.sum("c").cast("long").alias("n"),
