@@ -1694,3 +1694,59 @@ def ns_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TOP_SPANS_K = 20  #: report size for the duplicated-span leaderboard
+
+
+def ns_top_dup_spans(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> DataFrame:
+    """Top duplicated k-gram spans — the REMEDIATION companion to
+    ``ns_substring_dedup``: that operator scores how much of each
+    document is corpus-duplicated; this one surfaces the actual
+    offending spans (boilerplate headers, license blocks, templated
+    sentences) ranked by occurrence count, with their document spread.
+    A pipeline operator reads this leaderboard to author crawl
+    exclusions or span-strip rules before re-running extraction.
+
+    Scale shape: one posexplode pass emits (doc_id, gram-text); the
+    gram aggregation is map-side combined on uniform text keys; the
+    leaderboard is ``ORDER BY … LIMIT k`` = TakeOrdered (per-partition
+    top-k, then a k-row driver merge — never a global sort).  Pure
+    integers + the gram string; the cut is deterministic because the
+    gram is a unique key in the ordering.
+
+    Reference parity: north-star corpus-forensics surface (SURVEY
+    §2.5); the reference ships rows, it never inspects corpora.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    docs = d.select(
+        "doc_id",
+        "toks",
+        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
+    )
+    # sequence(0, negative) counts DOWN in Spark — gate short docs out
+    positions = F.when(
+        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(positions).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k)).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        agg.where(F.col("n_occ") > 1)
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(TOP_SPANS_K)
+        .select("gram", "n_occ", "n_docs")
+    )

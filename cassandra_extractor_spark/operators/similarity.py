@@ -1531,3 +1531,64 @@ def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purity_ppm"),
     ).orderBy("cluster_id")
+
+
+ANN_SYM_WINDOW = 200  #: bounded audit window (calibration-op contract)
+
+
+def ns_ann_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph reciprocity audit: within the bounded audit window,
+    build each vector's exact top-k cosine neighbor list and measure
+    per label-class how many directed kNN edges are MUTUAL (i ∈ kNN(j)
+    and j ∈ kNN(i)).  Low reciprocity marks hubness / density skew in
+    the embedding space — the standard diagnosis before trusting a
+    kNN graph for SemDeDup-style clustering (``ns_semantic_dedup``) or
+    graph-based ANN serving; reciprocity differing by label flags a
+    class whose region is under-embedded.
+
+    Scale note: the all-pairs side exists only for this bounded window
+    (same contract as ``ns_minhash_calibration`` / ``ns_lsh_recall``);
+    a corpus-scale kNN graph goes through the IVF/LSH candidate path
+    and this operator is how you validate it on a sample.  Ties are
+    broken by neighbor id on the 6-rounded cosine, so the graph — and
+    the oracle hash — is deterministic.
+    """
+    e = (
+        _load_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") < ANN_SYM_WINDOW)
+        .withColumn("nrm", norm(F.col("emb")))
+        .where(F.col("nrm") > 0)
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    scored = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(
+            cosine_prenormed(F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")), 6
+        ).alias("cos"),
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("src", "dst")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
+    lab = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("label").cast("long").alias("label")
+    )
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .join(F.broadcast(lab), "src")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("n_mutual"),
+        )
+        .withColumn(
+            "mutual_pct",
+            F.floor(F.col("n_mutual") * 100 / F.col("n_edges")).cast("long"),
+        )
+        .orderBy("label")
+    )

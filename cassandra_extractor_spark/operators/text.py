@@ -1842,3 +1842,121 @@ def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm("chars", "bpe_tokens").alias("chars_per_bpe_ppm"),
         _ppm("bpe_tokens", "ws_tokens").alias("fertility_ppm"),
     ).orderBy("lang")
+
+
+#: conjunctive retrieval demo query — terms present at every test SF
+BOOL_QUERY = ("join", "scan", "merge")
+
+
+def ns_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval over the token inverted
+    index: documents containing EVERY query term, with the total query
+    term frequency and the scarcest-term count (the classic
+    band-merge statistic a ranked retriever feeds into scoring; BM25 —
+    ``ns_bm25`` — is the ranked sibling).
+
+    Scale shape: the posting-list build is explode → filter to the
+    |query| terms — the filter runs INSIDE the explode stage, so only
+    matching postings ever reach the shuffle; the per-(doc, term)
+    aggregation is map-side combined; the AND is ``COUNT(DISTINCT
+    term) = |query|`` on a frame already reduced to ≤ |docs|·|query|
+    rows.  At 100 TB the same plan reads a pre-materialized posting
+    store partitioned by term instead of re-exploding, but the
+    operator contract is unchanged.  Pure integers.
+
+    Reference parity: the reference's only search surface is the Solr
+    pushdown string (`ref:datacrawler.py:138-151`); this is the
+    engine-side equivalent for corpora without a search backend.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    postings = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok").isin(*BOOL_QUERY))
+    per_term = postings.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("tf").cast("long").alias("tf_total"),
+            F.min("tf").cast("long").alias("tf_min"),
+        )
+        .where(F.col("n_terms") == len(BOOL_QUERY))
+        .select("doc_id", "tf_total", "tf_min")
+        .orderBy("doc_id")
+    )
+
+
+OUTLIER_MAD_MULT = 3  #: |x − median| > mult·MAD flags an outlier
+
+
+def ns_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length-outlier audit: exact lower-median and
+    MAD (median absolute deviation) of ``n_chars``, plus how many
+    documents sit more than 3·MAD from the median — the robust
+    quality gate that survives the heavy-tailed length distributions
+    where mean/stddev (``ns_corpus_stats``) get dragged by a single
+    pathological document.
+
+    EXACT medians without a per-source corpus sort: lengths are
+    aggregated to a (source, n_chars) count frame in one map-side-
+    combined corpus pass; the lower median (smallest v with
+    2·cum(v) ≥ n — identical convention spelled identically in the
+    oracle) is a prefix-sum window over that DOMAIN-BOUNDED frame
+    (≤ |length domain| rows per source, independent of corpus size);
+    the deviation distribution is derived from the SAME count frame
+    (|v − med| with count c), so the MAD and the outlier count never
+    touch the corpus again.  One corpus pass total; every window is
+    post-aggregate (the q116/q101 plan-guard discipline).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    # one corpus pass; localCheckpoint because everything below
+    # references this tiny domain-bounded frame repeatedly (lazy, the
+    # corpus aggregate would re-run once per reference)
+    cnt = (
+        d.groupBy("source", "v").agg(F.count("*").cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+
+    def lower_median(counts: DataFrame, out: str) -> DataFrame:
+        w = W.partitionBy("source").orderBy("v")
+        cum = counts.withColumn("cum", F.sum("c").over(w))
+        return (
+            cum.join(F.broadcast(tot), "source")
+            .where(F.col("cum") * 2 >= F.col("n"))
+            .groupBy("source")
+            .agg(F.min("v").alias(out))
+        )
+
+    med = lower_median(cnt, "med_chars")
+    devc = (
+        cnt.join(F.broadcast(med), "source")
+        .select("source", F.abs(F.col("v") - F.col("med_chars")).alias("v"), "c")
+        .groupBy("source", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = lower_median(devc, "mad_chars")
+    out = (
+        devc.join(F.broadcast(mad), "source")
+        .where(F.col("v") > F.lit(OUTLIER_MAD_MULT) * F.col("mad_chars"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_outliers"))
+    )
+    return (
+        tot.join(med, "source")
+        .join(mad, "source")
+        .join(out, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "med_chars",
+            "mad_chars",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("source")
+    )

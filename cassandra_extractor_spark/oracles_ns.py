@@ -2418,3 +2418,114 @@ NS_ORACLES["ns_tokenizer_fertility"] = (
     "AS BIGINT) AS fertility_ppm "
     "FROM g ORDER BY lang"
 )
+
+
+def _top_dup_spans_sql() -> str:
+    """Mirror of ``ns_top_dup_spans``: same k-gram text construction as
+    the substring-dedup oracle, counted and cut at the same
+    deterministic (n_occ DESC, gram) boundary — gram is a unique key,
+    so the LIMIT is order-stable on both engines."""
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K, TOP_SPANS_K
+
+    k = SUBSTR_K
+    gram = (
+        f"array_to_string(toks[CAST(pos + 1 AS INTEGER):CAST(pos + {k} AS INTEGER)], ' ')"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+        "dd AS (SELECT doc_id, toks, COALESCE(len(toks), 0) AS n_tok FROM d), "
+        f"dk AS (SELECT * FROM dd WHERE n_tok >= {k}), "
+        f"gp AS (SELECT doc_id, toks, unnest(range(0, n_tok - {k} + 1)) AS pos FROM dk), "
+        f"g AS (SELECT doc_id, {gram} AS gram FROM gp), "
+        "a AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY gram HAVING COUNT(*) > 1) "
+        f"SELECT gram, n_occ, n_docs FROM a ORDER BY n_occ DESC, gram LIMIT {TOP_SPANS_K}"
+    )
+
+
+NS_ORACLES["ns_top_dup_spans"] = _top_dup_spans_sql()
+
+
+def _boolean_retrieval_sql() -> str:
+    from cassandra_extractor_spark.operators.text import BOOL_QUERY
+
+    terms = ", ".join(f"'{t}'" for t in BOOL_QUERY)
+    return (
+        f"WITH p AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
+        f"f AS (SELECT doc_id, tok FROM p WHERE tok IN ({terms})), "
+        "pt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM f GROUP BY doc_id, tok), "
+        "a AS (SELECT doc_id, COUNT(*) AS n_terms, "
+        "CAST(SUM(tf) AS BIGINT) AS tf_total, CAST(MIN(tf) AS BIGINT) AS tf_min "
+        "FROM pt GROUP BY doc_id) "
+        f"SELECT doc_id, tf_total, tf_min FROM a WHERE n_terms = {len(BOOL_QUERY)} "
+        "ORDER BY doc_id"
+    )
+
+
+NS_ORACLES["ns_boolean_retrieval"] = _boolean_retrieval_sql()
+
+
+def _length_outliers_sql() -> str:
+    """Mirror of ``ns_length_outliers``: identical lower-median
+    convention (smallest v with 2·cum(v) ≥ n) spelled with the same
+    count-frame prefix sums, so both engines agree on even-sized
+    groups without interpolation."""
+    from cassandra_extractor_spark.operators.text import OUTLIER_MAD_MULT
+
+    return (
+        "WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents), "
+        "cnt AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM d GROUP BY source, v), "
+        "tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source), "
+        "cum AS (SELECT source, v, c, SUM(c) OVER "
+        "(PARTITION BY source ORDER BY v) AS cm FROM cnt), "
+        "med AS (SELECT source, MIN(v) AS med_chars FROM cum JOIN tot USING (source) "
+        "WHERE cm * 2 >= n GROUP BY source), "
+        "devc AS (SELECT cnt.source AS source, abs(v - med_chars) AS dv, SUM(c) AS c "
+        "FROM cnt JOIN med ON cnt.source = med.source "
+        "GROUP BY cnt.source, abs(v - med_chars)), "
+        "dcum AS (SELECT source, dv, c, SUM(c) OVER "
+        "(PARTITION BY source ORDER BY dv) AS cm FROM devc), "
+        "mad AS (SELECT source, MIN(dv) AS mad_chars FROM dcum JOIN tot USING (source) "
+        "WHERE cm * 2 >= n GROUP BY source), "
+        "outl AS (SELECT devc.source AS source, SUM(c) AS n_outliers "
+        f"FROM devc JOIN mad ON devc.source = mad.source "
+        f"WHERE dv > {OUTLIER_MAD_MULT} * mad_chars GROUP BY devc.source) "
+        "SELECT tot.source AS source, CAST(n AS BIGINT) AS n_docs, "
+        "CAST(med_chars AS BIGINT) AS med_chars, CAST(mad_chars AS BIGINT) AS mad_chars, "
+        "CAST(COALESCE(n_outliers, 0) AS BIGINT) AS n_outliers "
+        "FROM tot JOIN med USING (source) JOIN mad USING (source) "
+        "LEFT JOIN outl ON tot.source = outl.source ORDER BY source"
+    )
+
+
+NS_ORACLES["ns_length_outliers"] = _length_outliers_sql()
+
+
+def _ann_symmetry_sql() -> str:
+    from cassandra_extractor_spark.operators.similarity import ANN_SYM_WINDOW, TOP_K
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
+        f"FROM embeddings WHERE vec_id < {ANN_SYM_WINDOW} "
+        "AND list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), "
+        "(x, y) -> x + y) > 0), "
+        "scored AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        f"round({_cos_sql('a.emb', 'b.emb')}, 6) AS cos "
+        "FROM e a, e b WHERE a.vec_id <> b.vec_id), "
+        "edges AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM scored) "
+        f"WHERE rk <= {TOP_K}), "
+        "m AS (SELECT e1.src, e1.dst, CASE WHEN e2.src IS NULL THEN 0 ELSE 1 END AS mu "
+        "FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src) "
+        "SELECT CAST(lab.label AS BIGINT) AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges, CAST(SUM(mu) AS BIGINT) AS n_mutual, "
+        "CAST(floor(SUM(mu) * 100 / COUNT(*)) AS BIGINT) AS mutual_pct "
+        "FROM m JOIN embeddings lab ON m.src = lab.vec_id "
+        "GROUP BY lab.label ORDER BY label"
+    )
+
+
+NS_ORACLES["ns_ann_symmetry"] = _ann_symmetry_sql()

@@ -38,6 +38,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
+    # new in round 10 — need fresh rows
+    "ns_top_dup_spans": D.ns_top_dup_spans,
+    "ns_boolean_retrieval": TX.ns_boolean_retrieval,
+    "ns_length_outliers": TX.ns_length_outliers,
+    "ns_ann_symmetry": S.ns_ann_symmetry,
     # new in round 7b — need fresh rows
     "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,

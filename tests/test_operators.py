@@ -1323,3 +1323,102 @@ def test_ann_ivfpq_rank_contract_and_candidate_provenance(spark, sf_dir):
         return {-c for _, c in sorted(best[vid], reverse=True)[:k]}
     for r in out:
         assert top_cells(r.n_id, 1) <= top_cells(r.q_id, IVF_PROBES), (r.q_id, r.n_id)
+
+
+# ---------------------------------------------------------------- round 10
+
+
+def test_top_dup_spans_contract(spark, sf_dir):
+    """Leaderboard rows are genuinely duplicated, doc-spread is
+    consistent, and the (n_occ DESC, gram) cut is deterministic."""
+    from cassandra_extractor_spark.operators.dedup import TOP_SPANS_K, ns_top_dup_spans
+
+    rows = ns_top_dup_spans(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP_SPANS_K
+    assert all(r.n_occ > 1 for r in rows)
+    assert all(1 <= r.n_docs <= r.n_occ for r in rows)
+    occs = [r.n_occ for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    assert len({r.gram for r in rows}) == len(rows)
+    # every gram really has SUBSTR_K tokens
+    from cassandra_extractor_spark.operators.dedup import SUBSTR_K
+
+    assert all(len(r.gram.split(" ")) == SUBSTR_K for r in rows)
+
+
+def test_boolean_retrieval_provenance(spark, sf_dir):
+    """Hits are exactly the docs containing EVERY query term —
+    recomputed independently in Python from the raw text."""
+    import re
+
+    from cassandra_extractor_spark.operators.text import BOOL_QUERY, ns_boolean_retrieval
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    out = {r.doc_id: r for r in ns_boolean_retrieval(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    for d in docs:
+        toks = re.split(r"[ \t\n\x0b\f\r]+", (d.text or "").strip().lower())
+        tfs = {t: toks.count(t) for t in BOOL_QUERY}
+        if all(v > 0 for v in tfs.values()):
+            r = out.pop(d.doc_id)
+            assert r.tf_total == sum(tfs.values()), d.doc_id
+            assert r.tf_min == min(tfs.values()), d.doc_id
+    assert not out  # no hit without all terms present
+
+
+def test_length_outliers_first_principles(spark, sf_dir):
+    """Per-source lower-median / MAD / outlier count recomputed in
+    Python with the same lower-median convention."""
+    from collections import defaultdict
+
+    from cassandra_extractor_spark.operators.text import (
+        OUTLIER_MAD_MULT,
+        ns_length_outliers,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]  # smallest v with 2*cum >= n
+
+    per = defaultdict(list)
+    for r in load_table(spark, "documents", sf_dir).select("source", "n_chars").collect():
+        per[r.source].append(r.n_chars)
+    out = {r.source: r for r in ns_length_outliers(spark, sf_dir).collect()}
+    assert set(out) == set(per)
+    for src, xs in per.items():
+        med = lower_median(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = lower_median(devs)
+        r = out[src]
+        assert r.n_docs == len(xs)
+        assert r.med_chars == med, src
+        assert r.mad_chars == mad, src
+        assert r.n_outliers == sum(1 for d in devs if d > OUTLIER_MAD_MULT * mad), src
+
+
+def test_ann_symmetry_graph_invariants(spark, sf_dir):
+    """Every node emits exactly TOP_K edges; the global mutual-edge
+    count is even (each mutual pair is counted once per direction)."""
+    from cassandra_extractor_spark.operators.similarity import (
+        ANN_SYM_WINDOW,
+        TOP_K,
+        _load_embeddings,
+        norm,
+        ns_ann_symmetry,
+    )
+
+    rows = ns_ann_symmetry(spark, sf_dir).collect()
+    assert rows, "audit window produced no labels"
+    n_nodes = (
+        _load_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") < ANN_SYM_WINDOW)
+        .withColumn("nrm", norm(F.col("emb")))
+        .where(F.col("nrm") > 0)
+        .count()
+    )
+    assert sum(r.n_edges for r in rows) == n_nodes * TOP_K
+    assert sum(r.n_mutual for r in rows) % 2 == 0
+    for r in rows:
+        assert 0 <= r.n_mutual <= r.n_edges
+        assert r.mutual_pct == r.n_mutual * 100 // r.n_edges
