@@ -3646,3 +3646,108 @@ def q121_ks_test(spark, sf_dir):
             / F.lit(1_000_000.0),
         ).alias("ks_d"),
     )
+
+
+def q123_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U rank-sum test between the order-value
+    distributions of two priority classes — the nonparametric A/B test
+    that replaces the t-test when values are heavy-tailed (the usual
+    case for money columns); pairs with q121's KS distance (D measures
+    WHERE distributions differ, U/z measures stochastic dominance).
+
+    EXACT sufficient statistics: average ranks are kept integer as
+    2·rank = 2·|{rows < v}| + count(v) + 1 (the q116 identity), so
+    2·R_A and 2·U_A are exact DECIMAL integers, and the tie-corrected
+    normal approximation z = (U − n_a·n_b/2)/σ_ties is ONE
+    deterministic double expression over five integer aggregates
+    (sqrt → irrational → round-safe; same discipline as q116).
+
+    Scale shape: one map-side-combined corpus aggregate to the
+    (value → count_a, count_b) frame; the cumulative window runs over
+    the |distinct values| frame ordered once (domain-bounded, not
+    corpus-bounded — q121's rationale); the final statistics are a
+    1-row aggregate.
+    """
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderpriority").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    counts = o.groupBy("x").agg(
+        F.sum(F.when(F.col("t") == "1-URGENT", 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("t") == "5-LOW", 1).otherwise(0)).cast("long").alias("b"),
+    )
+    vw = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("a") + F.col("b")
+    cum = counts.withColumn("less", F.sum(t).over(vw) - t)
+    # 2·R_A = Σ_values a · (2·less + t + 1); ties: Σ (t³ − t)
+    agg = cum.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(dec(F.col("a")) * dec(F.lit(2) * F.col("less") + t + 1)).alias("r2a"),
+        F.sum(dec(t) * dec(t) * dec(t) - dec(t)).alias("ties"),
+    )
+    # 2·U_A = 2·R_A − n_a(n_a+1)
+    u2 = (F.col("r2a") - dec(F.col("n_a")) * dec(F.col("n_a") + 1)).alias("u2")
+    prepped = agg.select("n_a", "n_b", u2, "ties").withColumn(
+        "n", F.col("n_a") + F.col("n_b")
+    )
+    na, nb, nd = (F.col(c).cast("double") for c in ("n_a", "n_b", "n"))
+    u2d, tiesd = F.col("u2").cast("double"), F.col("ties").cast("double")
+    sig2 = na * nb / F.lit(12.0) * ((nd + 1) - tiesd / (nd * (nd - 1)))
+    z = (u2d - na * nb) / (F.lit(2.0) * F.sqrt(sig2))
+    return prepped.select(
+        "n_a",
+        "n_b",
+        # LONG output: 2·U ≤ 2·n_a·n_b stays under 2^63 until the two
+        # groups jointly pass ~2·10⁹ rows; the internal sums stay
+        # DECIMAL so the statistic itself never overflows
+        F.col("u2").cast("long").alias("u2"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (sig2 > 0), F.round(z, 6)).alias(
+            "z"
+        ),
+    )
+
+
+def q124_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over the daily event-count series
+    per event type — "did the rate shift, and when?" for pipeline
+    monitoring.  The classic statistic S_k = Σ_{i≤k}(c_i − mean) is
+    kept EXACT by cross-multiplication: S_k·n = n·prefix_k − k·total
+    is an integer, so the argmax day is engine-order-proof (ties break
+    to the earliest day).
+
+    Scale shape: one map-side-combined aggregate to the (type, day)
+    count frame; the prefix window and the argmax window both run over
+    that |types|·|days| frame (calendar-bounded, not corpus-bounded);
+    output is |types| rows.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").cast("long").alias("c"))
+    dw = W.partitionBy("event_type").orderBy("day")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pre = (
+        daily.withColumn("k", F.row_number().over(dw))
+        .withColumn("pref", F.sum("c").over(dw))
+        .withColumn("n", F.count("*").over(W.partitionBy("event_type")))
+        .withColumn("tot", F.sum("c").over(W.partitionBy("event_type")))
+    )
+    scored = pre.withColumn(
+        "dev", F.abs(dec(F.col("n")) * dec(F.col("pref")) - dec(F.col("k")) * dec(F.col("tot")))
+    )
+    aw = W.partitionBy("event_type").orderBy(F.col("dev").desc(), F.col("day"))
+    return (
+        scored.withColumn("rk", F.row_number().over(aw))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("cp_day"),
+            F.col("dev").cast("long").alias("max_dev_n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1592,3 +1592,50 @@ def ns_ann_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ns_ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy audit: per coarse cell, how many corpus
+    vectors land in it and its share in ppm — the balance report that
+    decides when the quantizer needs retraining (a hot cell defeats
+    the probes/K candidate bound exactly like a hot LSH bucket; cf.
+    ``ns_skew_audit`` for join keys and the per-batch ``stats_sink``
+    of the streaming ingest, whose arrival counts this is the
+    corpus-wide twin of).
+
+    Scale shape: centroids broadcast; assignment is the same bounded
+    per-vector argmax as ``ivf_topk`` (window over |centroids| rows per
+    vector); the histogram is one map-side-combined aggregate to
+    |cells| rows.  Pure integers.
+    """
+    e = _load_embeddings(spark, sf_dir)
+    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+    cent = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    corpus = e.where(F.col("vec_id") >= N_QUERIES)
+    scored = corpus.join(F.broadcast(cent)).select(
+        "vec_id",
+        "c_id",
+        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias(
+            "csim"
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= 1)
+    hist = assigned.groupBy("c_id").agg(F.count("*").cast("long").alias("n_vecs"))
+    # total from the |cells|-row histogram itself (every vector assigns
+    # to exactly one cell) — an unpartitioned window over ≤ |cells|
+    # rows, so no plan-time job and no second corpus pass
+    tot = F.sum("n_vecs").over(W.partitionBy())
+    return (
+        hist.withColumn("n_tot", tot)
+        .select(
+            "c_id",
+            "n_vecs",
+            F.expr("div(1000000 * n_vecs, n_tot)").cast("long").alias("share_ppm"),
+        )
+        .orderBy("c_id")
+    )

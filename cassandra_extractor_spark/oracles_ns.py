@@ -2529,3 +2529,31 @@ def _ann_symmetry_sql() -> str:
 
 
 NS_ORACLES["ns_ann_symmetry"] = _ann_symmetry_sql()
+
+
+def _ann_cell_balance_sql() -> str:
+    from cassandra_extractor_spark.operators.similarity import (
+        N_IVF_CENTROIDS,
+        N_QUERIES,
+    )
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings "
+        "WHERE list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), "
+        "(x, y) -> x + y) > 0), "
+        f"cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e "
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_IVF_CENTROIDS}), "
+        f"corpus AS (SELECT vec_id, emb FROM e WHERE vec_id >= {N_QUERIES}), "
+        "assigned AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank "
+        f"FROM (SELECT vec_id, c_id, {_cos_sql('emb', 'c_emb')} AS csim "
+        "FROM corpus, cent)) WHERE crank <= 1), "
+        "hist AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+        "FROM assigned GROUP BY c_id) "
+        "SELECT c_id, n_vecs, "
+        "CAST((1000000 * n_vecs) // (SELECT SUM(n_vecs) FROM hist) AS BIGINT) "
+        "AS share_ppm FROM hist ORDER BY c_id"
+    )
+
+
+NS_ORACLES["ns_ann_cell_balance"] = _ann_cell_balance_sql()

@@ -43,6 +43,9 @@ QUERIES: dict[str, QueryFn] = {
     "ns_boolean_retrieval": TX.ns_boolean_retrieval,
     "ns_length_outliers": TX.ns_length_outliers,
     "ns_ann_symmetry": S.ns_ann_symmetry,
+    "q123_mann_whitney": R.q123_mann_whitney,
+    "q124_cusum_changepoint": R.q124_cusum_changepoint,
+    "ns_ann_cell_balance": S.ns_ann_cell_balance,
     # new in round 7b — need fresh rows
     "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,
@@ -305,51 +308,44 @@ QUERIES: dict[str, QueryFn] = {
     "q53_ntile": R.q53_ntile,
 }
 
-#: driver-evidence rotation (round 8): the driver's CORRECTNESS
+#: driver-evidence rotation (round 8+): the driver's CORRECTNESS
 #: artifact records roughly the first ~50 registry entries per round.
 #: Rotation rule (stated in PARITY.md coverage note): each round the
 #: prefix is recomputed as the ~50 registry entries whose most recent
 #: driver-green row is OLDEST, excluding everything sampled in the two
-#: preceding rounds — so the r8 sample is disjoint from r6∪r7 and
-#: every entry re-earns driver evidence at least once per ~5 rounds.
-#: As of round 8 the union of CORRECTNESS_r0{1..8}.json covers ALL 243
-#: registry names at least once — the rotation now accrues SECOND-pass
-#:  evidence where it is stalest.  This round's 52: the 52
-#: oldest-evidence entries among the 143 eligible (registry minus the
-#: r7∪r8 samples), computed mechanically from the CORRECTNESS files —
-#: oldest round first, name-ordered within a round.  Two of them
-#: (ns_neardup_editdist's thresholded-levenshtein output contract and
-#: the corpus family's shared chain) changed plan or values this round
-#: and get fresh driver evidence through their family members here
-#: (ns_triangle_count, ns_minhash_calibration, ns_cluster_canonical,
-#: ns_dup_ngram_coverage, ns_substring_dedup); editdist itself was
-#: r8-sampled, so disjointness keeps it out — the full tools/check.py
-#: sweep covers it.  Every entry stays registered — prioritization,
-#: not selection.
+#: preceding rounds — so each round's sample is disjoint from the two
+#: before it and every entry re-earns driver evidence ~once per 5
+#: rounds.  The union of CORRECTNESS_r0{1..9}.json covers ALL 252
+#: pre-round-10 registry names — the rotation accrues SECOND-pass
+#: evidence where it is stalest.  This round's 52, computed
+#: mechanically from the CORRECTNESS files (oldest round first,
+#: name-ordered within a round; verified disjoint from the r8∪r9
+#: samples): the 7 NEW round-10 operators (zero evidence) lead, then
+#: the 48 oldest-evidence eligibles — which naturally include
+#: q116_spearman and q101_weighted_median, both of which carry new
+#: plans this round and need fresh driver rows.  Every entry stays
+#: registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
-    # NEW in round 9: zero evidence, oldest by rule
-    "ns_ann_ivfpq", "ns_cluster_size_hist",
-    "ns_ann_ivfpq_recall", "ns_pack_fragmentation",
-    "ns_classifier_calibration", "ns_quality_token_frontier",
-    "ns_budget_select", "ns_lsh_recall", "ns_source_dedup_matrix",
-    "ns_dup_ngram_coverage", "ns_embedding_audit", "ns_hard_negatives",
-    "ns_heavy_hitters", "ns_line_filter", "ns_lm_fluency_bucket",
-    "ns_minhash_calibration", "ns_skew_audit", "ns_substring_dedup",
-    "ns_temperature_sample", "ns_text_normalize", "ns_triangle_count",
-    "ns_winsorize", "q38_approx_distinct", "q66_grouped_median",
-    "q67_grouped_mode", "q68_fuzzy_join", "q69_median_abs_dev",
-    "q70_equidepth_hist", "q71_fill_forward", "q77_zorder_key",
-    "q78_bloom_join", "q79_window_distinct", "q80_interval_merge",
-    "q81_rank_metrics", "q82_rolling_median", "q83_cdc_apply",
-    "q84_scd2_history", "q85_interval_lookup", "q86_sequence_gaps",
-    "q87_dense_timeseries", "q88_salted_join", "q89_grouped_quantiles",
-    "q90_time_rollup", "q91_grouping_id", "q92_ohlc_resample",
-    "q93_column_profile", "q94_rank_distributions", "q95_event_pattern",
-    "q96_relational_division", "q97_constraint_audit",
+    # NEW in round 10: zero evidence, oldest by rule
+    "ns_top_dup_spans", "ns_boolean_retrieval",
+    "ns_length_outliers", "ns_ann_symmetry",
+    "q123_mann_whitney", "q124_cusum_changepoint", "ns_ann_cell_balance",
+    # oldest second-pass evidence (r5-sampled era), excluding r8∪r9
     "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
     "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",
     "ns_cms_estimate", "ns_dp_noise", "ns_embedding_centering",
-    "ns_hll_manual", "ns_hll_set_ops",
+    "ns_hll_manual", "ns_hll_set_ops", "ns_label_propagation",
+    "ns_linear_probe_step", "ns_mi_feature_select",
+    "ns_neyman_allocation", "ns_ngram_novelty", "ns_pca_power_iter",
+    "ns_random_projection", "ns_ranking_ndcg", "ns_sample_k_per_group",
+    "ns_simpson_diversity", "ns_span_corruption", "ns_zipf_fit",
+    "q100_crosstab_chi2", "q101_weighted_median", "q102_interpolate",
+    "q103_benford", "q104_autocorr", "q105_skyline", "q106_attribution",
+    "q112_not_in_nulls", "q113_percent_of_parent", "q114_bounce_rate",
+    "q115_runs_test", "q116_spearman", "q117_gini",
+    "q118_seasonal_decompose", "q119_ab_proportions", "q120_ltv_curve",
+    "q121_ks_test", "tpch_q01", "tpch_q03", "tpch_q04", "tpch_q05",
+    "tpch_q06", "tpch_q10", "tpch_q12", "tpch_q14",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)
@@ -735,6 +731,57 @@ ORACLES: dict[str, str] = {
         "CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age "
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS cum_cents FROM per ORDER BY cohort, age"
+    ),
+    "q123_mann_whitney": (
+        # identical 2·rank integer algebra as the Spark side; the z
+        # expression is the same double AST so IEEE results agree
+        "WITH o AS (SELECT o_orderpriority AS t, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), "
+        "counts AS (SELECT x, "
+        "CAST(SUM(CASE WHEN t = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+        "CAST(SUM(CASE WHEN t = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS b "
+        "FROM o GROUP BY x), "
+        "cum AS (SELECT a, b, SUM(a + b) OVER (ORDER BY x "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (a + b) AS less "
+        "FROM counts), "
+        "agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, "
+        "CAST(SUM(b) AS BIGINT) AS n_b, "
+        "SUM(CAST(a AS HUGEINT) * CAST(2 * less + a + b + 1 AS HUGEINT)) AS r2a, "
+        "SUM(CAST(a + b AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(a + b AS HUGEINT) "
+        "- CAST(a + b AS HUGEINT)) AS ties FROM cum), "
+        "pre AS (SELECT n_a, n_b, "
+        "r2a - CAST(n_a AS HUGEINT) * CAST(n_a + 1 AS HUGEINT) AS u2, ties, "
+        "n_a + n_b AS n FROM agg) "
+        "SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2, "
+        "CASE WHEN n_a > 0 AND n_b > 0 AND "
+        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+        "((CAST(n AS DOUBLE) + 1) - CAST(ties AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) > 0 THEN "
+        "round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / "
+        "(2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+        "((CAST(n AS DOUBLE) + 1) - CAST(ties AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))), 6) END AS z "
+        "FROM pre"
+    ),
+    "q124_cusum_changepoint": (
+        "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events), "
+        "daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM e GROUP BY event_type, day), "
+        "pre AS (SELECT event_type, day, "
+        "ROW_NUMBER() OVER w AS k, SUM(c) OVER w AS pref, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n, "
+        "SUM(c) OVER (PARTITION BY event_type) AS tot FROM daily "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "scored AS (SELECT event_type, day, n, "
+        "abs(CAST(n AS HUGEINT) * CAST(pref AS HUGEINT) "
+        "- CAST(k AS HUGEINT) * CAST(tot AS HUGEINT)) AS dev FROM pre), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY dev DESC, day) AS rk FROM scored) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day, "
+        "CAST(dev AS BIGINT) AS max_dev_n FROM ranked WHERE rk = 1 "
+        "ORDER BY event_type"
     ),
     "q121_ks_test": (
         "WITH base AS (SELECT event_type AS t, "

@@ -1422,3 +1422,73 @@ def test_ann_symmetry_graph_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_mutual <= r.n_edges
         assert r.mutual_pct == r.n_mutual * 100 // r.n_edges
+
+
+def test_mann_whitney_first_principles(spark, sf_dir):
+    """U and tie-corrected z recomputed from scipy-free first
+    principles (average ranks over the combined sample)."""
+    import math
+
+    from cassandra_extractor_spark.operators.relational import q123_mann_whitney
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    r = q123_mann_whitney(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select("o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+        .collect()
+    )
+    a = sorted(x.x for x in rows if x.o_orderpriority == "1-URGENT")
+    b = sorted(x.x for x in rows if x.o_orderpriority == "5-LOW")
+    comb = sorted(a + b)
+    # average rank per value
+    import collections
+
+    first = {}
+    cnt = collections.Counter(comb)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    ra = sum(avg_rank[v] for v in a)
+    n_a, n_b, n = len(a), len(b), len(comb)
+    u = ra - n_a * (n_a + 1) / 2
+    assert r.n_a == n_a and r.n_b == n_b
+    assert r.u2 == round(2 * u)
+    ties = sum(t**3 - t for t in cnt.values())
+    sig2 = n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (2 * u - n_a * n_b) / (2.0 * math.sqrt(sig2))
+    assert abs(r.z - z) < 1e-6
+
+
+def test_cusum_changepoint_first_principles(spark, sf_dir):
+    """Per type: the reported day maximizes |n·prefix_k − k·total| with
+    earliest-day tie-break."""
+    from collections import defaultdict
+
+    from cassandra_extractor_spark.operators.relational import q124_cusum_changepoint
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    got = {r.event_type: r for r in q124_cusum_changepoint(spark, sf_dir).collect()}
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    ):
+        daily[r.event_type][r.day] += 1
+    assert set(got) == set(daily)
+    for t, per_day in daily.items():
+        days = sorted(per_day)
+        n, tot = len(days), sum(per_day.values())
+        best = None
+        pref = 0
+        for k, d in enumerate(days, start=1):
+            pref += per_day[d]
+            dev = abs(n * pref - k * tot)
+            if best is None or dev > best[0]:
+                best = (dev, d)
+        r = got[t]
+        assert r.n_days == n and r.cp_day == best[1] and r.max_dev_n == best[0], t
