@@ -32,6 +32,8 @@ from cassandra_extractor_spark.oracles_ns import NS_ORACLES  # noqa: E402
 
 #: event-table queries under differential test (name → oracle source)
 EVENT_QUERIES = [
+    # round 10
+    "q124_cusum_changepoint",
     "q122_hist_quantile",
     "q87_dense_timeseries",
     "q90_time_rollup",
@@ -193,6 +195,8 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
 
 
 ORDER_QUERIES = [
+    # round 10
+    "q123_mann_whitney",
     "q38_approx_distinct",
     "q99_share_of_total",
     "q13_group_agg",
@@ -498,6 +502,10 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
 
 
 DOC_QUERIES = [
+    # round 10
+    "ns_top_dup_spans",
+    "ns_boolean_retrieval",
+    "ns_length_outliers",
     "ns_preference_pairs",
     "ns_tokenizer_fertility",
     "ns_token_count",
@@ -618,6 +626,9 @@ def test_doc_query_differential(spark, tmp_path_factory, name, texts):
 
 
 EMB_QUERIES = [
+    # round 10
+    "ns_ann_symmetry",
+    "ns_ann_cell_balance",
     "ns_ann_mrr",
     "ns_knn_classifier",
     "ns_cluster_purity",
