@@ -128,16 +128,18 @@ def main() -> None:
     from cassandra_extractor_spark.operators.dedup import (
         invalidate_dedup_chain,
         shared_clusters,
+        shared_kgrams,
         shared_pairs,
     )
     from cassandra_extractor_spark.operators.text import shared_token_stream
 
     invalidate_dedup_chain(spark)
     t0 = time.time()
-    shared_pairs(spark, sf_dir)  # builds shared_bands too
+    shared_pairs(spark, sf_dir)  # builds shared_shingles + shared_bands too
     shared_pairs(spark, sf_dir, max_bucket=64)
     shared_clusters(spark, sf_dir)
     shared_token_stream(spark, sf_dir)
+    shared_kgrams(spark, sf_dir)
     chain_build_sec = round(time.time() - t0, 3)
 
     cached = []

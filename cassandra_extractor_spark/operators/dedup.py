@@ -409,11 +409,12 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: cap for the per-session shared-chain cache: one sf_dir uses 6 slots
-#: (shingles, bands, pairs×2 bucket policies, clusters, token stream);
-#: 14 lets two standard sf dirs coexist while one-shot differential tmp
-#: dirs churn through the tail (same rationale as catalog._TABLE_CACHE_CAP)
-_CHAIN_CACHE_CAP = 14
+#: cap for the per-session shared-chain cache: one sf_dir uses 7 slots
+#: (shingles, kgrams, bands, pairs×2 bucket policies, clusters, token
+#: stream); 16 lets two standard sf dirs coexist while one-shot
+#: differential tmp dirs churn through the tail (same rationale as
+#: catalog._TABLE_CACHE_CAP)
+_CHAIN_CACHE_CAP = 16
 
 
 def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:
@@ -480,6 +481,40 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             exploded_shingles(load_table(spark, "documents", sf_dir)).distinct()
         ),
     )
+
+
+def shared_kgrams(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """Materialized corpus-wide positional k-gram frame
+    (doc_id, pos, gram, gh) — one 10-gram explosion per session,
+    shared by span-level substring dedup (which consumes the hash +
+    position) and the duplicated-span leaderboard (which consumes the
+    gram text).  At 100 TB this is the single heaviest text explosion
+    (k× token stream) done once instead of once per consumer."""
+    from cassandra_extractor_spark.operators.text import tokens
+
+    k = SUBSTR_K if k is None else k
+
+    def build() -> DataFrame:
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
+        docs = d.select(
+            "doc_id",
+            "toks",
+            F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
+        )
+        # sequence(0, negative) counts DOWN in Spark — gate short docs
+        positions = F.when(
+            F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k))
+        return materialize_once(
+            docs.select("doc_id", "toks", F.explode(positions).alias("pos")).select(
+                "doc_id", "pos", gram.alias("gram"), _md5_hash64(gram, "ss").alias("gh")
+            )
+        )
+
+    return session_memo(spark, ("kgrams", sf_dir, k), build)
 
 
 def shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,20 +1085,9 @@ def ns_substring_dedup(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> D
         "toks",
         F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
     )
-    # sequence(0, negative) counts DOWN in Spark — gate short docs out
-    positions = F.when(
-        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = materialize_once(  # counts + join-back both read this once
-        docs.select("doc_id", "toks", F.explode(positions).alias("pos"))
-        .select(
-            "doc_id",
-            "pos",
-            _md5_hash64(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k)), "ss"
-            ).alias("gh"),
-        )
-    )
+    # session-shared k-gram frame: counts + join-back here AND the
+    # duplicated-span leaderboard all read the same materialized blocks
+    grams = shared_kgrams(spark, sf_dir, k).select("doc_id", "pos", "gh")
     dup_hashes = grams.groupBy("gh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
     spans = grams.join(dup_hashes.select("gh"), "gh").select(
         "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
@@ -1708,8 +1732,9 @@ def ns_top_dup_spans(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> Dat
     A pipeline operator reads this leaderboard to author crawl
     exclusions or span-strip rules before re-running extraction.
 
-    Scale shape: one posexplode pass emits (doc_id, gram-text); the
-    gram aggregation is map-side combined on uniform text keys; the
+    Scale shape: gram text comes from the session-shared k-gram frame
+    (``shared_kgrams`` — one corpus explosion per session, shared with
+    substring dedup); the gram aggregation is map-side combined; the
     leaderboard is ``ORDER BY … LIMIT k`` = TakeOrdered (per-partition
     top-k, then a k-row driver merge — never a global sort).  Pure
     integers + the gram string; the cut is deterministic because the
@@ -1718,28 +1743,9 @@ def ns_top_dup_spans(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> Dat
     Reference parity: north-star corpus-forensics surface (SURVEY
     §2.5); the reference ships rows, it never inspects corpora.
     """
-    from cassandra_extractor_spark.operators.text import tokens
-
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
-    docs = d.select(
-        "doc_id",
-        "toks",
-        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
-    )
-    # sequence(0, negative) counts DOWN in Spark — gate short docs out
-    positions = F.when(
-        F.col("n_tok") >= k, F.sequence(F.lit(0), F.col("n_tok") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(positions).alias("pos"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, k)).alias("gram"),
-    )
+    # session-shared k-gram frame (one corpus explosion per session,
+    # shared with span-level substring dedup)
+    grams = shared_kgrams(spark, sf_dir, k).select("doc_id", "gram")
     agg = grams.groupBy("gram").agg(
         F.count("*").cast("long").alias("n_occ"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),

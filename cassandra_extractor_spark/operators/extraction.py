@@ -785,3 +785,46 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap") >= PREF_GAP_MILLI)
         .orderBy("lang", "source")
     )
+
+
+def ns_quality_by_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint quality × duplication forensics — "are my duplicates also
+    my low-quality documents?"  Every document lands in one cell of
+    (is_dup = member of a near-dup cluster) × (passes_gate = the
+    corpus-select quality gate), with doc counts, token mass and summed
+    quality per cell.  Off-diagonal mass is actionable: dup∧high-quality
+    means canonical selection (keep one) recovers good tokens that
+    blanket dedup would discard; unique∧low-quality means the quality
+    gate — not dedup — is what's cutting the corpus.
+
+    Composes the session-shared cluster map with the shared quality
+    gate (same 0.5/50 thresholds as ``ns_corpus_select``, so the cells
+    reconcile exactly with the flagship keep-list).  Scale shape: one
+    broadcast-ish left join of the cluster membership onto the quality
+    frame, one map-side-combined aggregate to ≤4 rows; quality mass
+    sums through DECIMAL(18,6) (order-independent, oracle-exact).
+    """
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.text import ns_text_quality
+
+    quality = ns_text_quality(spark, sf_dir)
+    dup = ns_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("d")
+    )
+    j = quality.join(dup, "doc_id", "left").select(
+        F.coalesce(F.col("d"), F.lit(False)).alias("is_dup"),
+        ((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)).alias("passes_gate"),
+        "n_tokens",
+        "quality",
+    )
+    return (
+        j.groupBy("is_dup", "passes_gate")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.sum(F.col("quality").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_quality"),
+        )
+        .orderBy("is_dup", "passes_gate")
+    )

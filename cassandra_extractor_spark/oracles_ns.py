@@ -2557,3 +2557,18 @@ def _ann_cell_balance_sql() -> str:
 
 
 NS_ORACLES["ns_ann_cell_balance"] = _ann_cell_balance_sql()
+
+
+NS_ORACLES["ns_quality_by_dup"] = (
+    # joint quality × duplication cells, composed from the text-quality
+    # and cluster oracles with the ns_corpus_select gate constants
+    f"WITH cl AS ({NS_ORACLES['ns_dedup_clusters']}), "
+    f"q AS ({NS_ORACLES['ns_text_quality']}), "
+    "j AS (SELECT CASE WHEN cl.doc_id IS NOT NULL THEN true ELSE false END "
+    "AS is_dup, (q.quality >= 0.5 AND q.n_tokens >= 50) AS passes_gate, "
+    "q.n_tokens, q.quality FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id) "
+    "SELECT is_dup, passes_gate, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+    "CAST(round(SUM(CAST(quality AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_quality "
+    "FROM j GROUP BY is_dup, passes_gate ORDER BY is_dup, passes_gate"
+)

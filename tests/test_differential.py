@@ -504,6 +504,7 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
 DOC_QUERIES = [
     # round 10
     "ns_top_dup_spans",
+    "ns_quality_by_dup",
     "ns_boolean_retrieval",
     "ns_length_outliers",
     "ns_preference_pairs",

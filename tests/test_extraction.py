@@ -272,3 +272,24 @@ def test_streaming_mid_batch_failure_replays_batch_no_dup_no_gap(spark, sf_dir, 
     got = frozenset().union(*committed.values())
     assert got == expected
     assert sum(len(v) for v in committed.values()) == len(expected)
+
+
+def test_quality_by_dup_reconciles_with_corpus_select(spark, sf_dir):
+    """The 2x2 cells partition the corpus exactly, and the flagship
+    keep-list size is bounded by the gate-passing cells."""
+    from cassandra_extractor_spark.operators.extraction import (
+        ns_corpus_select,
+        ns_quality_by_dup,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    cells = {(r.is_dup, r.passes_gate): r for r in ns_quality_by_dup(spark, sf_dir).collect()}
+    n_total = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in cells.values()) == n_total
+    keep = ns_corpus_select(spark, sf_dir).count()
+    passing = sum(r.n_docs for (dup, gate), r in cells.items() if gate)
+    unique_passing = cells.get((False, True))
+    assert keep <= passing
+    if unique_passing is not None:
+        # every unique gate-passer survives corpus_select
+        assert keep >= unique_passing.n_docs

@@ -745,3 +745,22 @@ def test_one_shingle_explosion_per_session(spark, sf_dir, monkeypatch):
     dd.shared_bands(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cache = spark.__dict__["_ce_dedup_chain"]
     assert cache[("shingles", sf_dir)] is shingles_obj
+
+
+def test_one_kgram_explosion_per_session(spark, sf_dir):
+    """Same discipline for the positional 10-gram frame: once
+    ``shared_kgrams`` exists, substring dedup and the dup-span
+    leaderboard read its materialized blocks — their executed plans
+    contain NO generator (posexplode/explode) over the corpus."""
+    import cassandra_extractor_spark.operators.dedup as dd
+
+    dd.invalidate_dedup_chain(spark)
+    kobj = dd.shared_kgrams(spark, sf_dir)  # the ONE explosion
+    for fn in (dd.ns_substring_dedup, dd.ns_top_dup_spans):
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, (fn.__name__, plan[:2000])
+        assert "ExistingRDD" in plan, (fn.__name__, plan[:2000])
+    cache = spark.__dict__["_ce_dedup_chain"]
+    assert cache[("kgrams", sf_dir, dd.SUBSTR_K)] is kobj
