@@ -764,3 +764,38 @@ def test_one_kgram_explosion_per_session(spark, sf_dir):
         assert "ExistingRDD" in plan, (fn.__name__, plan[:2000])
     cache = spark.__dict__["_ce_dedup_chain"]
     assert cache[("kgrams", sf_dir, dd.SUBSTR_K)] is kobj
+
+
+def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, sf_dir, tmp_path):
+    """Day-partitioned fact + filtered broadcast dim ⇒ Spark inserts a
+    dynamic-pruning subquery into the fact scan's PartitionFilters: the
+    fact reads only the dim-selected days' directories.  At 100 TB this
+    is the difference between scanning the full history and the three
+    days a dimension filter selects — the partition-layout counterpart
+    of the bucketed-join test above."""
+    events = load_table(spark, "events", sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    n_days = fact.select("day").distinct().count()
+    assert n_days > 3  # the layout actually split
+    dim_days = [r["day"] for r in fact.select("day").distinct().orderBy("day").limit(3).collect()]
+    # a parquet-backed date dimension with a RANGE predicate on it: DPP
+    # requires a "likely selective" filter (a comparison/IN/LIKE) on the
+    # dim side — a bare boolean attribute or a constant-folded
+    # LocalRelation filter does NOT qualify (both verified), which is
+    # exactly the trap this test documents
+    fact.select("day").distinct().write.mode("overwrite").parquet(
+        str(tmp_path / "date_dim")
+    )
+    dim = spark.read.parquet(str(tmp_path / "date_dim"))
+    joined = (
+        fact.select("day", "user_id", "value")
+        .join(F.broadcast(dim.where(F.col("day") <= F.lit(dim_days[-1]))), "day")
+        .groupBy("day")
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    got_days = {r["day"] for r in joined.collect()}
+    assert got_days == set(dim_days)
