@@ -3751,3 +3751,48 @@ def q124_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def q125_theil_index(spark, sf_dir):
+    """Theil T inequality index of order value per priority class —
+    the decomposable counterpart to q117's Gini (Theil splits into
+    within-group + between-group terms, so it's the index used when
+    you need to attribute revenue concentration to segments).
+
+    T = Σ xᵢ·ln(xᵢ) / S − ln(S/n)  with S = Σ xᵢ — two integer-exact
+    aggregates (n, S) plus ONE ln-bearing sum.  That sum is made
+    ORDER-INDEPENDENT (double addition is not associative) by reducing
+    to the per-distinct-value count frame and summing
+    round(v·ln(v), 6)·c through DECIMAL(38,6) — the ns_corpus_stats
+    decimal-sum discipline applied to an ln term (ln itself mirrors
+    engine-for-engine; the ns_ngram_pmi precedent).  The final
+    expression is one deterministic double AST, rounded at 6.
+
+    Scale shape: one map-side-combined corpus aggregate to the
+    (priority, cents) count frame (domain-bounded), one aggregate to
+    |priorities| rows.  No windows, no joins.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    ).where(F.col("v") > 0)
+    cnt = o.groupBy("o_orderpriority", "v").agg(F.count("*").cast("long").alias("c"))
+    dec6 = lambda x: x.cast("decimal(38,6)")  # noqa: E731
+    term = dec6(F.round(F.col("v").cast("double") * F.log(F.col("v").cast("double")), 6))
+    agg = cnt.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n_orders"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("c")).alias("s"),
+        F.sum(term * F.col("c")).alias("tl"),
+    )
+    nd = F.col("n_orders").cast("double")
+    sd = F.col("s").cast("double")
+    theil = F.col("tl").cast("double") / sd - F.log(sd / nd)
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s").cast("long").alias("total_cents"),
+        # + 0.0 kills signed zero: the two engines' ln can differ by an
+        # ulp, so a ~0 residual rounds to -0.0 on one and +0.0 on the
+        # other (PARITY signed-zero audit); IEEE -0.0 + 0.0 = +0.0
+        F.when(F.col("n_orders") > 0, F.round(theil, 6) + F.lit(0.0)).alias("theil"),
+    ).orderBy("o_orderpriority")

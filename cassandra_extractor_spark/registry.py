@@ -47,6 +47,7 @@ QUERIES: dict[str, QueryFn] = {
     "q124_cusum_changepoint": R.q124_cusum_changepoint,
     "ns_ann_cell_balance": S.ns_ann_cell_balance,
     "ns_quality_by_dup": X.ns_quality_by_dup,
+    "q125_theil_index": R.q125_theil_index,
     # new in round 7b — need fresh rows
     "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,
@@ -321,7 +322,7 @@ QUERIES: dict[str, QueryFn] = {
 #: evidence where it is stalest.  This round's 52, computed
 #: mechanically from the CORRECTNESS files (oldest round first,
 #: name-ordered within a round; verified disjoint from the r8∪r9
-#: samples): the 8 NEW round-10 operators (zero evidence) lead, then
+#: samples): the 9 NEW round-10 operators (zero evidence) lead, then
 #: the 48 oldest-evidence eligibles — which naturally include
 #: q116_spearman and q101_weighted_median, both of which carry new
 #: plans this round and need fresh driver rows.  Every entry stays
@@ -331,7 +332,7 @@ _PRIORITY_PREFIX = [
     "ns_top_dup_spans", "ns_boolean_retrieval",
     "ns_length_outliers", "ns_ann_symmetry",
     "q123_mann_whitney", "q124_cusum_changepoint", "ns_ann_cell_balance",
-    "ns_quality_by_dup",
+    "ns_quality_by_dup", "q125_theil_index",
     # oldest second-pass evidence (r5-sampled era), excluding r8∪r9
     "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
     "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",
@@ -733,6 +734,21 @@ ORACLES: dict[str, str] = {
         "CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age "
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS cum_cents FROM per ORDER BY cohort, age"
+    ),
+    "q125_theil_index": (
+        "WITH o AS (SELECT o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders "
+        "WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0), "
+        "cnt AS (SELECT o_orderpriority, v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM o GROUP BY o_orderpriority, v), "
+        "agg AS (SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n_orders, "
+        "SUM(CAST(v AS HUGEINT) * c) AS s, "
+        "SUM(CAST(round(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)), 6) "
+        "AS DECIMAL(38,6)) * c) AS tl FROM cnt GROUP BY o_orderpriority) "
+        "SELECT o_orderpriority, n_orders, CAST(s AS BIGINT) AS total_cents, "
+        "CASE WHEN n_orders > 0 THEN round(CAST(tl AS DOUBLE) / CAST(s AS DOUBLE) "
+        "- ln(CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6) + 0.0 END AS theil "
+        "FROM agg ORDER BY o_orderpriority"
     ),
     "q123_mann_whitney": (
         # identical 2·rank integer algebra as the Spark side; the z

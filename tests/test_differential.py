@@ -197,6 +197,7 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
 ORDER_QUERIES = [
     # round 10
     "q123_mann_whitney",
+    "q125_theil_index",
     "q38_approx_distinct",
     "q99_share_of_total",
     "q13_group_agg",

@@ -1492,3 +1492,32 @@ def test_cusum_changepoint_first_principles(spark, sf_dir):
                 best = (dev, d)
         r = got[t]
         assert r.n_days == n and r.cp_day == best[1] and r.max_dev_n == best[0], t
+
+
+def test_theil_index_first_principles(spark, sf_dir):
+    """Theil T recomputed from raw values with the textbook formula
+    (1/n)·Σ (x/μ)·ln(x/μ); the engine's rounded-term decimal-sum
+    spelling must agree to ~1e-5 (term rounding at 1e-6 per value)."""
+    import math
+    from collections import defaultdict
+
+    from cassandra_extractor_spark.operators.relational import q125_theil_index
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    got = {r.o_orderpriority: r for r in q125_theil_index(spark, sf_dir).collect()}
+    per = defaultdict(list)
+    for r in (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+        .collect()
+    ):
+        if r.v > 0:
+            per[r.o_orderpriority].append(r.v)
+    assert set(got) == set(per)
+    for prio, xs in per.items():
+        n, mu = len(xs), sum(xs) / len(xs)
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / n
+        r = got[prio]
+        assert r.n_orders == n and r.total_cents == sum(xs)
+        assert abs(r.theil - t) < 1e-5, (prio, r.theil, t)
+        assert r.theil >= -1e-6  # Theil is non-negative up to rounding
