@@ -1960,3 +1960,46 @@ def ns_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ns_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
+    count after each 10% slice of the corpus (by doc_id order) — the
+    diminishing-returns report behind "will more crawl data still grow
+    the vocabulary?" and tokenizer-budget decisions (pairs with
+    ``ns_zipf_fit``, the frequency-side law, and ``ns_vocab_oov``, the
+    fixed-vocabulary consequence).
+
+    The naive spelling runs ten distinct-counts over ten growing
+    prefixes (ten corpus passes).  This one is ONE pass: the cumulative
+    vocabulary at prefix P is |{tokens whose FIRST-occurrence doc ≤ P}|,
+    so min(doc_id) per token (a map-side-combined aggregate over the
+    session-shared token stream) carries the whole curve; slicing and
+    the running sum happen on the ≤10-row decile frame.  Pure integers.
+    """
+    stream = shared_token_stream(spark, sf_dir)
+    # empty text tokenizes to [''] — not vocabulary (mirrored in the oracle)
+    first = (
+        stream.where(F.col("tok") != "").groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    )
+    # decile boundary by doc-id DOMAIN (testdata ids are dense; the
+    # contract is "first 10%, 20%, … of the corpus in doc_id order")
+    max_doc = load_table(spark, "documents", sf_dir).agg(
+        F.max("doc_id").alias("mx")
+    )
+    from pyspark.sql import Window as W
+
+    per_decile = (
+        first.crossJoin(F.broadcast(max_doc))
+        .select(
+            F.least(F.lit(9), F.expr("div(fd * 10, mx + 1)")).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_tokens"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_decile.withColumn("cum_vocab", F.sum("new_tokens").over(w).cast("long"))
+        .select("decile", "new_tokens", "cum_vocab")
+        .orderBy("decile")
+    )

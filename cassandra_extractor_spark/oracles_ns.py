@@ -2572,3 +2572,19 @@ NS_ORACLES["ns_quality_by_dup"] = (
     "CAST(round(SUM(CAST(quality AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_quality "
     "FROM j GROUP BY is_dup, passes_gate ORDER BY is_dup, passes_gate"
 )
+
+
+NS_ORACLES["ns_vocab_growth"] = (
+    # Heaps-law curve from first-occurrence docs: one tokenization pass,
+    # min(doc_id) per token, decile slicing + running sum on ≤10 rows
+    f"WITH t AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents), "
+    "first AS (SELECT tok, MIN(doc_id) AS fd FROM t WHERE tok <> '' "
+    "GROUP BY tok), "
+    "mx AS (SELECT MAX(doc_id) AS mx FROM documents), "
+    "per AS (SELECT LEAST(9, (fd * 10) // (mx + 1)) AS decile, "
+    "CAST(COUNT(*) AS BIGINT) AS new_tokens FROM first, mx GROUP BY 1) "
+    "SELECT CAST(decile AS BIGINT) AS decile, new_tokens, "
+    "CAST(SUM(new_tokens) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab "
+    "FROM per ORDER BY decile"
+)

@@ -48,6 +48,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_ann_cell_balance": S.ns_ann_cell_balance,
     "ns_quality_by_dup": X.ns_quality_by_dup,
     "q125_theil_index": R.q125_theil_index,
+    "ns_vocab_growth": TX.ns_vocab_growth,
     # new in round 7b — need fresh rows
     "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,
@@ -322,7 +323,7 @@ QUERIES: dict[str, QueryFn] = {
 #: evidence where it is stalest.  This round's 52, computed
 #: mechanically from the CORRECTNESS files (oldest round first,
 #: name-ordered within a round; verified disjoint from the r8∪r9
-#: samples): the 9 NEW round-10 operators (zero evidence) lead, then
+#: samples): the 10 NEW round-10 operators (zero evidence) lead, then
 #: the 48 oldest-evidence eligibles — which naturally include
 #: q116_spearman and q101_weighted_median, both of which carry new
 #: plans this round and need fresh driver rows.  Every entry stays
@@ -332,7 +333,7 @@ _PRIORITY_PREFIX = [
     "ns_top_dup_spans", "ns_boolean_retrieval",
     "ns_length_outliers", "ns_ann_symmetry",
     "q123_mann_whitney", "q124_cusum_changepoint", "ns_ann_cell_balance",
-    "ns_quality_by_dup", "q125_theil_index",
+    "ns_quality_by_dup", "q125_theil_index", "ns_vocab_growth",
     # oldest second-pass evidence (r5-sampled era), excluding r8∪r9
     "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
     "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",

@@ -506,6 +506,7 @@ DOC_QUERIES = [
     # round 10
     "ns_top_dup_spans",
     "ns_quality_by_dup",
+    "ns_vocab_growth",
     "ns_boolean_retrieval",
     "ns_length_outliers",
     "ns_preference_pairs",
