@@ -228,6 +228,51 @@ class Actuator:
                 cleared_cfg.append(t)
         return {"status": "cleared", "hwm": sorted(cleared_hwm), "job_config": sorted(cleared_cfg)}
 
+    def compact_store(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
+        """Operational entry point for the three incremental stores'
+        maintenance jobs (run between streaming restarts — never
+        concurrently with an active ingest, per each store's contract):
+
+        - ``signature``: fold the streamed band delta into the bucketed
+          LSH base (params: ``table``, ``delta_dir``, ``n_buckets``);
+        - ``ann``: fold cell-partitioned vector deltas into the base
+          (params: ``store_dir``);
+        - ``posting``: fold posting deltas into the term-bucketed base
+          (params: ``table``, ``delta_dir``, ``n_buckets``).
+
+        Extends the reference's maintenance surface (POST /cache/clear,
+        `management.py:394-419`) to the stores this engine adds.
+        """
+        if kind == "signature":
+            from cassandra_extractor_spark.streaming.dedup_stream import (
+                compact_signature_store,
+            )
+
+            absorbed = compact_signature_store(
+                self.spark,
+                params["table"],
+                params["delta_dir"],
+                n_buckets=int(params.get("n_buckets", 16)),
+            )
+        elif kind == "ann":
+            from cassandra_extractor_spark.streaming.ann_stream import compact_ann_store
+
+            absorbed = compact_ann_store(self.spark, params["store_dir"])
+        elif kind == "posting":
+            from cassandra_extractor_spark.streaming.posting_stream import (
+                compact_posting_store,
+            )
+
+            absorbed = compact_posting_store(
+                self.spark,
+                params["table"],
+                params["delta_dir"],
+                n_buckets=int(params.get("n_buckets", 16)),
+            )
+        else:
+            raise ValueError(f"unknown store kind {kind!r}")
+        return {"status": "compacted", "store": kind, "absorbed": absorbed}
+
     # --- HTTP ----------------------------------------------------------
 
     def serve(self, port: int = 0) -> ThreadingHTTPServer:
@@ -284,6 +329,12 @@ class Actuator:
                         return
                     if self.path == "/cache/clear":
                         self._send(200, json.dumps(actuator.cache_clear(table)))
+                        return
+                    if self.path == "/maintenance/compact":
+                        kind = payload.get("store", "")
+                        self._send(
+                            200, json.dumps(actuator.compact_store(kind, payload))
+                        )
                         return
                 except Exception as exc:  # noqa: BLE001
                     self._send(500, json.dumps({"error": str(exc)[:200]}))

@@ -294,3 +294,74 @@ def test_rest_create_and_cache(spark):
         assert store.dump() == {}
     finally:
         server.shutdown()
+
+
+def test_maintenance_compact_route(spark, tmp_path):
+    """POST /maintenance/compact drives the three stores' maintenance
+    jobs over HTTP; unknown kinds fail loudly."""
+    import urllib.error
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        boolean_query_against_store,
+        build_postings,
+        write_posting_store,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["join scan merge", "join scan"]}),
+        "doc_id LONG, text STRING",
+    )
+    write_posting_store(
+        build_postings(docs.where(F.col("doc_id") == 0)), "compact_route_t", n_buckets=2
+    )
+    delta = str(tmp_path / "delta")
+    build_postings(docs.where(F.col("doc_id") == 1)).write.mode("overwrite").parquet(
+        f"{delta}/batch=0"
+    )
+    actuator = Actuator(spark, MetricsRegistry())
+    server = actuator.serve()
+    port = server.server_port
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        out = post(
+            "/maintenance/compact",
+            {"store": "posting", "table": "compact_route_t", "delta_dir": delta,
+             "n_buckets": 2},
+        )
+        assert out == {"status": "compacted", "store": "posting", "absorbed": 2}
+        # the folded base answers alone (delta gone)
+        got = {
+            r.doc_id
+            for r in boolean_query_against_store(
+                spark, "compact_route_t", delta, ("join", "scan")
+            ).collect()
+        }
+        assert got == {0, 1}
+        # idempotent second run: nothing to absorb
+        out2 = post(
+            "/maintenance/compact",
+            {"store": "posting", "table": "compact_route_t", "delta_dir": delta,
+             "n_buckets": 2},
+        )
+        assert out2["absorbed"] == 0
+        # unknown store kind -> 500 with the error surfaced
+        try:
+            post("/maintenance/compact", {"store": "bogus"})
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "unknown store kind" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+        spark.sql("DROP TABLE IF EXISTS compact_route_t")
