@@ -828,3 +828,61 @@ def ns_quality_by_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_dup", "passes_gate")
     )
+
+
+def ns_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings forecast: how many tokens canonical
+    near-dup removal (keep the lowest doc_id per cluster — the
+    ``ns_corpus_select`` rule) would delete, as absolute counts and
+    ppm of each source's token mass.  This is the table that decides
+    WHERE a dedup pass is worth its compute before running it corpus-
+    wide — the planning companion to ``ns_source_dedup_matrix`` (which
+    locates the duplication) and ``ns_quality_by_dup`` (which prices
+    its quality).
+
+    Scale shape: removable docs are the cluster members that are not
+    their cluster's minimum (one aggregate over the session-shared
+    cluster map); token counts ride the shared quality frame; one
+    broadcast-ish join + one map-side-combined aggregate to |sources|
+    rows.  Pure integers.
+    """
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.text import ns_text_quality
+
+    removable = (
+        ns_dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("rm"))
+    )
+    toks = ns_text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    j = (
+        src.join(toks, "doc_id")
+        .join(removable, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("rm"), F.lit(False)).alias("rm"),
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removable"),
+            F.sum(F.when(F.col("rm"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("removable_tokens"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.expr("div(1000000 * removable_tokens, total_tokens)"),
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy("source")
+    )

@@ -3796,3 +3796,53 @@ def q125_theil_index(spark, sf_dir):
         # other (PARITY signed-zero audit); IEEE -0.0 + 0.0 = +0.0
         F.when(F.col("n_orders") > 0, F.round(theil, 6) + F.lit(0.0)).alias("theil"),
     ).orderBy("o_orderpriority")
+
+
+def q126_cramers_v(spark, sf_dir):
+    """Cramér's V association strength between two categorical columns
+    (priority × status) — the EFFECT SIZE that q100's chi-square lacks:
+    χ² scales with n, so at 100 TB everything is "significant"; V =
+    sqrt(χ²/(n·(min(R,C)−1))) ∈ [0,1] says whether the association is
+    big enough to matter.  Same cell-frame machinery as q100 (one
+    map-side-combined groupBy to |R×C| cells, windows only over the
+    tiny cell frame), same DECIMAL(38,18) fold; the extra outputs (n,
+    R, C, V) ride the same single aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    wr = W.partitionBy("o_orderpriority")
+    wc = W.partitionBy("o_orderstatus")
+    wt = W.partitionBy()
+    exp = (
+        F.col("rt").cast("double") * F.col("ct").cast("double")
+    ) / F.col("n").cast("double")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    agg = (
+        cells.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "obs",
+            F.sum("obs").over(wr).alias("rt"),
+            F.sum("obs").over(wc).alias("ct"),
+            F.sum("obs").over(wt).alias("n"),
+        )
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("r"),
+            F.countDistinct("o_orderstatus").cast("long").alias("c"),
+            F.max("n").cast("long").alias("n_rows"),
+            F.sum(contrib.cast("decimal(38,18)")).alias("chi2d"),
+        )
+    )
+    k = F.least(F.col("r"), F.col("c")) - 1
+    v = F.sqrt(
+        F.col("chi2d").cast("double") / (F.col("n_rows").cast("double") * k.cast("double"))
+    )
+    return agg.select(
+        "r",
+        "c",
+        "n_rows",
+        F.round(F.col("chi2d").cast("double"), 6).alias("chi2"),
+        F.when((F.col("n_rows") > 0) & (k > 0), F.round(v, 6)).alias("cramers_v"),
+    )

@@ -2588,3 +2588,25 @@ NS_ORACLES["ns_vocab_growth"] = (
     "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab "
     "FROM per ORDER BY decile"
 )
+
+
+NS_ORACLES["ns_dedup_savings"] = (
+    # canonical-removal token savings per source, composed from the
+    # cluster + text-quality oracles (keep-minimum rule = cluster_id)
+    f"WITH cl AS ({NS_ORACLES['ns_dedup_clusters']}), "
+    f"q AS ({NS_ORACLES['ns_text_quality']}), "
+    "rm AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id), "
+    "j AS (SELECT d.source, q.n_tokens, "
+    "CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r "
+    "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+    "LEFT JOIN rm ON d.doc_id = rm.doc_id) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(r) AS BIGINT) AS n_removable, "
+    "CAST(SUM(CASE WHEN r = 1 THEN n_tokens ELSE 0 END) AS BIGINT) "
+    "AS removable_tokens, "
+    "CAST(CASE WHEN SUM(n_tokens) > 0 THEN "
+    "(1000000 * SUM(CASE WHEN r = 1 THEN n_tokens ELSE 0 END)) // SUM(n_tokens) "
+    "ELSE 0 END AS BIGINT) AS savings_ppm "
+    "FROM j GROUP BY source ORDER BY source"
+)

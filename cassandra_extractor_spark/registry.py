@@ -49,6 +49,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_quality_by_dup": X.ns_quality_by_dup,
     "q125_theil_index": R.q125_theil_index,
     "ns_vocab_growth": TX.ns_vocab_growth,
+    "q126_cramers_v": R.q126_cramers_v,
+    "ns_dedup_savings": X.ns_dedup_savings,
     # new in round 7b — need fresh rows
     "ns_tokenizer_fertility": TX.ns_tokenizer_fertility,
     "ns_cluster_purity": S.ns_cluster_purity,
@@ -323,7 +325,7 @@ QUERIES: dict[str, QueryFn] = {
 #: evidence where it is stalest.  This round's 52, computed
 #: mechanically from the CORRECTNESS files (oldest round first,
 #: name-ordered within a round; verified disjoint from the r8∪r9
-#: samples): the 10 NEW round-10 operators (zero evidence) lead, then
+#: samples): the 12 NEW round-10 operators (zero evidence) lead, then
 #: the 48 oldest-evidence eligibles — which naturally include
 #: q116_spearman and q101_weighted_median, both of which carry new
 #: plans this round and need fresh driver rows.  Every entry stays
@@ -334,6 +336,7 @@ _PRIORITY_PREFIX = [
     "ns_length_outliers", "ns_ann_symmetry",
     "q123_mann_whitney", "q124_cusum_changepoint", "ns_ann_cell_balance",
     "ns_quality_by_dup", "q125_theil_index", "ns_vocab_growth",
+    "q126_cramers_v", "ns_dedup_savings",
     # oldest second-pass evidence (r5-sampled era), excluding r8∪r9
     "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
     "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",
@@ -735,6 +738,26 @@ ORACLES: dict[str, str] = {
         "CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age "
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS cum_cents FROM per ORDER BY cohort, age"
+    ),
+    "q126_cramers_v": (
+        "WITH cells AS (SELECT o_orderpriority, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS obs FROM orders "
+        "GROUP BY o_orderpriority, o_orderstatus), "
+        "m AS (SELECT obs, "
+        "SUM(obs) OVER (PARTITION BY o_orderpriority) AS rt, "
+        "SUM(obs) OVER (PARTITION BY o_orderstatus) AS ct, "
+        "SUM(obs) OVER () AS n, o_orderpriority, o_orderstatus FROM cells), "
+        "agg AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS r, "
+        "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS c, "
+        "CAST(MAX(n) AS BIGINT) AS n_rows, "
+        "SUM(CAST((obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "AS DECIMAL(38,18))) AS chi2d FROM m) "
+        "SELECT r, c, n_rows, round(CAST(chi2d AS DOUBLE), 6) AS chi2, "
+        "CASE WHEN n_rows > 0 AND LEAST(r, c) - 1 > 0 THEN "
+        "round(sqrt(CAST(chi2d AS DOUBLE) / (CAST(n_rows AS DOUBLE) "
+        "* CAST(LEAST(r, c) - 1 AS DOUBLE))), 6) END AS cramers_v FROM agg"
     ),
     "q125_theil_index": (
         "WITH o AS (SELECT o_orderpriority, "

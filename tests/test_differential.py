@@ -198,6 +198,7 @@ ORDER_QUERIES = [
     # round 10
     "q123_mann_whitney",
     "q125_theil_index",
+    "q126_cramers_v",
     "q38_approx_distinct",
     "q99_share_of_total",
     "q13_group_agg",
@@ -507,6 +508,7 @@ DOC_QUERIES = [
     "ns_top_dup_spans",
     "ns_quality_by_dup",
     "ns_vocab_growth",
+    "ns_dedup_savings",
     "ns_boolean_retrieval",
     "ns_length_outliers",
     "ns_preference_pairs",

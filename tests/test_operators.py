@@ -1521,3 +1521,58 @@ def test_theil_index_first_principles(spark, sf_dir):
         assert r.n_orders == n and r.total_cents == sum(xs)
         assert abs(r.theil - t) < 1e-5, (prio, r.theil, t)
         assert r.theil >= -1e-6  # Theil is non-negative up to rounding
+
+
+def test_cramers_v_first_principles(spark, sf_dir):
+    """V recomputed from the raw contingency table with scipy-free
+    textbook formulas."""
+    import math
+    from collections import Counter
+
+    from cassandra_extractor_spark.operators.relational import q126_cramers_v
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    r = q126_cramers_v(spark, sf_dir).collect()[0]
+    rows = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    cells = Counter((x.o_orderpriority, x.o_orderstatus) for x in rows)
+    rt = Counter(); ct = Counter()
+    for (p, s), c in cells.items():
+        rt[p] += c
+        ct[s] += c
+    n = sum(cells.values())
+    chi2 = sum(
+        (c - rt[p] * ct[s] / n) ** 2 / (rt[p] * ct[s] / n)
+        for (p, s), c in cells.items()
+    )
+    v = math.sqrt(chi2 / (n * (min(len(rt), len(ct)) - 1)))
+    assert r.r == len(rt) and r.c == len(ct) and r.n_rows == n
+    assert abs(r.chi2 - chi2) < 1e-4
+    assert abs(r.cramers_v - v) < 1e-6
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_dedup_savings_reconciles(spark, sf_dir):
+    """Savings cells reconcile with the cluster map and the corpus
+    token totals."""
+    from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
+    from cassandra_extractor_spark.operators.extraction import ns_dedup_savings
+    from cassandra_extractor_spark.operators.text import ns_text_quality
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    out = ns_dedup_savings(spark, sf_dir).collect()
+    n_total = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in out) == n_total
+    removable = (
+        ns_dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .count()
+    )
+    assert sum(r.n_removable for r in out) == removable
+    tok_total = ns_text_quality(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r.total_tokens for r in out) == tok_total
+    for r in out:
+        assert 0 <= r.removable_tokens <= r.total_tokens
+        if r.total_tokens:
+            assert r.savings_ppm == r.removable_tokens * 1_000_000 // r.total_tokens
