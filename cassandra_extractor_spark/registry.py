@@ -322,7 +322,7 @@ QUERIES: dict[str, QueryFn] = {
 #: before it and every entry re-earns driver evidence ~once per 5
 #: rounds.  The union of CORRECTNESS_r0{1..9}.json covers ALL 252
 #: pre-round-10 registry names — the rotation accrues SECOND-pass
-#: evidence where it is stalest.  This round's 52, computed
+#: evidence where it is stalest.  This round's 60, computed
 #: mechanically from the CORRECTNESS files (oldest round first,
 #: name-ordered within a round; verified disjoint from the r8∪r9
 #: samples): the 12 NEW round-10 operators (zero evidence) lead, then
