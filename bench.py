@@ -142,6 +142,27 @@ def main() -> None:
     shared_kgrams(spark, sf_dir)
     chain_build_sec = round(time.time() - t0, 3)
 
+    # Same discipline for the ANN family (round-10 verdict #1): the
+    # normed-embedding frame, the IVF inverted file (corpus→cell
+    # assignment), the IVF-PQ codebook + encoded corpus, and the exact
+    # ground-truth top-k are built ONCE per session and charged here as
+    # "shared_ann_build"; the six-query ANN family then times its honest
+    # marginal cost over the shared index, exactly as a serving layer
+    # reading a persisted index would pay it.
+    from cassandra_extractor_spark.operators.similarity import (
+        shared_ann_cells,
+        shared_ann_codes,
+        shared_brute_topk,
+        shared_embeddings,
+    )
+
+    t0 = time.time()
+    shared_embeddings(spark, sf_dir)
+    shared_ann_cells(spark, sf_dir)
+    shared_ann_codes(spark, sf_dir)  # builds shared_ann_codebook too
+    shared_brute_topk(spark, sf_dir)
+    ann_build_sec = round(time.time() - t0, 3)
+
     cached = []
     if profile:
         for t in TABLES:
@@ -158,7 +179,10 @@ def main() -> None:
     # BASELINE.md protocol ("median of 3"); run-level drift is
     # documented in PARITY.md.
     runs = 3
-    timings: dict[str, float] = {"shared_dedup_chain_build": chain_build_sec}
+    timings: dict[str, float] = {
+        "shared_dedup_chain_build": chain_build_sec,
+        "shared_ann_build": ann_build_sec,
+    }
     # Build-vs-execute split: Python-side plan construction (registry
     # fn + eager schema resolutions, 0.05-0.6 s for the deep ns_*
     # trees) is client authoring overhead, not engine work — a

@@ -409,12 +409,13 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: cap for the per-session shared-chain cache: one sf_dir uses 7 slots
-#: (shingles, kgrams, bands, pairs×2 bucket policies, clusters, token
-#: stream); 16 lets two standard sf dirs coexist while one-shot
+#: cap for the per-session shared-chain cache: one sf_dir uses 12 slots
+#: (dedup: shingles, kgrams, bands, pairs×2 bucket policies, clusters,
+#: token stream; ANN: normed embeddings, cells, codebook, codes, brute
+#: ground truth); 32 lets two standard sf dirs coexist while one-shot
 #: differential tmp dirs churn through the tail (same rationale as
 #: catalog._TABLE_CACHE_CAP)
-_CHAIN_CACHE_CAP = 16
+_CHAIN_CACHE_CAP = 32
 
 
 def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:

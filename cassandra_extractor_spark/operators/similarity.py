@@ -18,7 +18,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from cassandra_extractor_spark.operators.dedup import cosine, cosine_prenormed, norm
+from cassandra_extractor_spark.operators.dedup import (
+    cosine,
+    cosine_prenormed,
+    materialize_once,
+    norm,
+    session_memo,
+)
 from cassandra_extractor_spark.sources.catalog import load_table
 
 N_QUERIES = 10  #: vec_id < N_QUERIES are the query set in the demo queries
@@ -60,6 +66,34 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_norm(e: DataFrame) -> DataFrame:
+    """Norm-and-filter step shared by every cosine operator: attach the
+    L2 norm and drop zero-norm vectors (cosine is undefined for them —
+    0/0 → NaN, whose sort order is engine-specific; the embedding audit
+    is the gate that surfaces such rows).  A frame that already carries
+    ``nrm`` (the session-shared ``shared_embeddings``) passes through
+    untouched, so consumers never recompute the fold."""
+    if "nrm" in e.columns:
+        return e
+    return e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+
+
+def shared_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared normed embedding frame (vec_id, emb, nrm),
+    zero-norm rows excluded — the root of the ANN family chain (the
+    embedding-side analog of ``dedup.shared_shingles``).  Every cosine
+    consumer (brute/IVF/LSH/PQ top-k, recall audits, cell balance,
+    symmetry, k-means step) reads these materialized blocks instead of
+    re-scanning parquet and re-folding the norm.  At 100 TB this is the
+    persisted normalized-vector store; in-session, localCheckpoint
+    blocks play that role (see ``dedup.session_memo``)."""
+    return session_memo(
+        spark,
+        ("ann_emb", sf_dir),
+        lambda: materialize_once(_with_norm(_load_embeddings(spark, sf_dir))),
+    )
+
+
 def brute_topk(e: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for each query vector.
 
@@ -68,10 +102,7 @@ def brute_topk(e: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> Data
     window over q_id).  ``e``: (vec_id, emb) with vec_id < n_queries
     as the query set.
     """
-    # zero-norm vectors are excluded on BOTH engines: cosine is
-    # undefined for them (0/0 -> NaN, whose sort order is engine-
-    # specific); ns_embedding_audit is the gate that surfaces them
-    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+    e = _with_norm(e)
     queries = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
@@ -95,7 +126,22 @@ def brute_topk(e: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> Data
 
 
 def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_topk(_load_embeddings(spark, sf_dir))
+    # reads the session-shared normed frame but still PAYS the exact
+    # broadcast-NL scoring pass every run — this is the brute baseline
+    # the approximate indexes are calibrated against
+    return brute_topk(shared_embeddings(spark, sf_dir))
+
+
+def shared_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared exact ground-truth top-k frame (50 rows) — both
+    recall audits (``ns_ann_recall``, ``ns_ann_ivfpq_recall``) compare
+    against the SAME brute-force result, so the exact corpus scoring
+    pass runs once per session instead of once per audit."""
+    return session_memo(
+        spark,
+        ("ann_brute", sf_dir),
+        lambda: materialize_once(brute_topk(shared_embeddings(spark, sf_dir))),
+    )
 
 
 def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,12 +314,73 @@ N_IVF_CENTROIDS = 16
 IVF_PROBES = 2
 
 
+def _centroids(e: DataFrame, n_queries: int, n_centroids: int) -> DataFrame:
+    """Deterministic coarse 'centroids': the first K corpus vectors —
+    reproducible in the oracle (production k-means lands in the same
+    broadcast-a-small-frame plan shape)."""
+    return e.where(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+
+
+def _cell_rank(
+    side: DataFrame, cent: DataFrame, id_col: str, emb: str, nrm: str, keep: int
+) -> DataFrame:
+    """Nearest-``keep``-centroid assignment: broadcast the centroid set,
+    bounded per-row argmax window (|centroids| rows per id).  Corpus
+    side keep=1 (the inverted file), query side keep=probes."""
+    scored = side.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        "c_id",
+        cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= keep)
+        .select(id_col, "c_id")
+    )
+
+
+def _split_corpus_queries(e: DataFrame, n_queries: int) -> tuple[DataFrame, DataFrame]:
+    corpus = e.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    queries = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    return corpus, queries
+
+
+def shared_ann_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared corpus→nearest-centroid assignment (n_id, c_id)
+    under the default IVF geometry — the inverted file itself.  Before
+    this frame existed, ``ns_ann_ivf``, both recall audits, IVF-PQ and
+    the cell-balance audit EACH re-ran the corpus assignment scan; now
+    the corpus is assigned once per session (at 100 TB: one assignment
+    pass feeding the whole index-maintenance family, the in-session
+    analog of the persisted cell-partitioned store in
+    ``streaming/ann_stream.py``)."""
+
+    def build() -> DataFrame:
+        e = shared_embeddings(spark, sf_dir)
+        cent = _centroids(e, N_QUERIES, N_IVF_CENTROIDS)
+        corpus, _ = _split_corpus_queries(e, N_QUERIES)
+        return materialize_once(_cell_rank(corpus, cent, "n_id", "n_emb", "n_nrm", 1))
+
+    return session_memo(spark, ("ann_cells", sf_dir), build)
+
+
 def ivf_topk(
     e: DataFrame,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
     n_centroids: int = N_IVF_CENTROIDS,
     probes: int = IVF_PROBES,
+    *,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest of
     K fixed centroids (inverted file); each query probes only its
@@ -284,38 +391,18 @@ def ivf_topk(
     ranking — is reproducible in the oracle.  At scale: the centroid
     set broadcasts, corpus assignment is map-only, and the probe join
     touches ~probes/K of the corpus instead of all of it.
+
+    ``corpus_cells``: optionally inject a prebuilt (n_id, c_id)
+    assignment frame (``shared_ann_cells``) so a multi-query session
+    assigns the corpus once; the query-side assignment (|queries| rows)
+    is always recomputed — it's the cheap side.
     """
-    # zero-norm exclusion mirrors brute_topk: cosine ranking over a
-    # NaN is engine-specific; the audit surfaces such rows upstream
-    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
-    # deterministic "centroids": first K corpus vectors
-    cent = e.where(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
-    ).select(
-        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
-    )
-
-    def cell_rank(side: DataFrame, id_col: str, emb: str, nrm: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent)).select(
-            F.col(id_col),
-            "c_id",
-            cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
-        )
-        w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= keep)
-            .select(id_col, "c_id")
-        )
-
-    corpus = e.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
-    )
-    queries = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
-    )
-    corpus_cells = cell_rank(corpus, "n_id", "n_emb", "n_nrm", 1)
-    query_cells = cell_rank(queries, "q_id", "q_emb", "q_nrm", probes)
+    e = _with_norm(e)
+    cent = _centroids(e, n_queries, n_centroids)
+    corpus, queries = _split_corpus_queries(e, n_queries)
+    if corpus_cells is None:
+        corpus_cells = _cell_rank(corpus, cent, "n_id", "n_emb", "n_nrm", 1)
+    query_cells = _cell_rank(queries, cent, "q_id", "q_emb", "q_nrm", probes)
     candidates = (
         corpus.join(corpus_cells, "n_id")
         .join(query_cells, "c_id")
@@ -338,7 +425,10 @@ def ivf_topk(
 
 
 def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(_load_embeddings(spark, sf_dir))
+    return ivf_topk(
+        shared_embeddings(spark, sf_dir),
+        corpus_cells=shared_ann_cells(spark, sf_dir),
+    )
 
 
 def lsh_topk(
@@ -366,7 +456,7 @@ def lsh_topk(
     batch instead of tables × planes interpreted folds per row.
     """
     with_keys = (
-        e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+        _with_norm(e)
         .withColumn("bks", lsh_bucket_ids(planes, tables, dim)(F.col("emb")))
         .select("vec_id", "emb", "nrm", F.posexplode("bks").alias("tbl", "bucket"))
     )
@@ -399,7 +489,7 @@ def lsh_topk(
 
 
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_topk(_load_embeddings(spark, sf_dir))
+    return lsh_topk(shared_embeddings(spark, sf_dir))
 
 
 N_KMEANS = 16  #: clusters for the Lloyd-step query
@@ -432,12 +522,9 @@ def ns_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit test pins decimal-sum == sorted-fold on the test corpus.
     """
     # zero-norm vectors excluded on BOTH engines (divergence #4):
-    # cosine is undefined for them and 0/0 throws under ANSI
-    e = (
-        _load_embeddings(spark, sf_dir)
-        .withColumn("nrm", norm(F.col("emb")))
-        .where(F.col("nrm") > 0)
-    )
+    # cosine is undefined for them and 0/0 throws under ANSI; the
+    # session-shared frame applies the exclusion once
+    e = shared_embeddings(spark, sf_dir)
     cent = e.where(F.col("vec_id") < N_KMEANS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )
@@ -584,6 +671,50 @@ def _vsub(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x - y)
 
 
+def _ivfpq_res_sub(
+    corpus: DataFrame, ccell: DataFrame, cent: DataFrame, subs: int
+) -> DataFrame:
+    """Corpus residuals w.r.t. the assigned coarse centroid, split into
+    PQ subspaces — (n_id, c_id, s, sub)."""
+    corpus_res = (
+        corpus.join(ccell, "n_id")
+        .join(F.broadcast(cent.select("c_id", "c_emb")), "c_id")
+        .select("n_id", "c_id", _vsub(F.col("n_emb"), F.col("c_emb")).alias("res"))
+    )
+    return corpus_res.select(
+        "n_id", "c_id", F.explode(_sub_slices(F.col("res"), subs)).alias("ss")
+    ).select("n_id", "c_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
+
+
+def _ivfpq_codebook(res_sub: DataFrame, n_queries: int, n_codes: int) -> DataFrame:
+    """Shared residual codebook: sub-slices of the first ``n_codes``
+    corpus vectors' residuals (each w.r.t. its OWN assigned centroid) —
+    (code, s, cvec)."""
+    return res_sub.where(
+        (F.col("n_id") >= n_queries) & (F.col("n_id") < n_queries + n_codes)
+    ).select(
+        (F.col("n_id") - n_queries).cast("int").alias("code"), "s", F.col("sub").alias("cvec")
+    )
+
+
+def _ivfpq_codes(res_sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ-encode the corpus residuals against the codebook — the stored
+    index payload (n_id, c_id, s, code); deterministic argmin via
+    min over (distance, code) structs."""
+    return (
+        res_sub.join(F.broadcast(cb), "s")
+        .select(
+            "n_id",
+            "c_id",
+            "s",
+            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+        )
+        .groupBy("n_id", "c_id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select("n_id", "c_id", "s", F.col("best.code").alias("code"))
+    )
+
+
 def ivfpq_topk(
     e: DataFrame,
     k: int = TOP_K,
@@ -592,6 +723,10 @@ def ivfpq_topk(
     probes: int = IVF_PROBES,
     subs: int = PQ_SUBS,
     n_codes: int = PQ_K,
+    *,
+    corpus_cells: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN index shape (Jégou et al. 2011;
     FAISS ``IVFxx,PQyy``): an inverted file of coarse cells bounds the
@@ -619,63 +754,28 @@ def ivfpq_topk(
     corpus inside probed cells.  This is the memory/recall trade the
     exact ``brute_topk`` baseline and the ``ns_ann_recall`` audit
     exist to calibrate.
+
+    ``corpus_cells``/``codebook``/``corpus_codes``: optionally inject
+    the session-shared index frames (``shared_ann_cells``,
+    ``shared_ann_codebook``, ``shared_ann_codes``) so a multi-query
+    session assigns + encodes the corpus once; only the tiny query-side
+    work (probing + per-cell distance tables) is recomputed per call.
     """
-    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
-    cent = e.where(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
-    ).select(
-        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
-    )
-
-    def cell_rank(side: DataFrame, id_col: str, emb: str, nrm: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent)).select(
-            F.col(id_col),
-            "c_id",
-            cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
+    e = _with_norm(e)
+    cent = _centroids(e, n_queries, n_centroids)
+    corpus, queries = _split_corpus_queries(e, n_queries)
+    if corpus_codes is None or codebook is None:
+        ccell = (
+            corpus_cells
+            if corpus_cells is not None
+            else _cell_rank(corpus, cent, "n_id", "n_emb", "n_nrm", 1)
         )
-        w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= keep)
-            .select(id_col, "c_id")
-        )
-
-    corpus = e.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"), F.col("nrm").alias("n_nrm")
-    )
-    queries = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
-    )
-    ccell = cell_rank(corpus, "n_id", "n_emb", "n_nrm", 1)
-    qcell = cell_rank(queries, "q_id", "q_emb", "q_nrm", probes)
-    # corpus residuals w.r.t. the assigned centroid, split into subspaces
-    corpus_res = (
-        corpus.join(ccell, "n_id")
-        .join(F.broadcast(cent.select("c_id", "c_emb")), "c_id")
-        .select("n_id", "c_id", _vsub(F.col("n_emb"), F.col("c_emb")).alias("res"))
-    )
-    res_sub = corpus_res.select(
-        "n_id", "c_id", F.explode(_sub_slices(F.col("res"), subs)).alias("ss")
-    ).select("n_id", "c_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
-    # shared residual codebook: sub-slices of the first n_codes corpus
-    # vectors' residuals (each w.r.t. its OWN assigned centroid)
-    cb = res_sub.where(
-        (F.col("n_id") >= n_queries) & (F.col("n_id") < n_queries + n_codes)
-    ).select(
-        (F.col("n_id") - n_queries).cast("int").alias("code"), "s", F.col("sub").alias("cvec")
-    )
-    codes = (
-        res_sub.join(F.broadcast(cb), "s")
-        .select(
-            "n_id",
-            "c_id",
-            "s",
-            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
-        )
-        .groupBy("n_id", "c_id", "s")
-        .agg(F.min("dc").alias("best"))
-        .select("n_id", "c_id", "s", F.col("best.code").alias("code"))
-    )
+        res_sub = _ivfpq_res_sub(corpus, ccell, cent, subs)
+        cb = codebook if codebook is not None else _ivfpq_codebook(res_sub, n_queries, n_codes)
+        codes = corpus_codes if corpus_codes is not None else _ivfpq_codes(res_sub, cb)
+    else:
+        cb, codes = codebook, corpus_codes
+    qcell = _cell_rank(queries, cent, "q_id", "q_emb", "q_nrm", probes)
     # per-(query, probed cell) residual distance table — the IVF-PQ twist
     qres = (
         qcell.join(F.broadcast(queries), "q_id")
@@ -708,8 +808,50 @@ def ivfpq_topk(
     )
 
 
+def shared_ann_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared IVF-PQ residual codebook (code, s, cvec) under the
+    default geometry — tiny (subs × n_codes rows), but deriving it walks
+    the corpus residual pipeline, so it is built once and broadcast from
+    its materialized blocks ever after."""
+
+    def build() -> DataFrame:
+        e = shared_embeddings(spark, sf_dir)
+        cent = _centroids(e, N_QUERIES, N_IVF_CENTROIDS)
+        corpus, _ = _split_corpus_queries(e, N_QUERIES)
+        # codebook members are the first PQ_K corpus vectors: narrow the
+        # residual pipeline to them before exploding subspaces
+        members = corpus.where(F.col("n_id") < N_QUERIES + PQ_K)
+        res_sub = _ivfpq_res_sub(members, shared_ann_cells(spark, sf_dir), cent, PQ_SUBS)
+        return materialize_once(_ivfpq_codebook(res_sub, N_QUERIES, PQ_K))
+
+    return session_memo(spark, ("ann_codebook", sf_dir), build)
+
+
+def shared_ann_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared PQ-encoded corpus (n_id, c_id, s, code) under the
+    default geometry — the stored IVF-PQ index payload.  One residual
+    encode pass per session; every IVF-PQ consumer joins query distance
+    tables against these materialized codes (the in-session analog of
+    the persisted code store a 100 TB serving layer would keep)."""
+
+    def build() -> DataFrame:
+        e = shared_embeddings(spark, sf_dir)
+        cent = _centroids(e, N_QUERIES, N_IVF_CENTROIDS)
+        corpus, _ = _split_corpus_queries(e, N_QUERIES)
+        res_sub = _ivfpq_res_sub(corpus, shared_ann_cells(spark, sf_dir), cent, PQ_SUBS)
+        return materialize_once(
+            _ivfpq_codes(res_sub, shared_ann_codebook(spark, sf_dir))
+        )
+
+    return session_memo(spark, ("ann_codes", sf_dir), build)
+
+
 def ns_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivfpq_topk(_load_embeddings(spark, sf_dir))
+    return ivfpq_topk(
+        shared_embeddings(spark, sf_dir),
+        codebook=shared_ann_codebook(spark, sf_dir),
+        corpus_codes=shared_ann_codes(spark, sf_dir),
+    )
 
 
 HARD_NEG_K = 3
@@ -722,10 +864,12 @@ def ns_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed, PQ distance distortion reorders the tail), so its recall is
     the number that tunes probes AND codebook size together.  Same
     integer comparison shape as ``ns_ann_recall`` — a left join marks
-    hits, one aggregate, recall in integer percent."""
-    brute = brute_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
+    hits, one aggregate, recall in integer percent.  Both sides read
+    session-shared frames (ground truth + encoded corpus), so the audit
+    itself is a 50-row join however large the corpus."""
+    brute = shared_brute_topk(spark, sf_dir).select("q_id", "n_id")
     approx = (
-        ivfpq_topk(_load_embeddings(spark, sf_dir))
+        ns_ann_ivfpq(spark, sf_dir)
         .select("q_id", "n_id")
         .withColumn("hit", F.lit(1))
     )
@@ -867,10 +1011,12 @@ def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single pass over ONE brute-force result: a left join against the
     # approx list marks hits, and k + n_hits come out of the same
     # aggregate (two separate consumers of `brute` would re-execute the
-    # exact cross join — Spark does not dedupe common subplans)
-    brute = brute_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id")
+    # exact cross join — Spark does not dedupe common subplans); both
+    # sides read session-shared frames (shared_brute_topk ground truth,
+    # shared_ann_cells inverted file)
+    brute = shared_brute_topk(spark, sf_dir).select("q_id", "n_id")
     approx = (
-        ivf_topk(_load_embeddings(spark, sf_dir))
+        ns_ann_ivf(spark, sf_dir)
         .select("q_id", "n_id")
         .withColumn("hit", F.lit(1))
     )
@@ -972,10 +1118,10 @@ def ns_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both rankings are the already-scale-shaped operators;
     the relevance join is k·|queries| rows, broadcast-sized.
     """
-    exact = brute_topk(_load_embeddings(spark, sf_dir)).select(
+    exact = shared_brute_topk(spark, sf_dir).select(
         "q_id", "n_id", F.lit(1).alias("rel")
     )
-    sys = ivf_topk(_load_embeddings(spark, sf_dir)).select("q_id", "n_id", "rank")
+    sys = ns_ann_ivf(spark, sf_dir).select("q_id", "n_id", "rank")
     disc = F.lit(None).cast("double")
     for i, v in NDCG_DISCOUNT.items():
         disc = F.when(F.col("rank") == i, F.lit(v)).otherwise(disc)
@@ -1387,7 +1533,7 @@ def ns_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
-    topk = brute_topk(_load_embeddings(spark, sf_dir))
+    topk = shared_brute_topk(spark, sf_dir)
     labeled = topk.join(
         F.broadcast(
             lab.where(F.col("vec_id") < N_QUERIES).select(
@@ -1436,7 +1582,7 @@ def ns_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("long"), 0, 99, "label"
         ).alias("label"),
     )
-    topk = brute_topk(_load_embeddings(spark, sf_dir))
+    topk = shared_brute_topk(spark, sf_dir)
     labeled = topk.join(
         F.broadcast(
             lab.where(F.col("vec_id") < N_QUERIES).select(
@@ -1553,12 +1699,9 @@ def ns_ann_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by neighbor id on the 6-rounded cosine, so the graph — and
     the oracle hash — is deterministic.
     """
-    e = (
-        _load_embeddings(spark, sf_dir)
-        .where(F.col("vec_id") < ANN_SYM_WINDOW)
-        .withColumn("nrm", norm(F.col("emb")))
-        .where(F.col("nrm") > 0)
-    )
+    # window filter over the session-shared normed frame: same rows as
+    # filter-then-norm (the norm is row-local), one fold per session
+    e = shared_embeddings(spark, sf_dir).where(F.col("vec_id") < ANN_SYM_WINDOW)
     a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm"))
     b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm"))
     scored = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
@@ -1603,28 +1746,12 @@ def ns_ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the streaming ingest, whose arrival counts this is the
     corpus-wide twin of).
 
-    Scale shape: centroids broadcast; assignment is the same bounded
-    per-vector argmax as ``ivf_topk`` (window over |centroids| rows per
-    vector); the histogram is one map-side-combined aggregate to
-    |cells| rows.  Pure integers.
+    Scale shape: the assignment comes from the session-shared inverted
+    file (``shared_ann_cells`` — one corpus argmax pass per session,
+    shared with every other IVF consumer); the histogram is one
+    map-side-combined aggregate to |cells| rows.  Pure integers.
     """
-    e = _load_embeddings(spark, sf_dir)
-    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
-    cent = e.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CENTROIDS)
-    ).select(
-        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
-    )
-    corpus = e.where(F.col("vec_id") >= N_QUERIES)
-    scored = corpus.join(F.broadcast(cent)).select(
-        "vec_id",
-        "c_id",
-        cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")).alias(
-            "csim"
-        ),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
-    assigned = scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= 1)
+    assigned = shared_ann_cells(spark, sf_dir)
     hist = assigned.groupBy("c_id").agg(F.count("*").cast("long").alias("n_vecs"))
     # total from the |cells|-row histogram itself (every vector assigns
     # to exactly one cell) — an unpartitioned window over ≤ |cells|

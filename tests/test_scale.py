@@ -799,3 +799,43 @@ def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, sf_dir, tmp_pa
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     got_days = {r["day"] for r in joined.collect()}
     assert got_days == set(dim_days)
+
+
+def test_one_ann_assignment_scan_per_session(spark, sf_dir, monkeypatch):
+    """Regression guard for the round-11 shared ANN chain: once the
+    session-shared frames exist (normed embeddings, IVF inverted file,
+    IVF-PQ codebook+codes, brute ground truth), every ANN-family
+    consumer must read their materialized blocks — re-scanning the
+    embeddings parquet or re-assigning the corpus is the bug.  Pinned
+    three ways: (a) poisoning the parquet loader after the one allowed
+    build and running each consumer end-to-end; (b) cache object
+    identity across consumers; (c) the cell-balance plan contains NO
+    assignment window (row_number) and no parquet scan — it is a pure
+    aggregate over the shared inverted file."""
+    import cassandra_extractor_spark.operators.similarity as sim
+    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+    invalidate_dedup_chain(spark)
+    cells_obj = sim.shared_ann_cells(spark, sf_dir)  # the ONE assignment
+    sim.shared_ann_codes(spark, sf_dir)
+    sim.shared_brute_topk(spark, sf_dir)
+
+    def _boom(*args, **kwargs):  # noqa: ANN002, ANN003
+        raise AssertionError("embeddings parquet re-scanned after ANN chain build")
+
+    monkeypatch.setattr(sim, "_load_embeddings", _boom)
+    for fn in (
+        sim.ns_ann_ivf,
+        sim.ns_ann_ivfpq,
+        sim.ns_ann_recall,
+        sim.ns_ann_ivfpq_recall,
+        sim.ns_ann_cell_balance,
+        sim.ns_ann_symmetry,
+    ):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cache = spark.__dict__["_ce_dedup_chain"]
+    assert cache[("ann_cells", sf_dir)] is cells_obj
+    plan = _executed_plan(sim.ns_ann_cell_balance(spark, sf_dir))
+    assert "row_number" not in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan, plan[:2000]
