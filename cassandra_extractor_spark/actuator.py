@@ -23,6 +23,7 @@ testable without sockets too.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from dataclasses import dataclass, field
 from enum import Enum
@@ -30,6 +31,19 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
 
 from cassandra_extractor_spark.metrics import MetricsRegistry
+
+
+def _dir_bytes(path: str) -> int:
+    """Recursive on-disk byte count of a directory tree (0 if absent) —
+    driver-side filesystem metadata only, never a Spark job."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 class JobState(str, Enum):
@@ -228,8 +242,54 @@ class Actuator:
                 cleared_cfg.append(t)
         return {"status": "cleared", "hwm": sorted(cleared_hwm), "job_config": sorted(cleared_cfg)}
 
+    def _table_location(self, table: str) -> str | None:
+        """Filesystem path of a managed table (DESC FORMATTED Location
+        row), file:-URI stripped; None if unresolvable."""
+        try:
+            for r in self.spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+                if (r["col_name"] or "").strip() == "Location":
+                    loc = r["data_type"].strip()
+                    return loc[len("file:") :] if loc.startswith("file:") else loc
+        except Exception:  # noqa: BLE001
+            return None
+        return None
+
+    def store_sizes(self, kind: str, params: dict[str, Any]) -> tuple[int, int]:
+        """(base_bytes, delta_bytes) for one of the trio's stores —
+        the inputs of the size-ratio compaction policy."""
+        if kind in ("signature", "posting"):
+            loc = self._table_location(params["table"])
+            base = _dir_bytes(loc) if loc else 0
+            delta = _dir_bytes(params["delta_dir"])
+        elif kind == "ann":
+            base = _dir_bytes(os.path.join(params["store_dir"], "base"))
+            delta = _dir_bytes(os.path.join(params["store_dir"], "delta"))
+        else:
+            raise ValueError(f"no size policy for store kind {kind!r}")
+        return base, delta
+
+    def compaction_policy(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
+        """Size-ratio auto-compaction policy for the incremental-store
+        trio: fold when delta bytes exceed ``threshold`` × base bytes
+        (default 0.2 — the delta side of every read stays a small
+        fraction of the pruned/bucketed base, which is what keeps the
+        read plans store-shaped).  An empty base with a non-empty delta
+        always folds; an empty delta never does."""
+        threshold = float(params.get("threshold", 0.2))
+        base, delta = self.store_sizes(kind, params)
+        ratio = round(delta / base, 4) if base > 0 else None
+        should = delta > 0 and (base == 0 or delta > threshold * base)
+        return {
+            "store": kind,
+            "base_bytes": base,
+            "delta_bytes": delta,
+            "ratio": ratio,
+            "threshold": threshold,
+            "should_compact": should,
+        }
+
     def compact_store(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
-        """Operational entry point for the three incremental stores'
+        """Operational entry point for the incremental stores'
         maintenance jobs (run between streaming restarts — never
         concurrently with an active ingest, per each store's contract):
 
@@ -238,11 +298,33 @@ class Actuator:
         - ``ann``: fold cell-partitioned vector deltas into the base
           (params: ``store_dir``);
         - ``posting``: fold posting deltas into the term-bucketed base
-          (params: ``table``, ``delta_dir``, ``n_buckets``).
+          (params: ``table``, ``delta_dir``, ``n_buckets``; optional
+          ``doclen_table`` + ``doclen_delta_dir`` fold the ranked-read
+          doc-length stats in the same call);
+        - ``cdc``: retention ops on the generational snapshot store
+          (params: ``store_dir`` plus ``op``: ``purge_tombstones``
+          needs ``order_cols``/``horizon`` [+ ``op_col``]; ``retain``
+          needs ``retain_gens``).
+
+        ``mode`` (signature/ann/posting only): ``force`` (default)
+        folds unconditionally; ``auto`` evaluates the size-ratio policy
+        and folds only when it says so; ``check`` evaluates the policy
+        and NEVER folds — the queryable half of auto-compaction.
 
         Extends the reference's maintenance surface (POST /cache/clear,
         `management.py:394-419`) to the stores this engine adds.
         """
+        mode = params.get("mode", "force")
+        if mode not in ("force", "auto", "check"):
+            raise ValueError(f"unknown compaction mode {mode!r}")
+        if mode in ("auto", "check"):
+            policy = self.compaction_policy(kind, params)
+            if mode == "check" or not policy["should_compact"]:
+                return {**policy, "status": "policy", "compacted": False}
+            return {**policy, **self._compact(kind, params), "compacted": True}
+        return self._compact(kind, params)
+
+    def _compact(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
         if kind == "signature":
             from cassandra_extractor_spark.streaming.dedup_stream import (
                 compact_signature_store,
@@ -260,6 +342,7 @@ class Actuator:
             absorbed = compact_ann_store(self.spark, params["store_dir"])
         elif kind == "posting":
             from cassandra_extractor_spark.streaming.posting_stream import (
+                compact_doclen_store,
                 compact_posting_store,
             )
 
@@ -269,6 +352,39 @@ class Actuator:
                 params["delta_dir"],
                 n_buckets=int(params.get("n_buckets", 16)),
             )
+            if params.get("doclen_table"):
+                absorbed += compact_doclen_store(
+                    self.spark,
+                    params["doclen_table"],
+                    params["doclen_delta_dir"],
+                    n_buckets=int(params.get("n_buckets", 16)),
+                )
+        elif kind == "cdc":
+            from cassandra_extractor_spark.streaming.cdc_stream import (
+                cleanup_generations,
+                purge_tombstones,
+            )
+
+            op = params.get("op", "")
+            if op == "purge_tombstones":
+                purge_tombstones(
+                    self.spark,
+                    params["store_dir"],
+                    params["order_cols"],
+                    params.get("op_col", "op"),
+                    params["horizon"],
+                )
+                return {
+                    "status": "purged",
+                    "store": kind,
+                    "horizon": list(params["horizon"]),
+                }
+            if op == "retain":
+                rep = cleanup_generations(
+                    params["store_dir"], int(params["retain_gens"])
+                )
+                return {"status": "retained", "store": kind, **rep}
+            raise ValueError(f"unknown cdc maintenance op {op!r}")
         else:
             raise ValueError(f"unknown store kind {kind!r}")
         return {"status": "compacted", "store": kind, "absorbed": absorbed}

@@ -455,14 +455,22 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
     directory in place (mirrors ``invalidate_table_cache``), and used by
     the bench to charge the one-time chain build explicitly."""
     cache = spark.__dict__.get("_ce_dedup_chain")
-    if not cache:
-        return
+    # the session BM25 store cache (streaming/posting_stream.
+    # ensure_session_bm25_store) memoizes DISK tables derived from the
+    # same corpus dirs — invalidate it under the same contract
+    stores = spark.__dict__.get("_ce_posting_store")
     if sf_dir is None:
-        cache.clear()
-    else:
-        norm = _norm_dir(sf_dir)
+        if cache:
+            cache.clear()
+        if stores:
+            stores.clear()
+        return
+    norm = _norm_dir(sf_dir)
+    if cache:
         for key in [k for k in cache if k[1] == norm]:
             del cache[key]
+    if stores:
+        stores.pop(norm, None)
 
 
 def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1231,6 +1231,10 @@ def _bm25_sql() -> str:
 
 
 NS_ORACLES["ns_bm25"] = _bm25_sql()
+# store-backed BM25 is row-identical to the corpus spelling by
+# contract (the store holds exactly the corpus' postings + doc
+# lengths), so it shares the oracle verbatim
+NS_ORACLES["ns_bm25_store"] = _bm25_sql()
 
 
 NS_ORACLES["ns_entropy"] = (

@@ -25,6 +25,9 @@ from cassandra_extractor_spark.oracles_ns import NS_ORACLES
 from cassandra_extractor_spark.streaming.quantile import (
     q122_hist_quantile as _q122_hist_quantile,
 )
+from cassandra_extractor_spark.streaming.posting_stream import (
+    ns_bm25_store as _ns_bm25_store,
+)
 from cassandra_extractor_spark.streaming.stateful import ns_sessionize as _ns_sessionize
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,6 +41,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: closes the dict.  Every entry is always registered — this is
 #: prioritization, not selection.
 QUERIES: dict[str, QueryFn] = {
+    # new in round 11 — need fresh rows
+    "ns_bm25_store": _ns_bm25_store,
     # new in round 10 — need fresh rows
     "ns_top_dup_spans": D.ns_top_dup_spans,
     "ns_boolean_retrieval": TX.ns_boolean_retrieval,
@@ -320,39 +325,35 @@ QUERIES: dict[str, QueryFn] = {
 #: driver-green row is OLDEST, excluding everything sampled in the two
 #: preceding rounds — so each round's sample is disjoint from the two
 #: before it and every entry re-earns driver evidence ~once per 5
-#: rounds.  The union of CORRECTNESS_r0{1..9}.json covers ALL 252
-#: pre-round-10 registry names — the rotation accrues SECOND-pass
+#: rounds.  The union of CORRECTNESS_r{01..10}.json covers ALL 264
+#: pre-round-11 registry names — the rotation accrues further-pass
 #: evidence where it is stalest.  This round's 60, computed
 #: mechanically from the CORRECTNESS files (oldest round first,
-#: name-ordered within a round; verified disjoint from the r8∪r9
-#: samples): the 12 NEW round-10 operators (zero evidence) lead, then
-#: the 48 oldest-evidence eligibles — which naturally include
-#: q116_spearman and q101_weighted_median, both of which carry new
-#: plans this round and need fresh driver rows.  Every entry stays
-#: registered — prioritization, not selection.
+#: name-ordered within a round; verified disjoint from the r9∪r10
+#: samples): the NEW round-11 operator (zero evidence) leads, then
+#: the 59 oldest-evidence eligibles — which naturally include the
+#: TPC-H heavies and the round-11-replanned ANN consumer
+#: ns_ann_lsh_bucketed.  Every entry stays registered —
+#: prioritization, not selection.
 _PRIORITY_PREFIX = [
-    # NEW in round 10: zero evidence, oldest by rule
-    "ns_top_dup_spans", "ns_boolean_retrieval",
-    "ns_length_outliers", "ns_ann_symmetry",
-    "q123_mann_whitney", "q124_cusum_changepoint", "ns_ann_cell_balance",
-    "ns_quality_by_dup", "q125_theil_index", "ns_vocab_growth",
-    "q126_cramers_v", "ns_dedup_savings",
-    # oldest second-pass evidence (r5-sampled era), excluding r8∪r9
-    "q98_incremental_rollup", "q99_share_of_total", "ns_assoc_rules",
-    "ns_bigram_lm", "ns_bpe_pair_counts", "ns_cluster_canonical",
-    "ns_cms_estimate", "ns_dp_noise", "ns_embedding_centering",
-    "ns_hll_manual", "ns_hll_set_ops", "ns_label_propagation",
-    "ns_linear_probe_step", "ns_mi_feature_select",
-    "ns_neyman_allocation", "ns_ngram_novelty", "ns_pca_power_iter",
-    "ns_random_projection", "ns_ranking_ndcg", "ns_sample_k_per_group",
-    "ns_simpson_diversity", "ns_span_corruption", "ns_zipf_fit",
-    "q100_crosstab_chi2", "q101_weighted_median", "q102_interpolate",
-    "q103_benford", "q104_autocorr", "q105_skyline", "q106_attribution",
-    "q112_not_in_nulls", "q113_percent_of_parent", "q114_bounce_rate",
-    "q115_runs_test", "q116_spearman", "q117_gini",
-    "q118_seasonal_decompose", "q119_ab_proportions", "q120_ltv_curve",
-    "q121_ks_test", "tpch_q01", "tpch_q03", "tpch_q04", "tpch_q05",
-    "tpch_q06", "tpch_q10", "tpch_q12", "tpch_q14",
+    # NEW in round 11: zero evidence, oldest by rule
+    "ns_bm25_store",
+    # oldest second-pass evidence, excluding the r9 ∪ r10 samples
+    "q120_ltv_curve", "q121_ks_test", "tpch_q01",
+    "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
+    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
+    "tpch_q18", "tpch_q19", "tpch_q22", "ns_ann_lsh_bucketed",
+    "ns_bm25", "ns_cross_split_leakage", "ns_dsir_select", "ns_entropy",
+    "ns_pagerank", "ns_shard_layout", "ns_winnowing", "q01_projection",
+    "q02_filter", "q03_string_filter", "q04_count", "q05_filtered_count",
+    "q06_sort_limit", "q07_offset_page", "q08_hwm_filter", "q09_rename_project",
+    "q107_full_outer_reconcile", "q108_ewma", "q109_cusum", "q10_epoch_millis",
+    "q110_markov_transitions", "q111_mom_growth", "q11_expression", "q12_json_serialize",
+    "q13_group_agg", "q14_having", "q15_inner_join", "q16_left_join",
+    "q17_semi_join", "q18_anti_join", "q19_multiway_join", "q20_distinct",
+    "q21_count_distinct", "q22_window_rank", "q23_window_running_sum", "q24_union",
+    "q25_except", "q26_rollup", "q27_dedup", "q28_date_funcs",
+    "q29_string_funcs", "q30_case", "q31_json_extract", "q32_event_agg",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)

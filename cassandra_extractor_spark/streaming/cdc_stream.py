@@ -142,22 +142,44 @@ def _write_generation(
     }
 
 
-def _cleanup(store_dir: str, retain_gens: int) -> None:
+def _cleanup(store_dir: str, retain_gens: int) -> tuple[int, int]:
     """Drop manifests beyond the retained window, then any data
-    generation directory referenced by NO retained manifest."""
+    generation directory referenced by NO retained manifest.  Returns
+    (manifests removed, generation dirs removed) for the maintenance
+    report."""
     seqs = _manifest_seqs(store_dir)
-    for s in seqs[:-retain_gens] if retain_gens else []:
+    drop = seqs[:-retain_gens] if retain_gens else []
+    for s in drop:
         os.remove(os.path.join(_manifest_dir(store_dir), f"gen={s}.json"))
     kept = _manifest_seqs(store_dir)
     referenced = set()
     for s in kept:
         for rel in _read_manifest(store_dir, s)["buckets"].values():
             referenced.add(rel.split("/", 1)[0])
+    removed_dirs = 0
     data_dir = os.path.join(store_dir, "data")
     if os.path.isdir(data_dir):
         for d in os.listdir(data_dir):
             if d not in referenced:
                 shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed_dirs += 1
+    return len(drop), removed_dirs
+
+
+def cleanup_generations(store_dir: str, retain_gens: int) -> dict:
+    """Operational retention entry point (the control plane's CDC
+    maintenance op): keep the newest ``retain_gens`` manifests, delete
+    unreferenced generation data.  Same invariant as the per-trigger
+    best-effort cleanup — the CURRENT manifest and everything it
+    references always survive."""
+    if retain_gens < 1:
+        raise ValueError("retain_gens must be >= 1: the current manifest must survive")
+    removed_manifests, removed_dirs = _cleanup(store_dir, retain_gens)
+    return {
+        "removed_manifests": removed_manifests,
+        "removed_generations": removed_dirs,
+        "retained_seqs": _manifest_seqs(store_dir),
+    }
 
 
 # ------------------------------------------------------------------- merge
@@ -256,6 +278,71 @@ def merge_cdc_batch(
     )
 
 
+def apply_cdc_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key: str,
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] = (),
+    retain_gens: int = 3,
+) -> None:
+    """Merge one change batch into the bucketed generational store —
+    the foreachBatch body of ``stream_cdc_apply``, public so a batch
+    pipeline (or the control plane) can apply changes without a
+    streaming query.  All the store's guarantees live here: idempotent
+    replay skip via the manifest-recorded batch_id, O(touched-buckets)
+    write amplification, horizon-fenced staleness rejection, atomic
+    manifest commit, best-effort generation cleanup."""
+    cur = _current_manifest(store_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"CDC store not initialized under {store_dir}: call "
+            "init_cdc_store with a (possibly empty) base snapshot first"
+        )
+    if cur["batch_id"] == batch_id:
+        # foreachBatch replay of a batch whose manifest already
+        # committed (driver died before the streaming checkpoint
+        # did) — idempotent skip; the snapshot already reflects it
+        return
+    n_buckets = cur["n_buckets"]
+    batch = batch_df.withColumn("_b", _bucket_col(key, n_buckets))
+    # bounded by n_buckets — a driver-side list, not a data collect
+    touched = sorted(
+        r["_b"] for r in batch.select("_b").distinct().collect()
+    )
+    if not touched:
+        new_buckets = dict(cur["buckets"])
+    else:
+        merged = merge_cdc_batch(
+            _read_buckets(spark, store_dir, cur, touched),
+            batch.drop("_b"),
+            key,
+            order_cols,
+            op_col,
+            payload_cols,
+            horizon=cur.get("horizon"),
+        )
+        written = _write_generation(
+            merged, store_dir, f"g{batch_id}", key, n_buckets
+        )
+        # untouched buckets carry their existing dirs forward —
+        # their files are never rewritten (O(touched), not O(store))
+        new_buckets = {**cur["buckets"], **written}
+    _commit_manifest(
+        store_dir,
+        {
+            **cur,
+            "seq": cur["seq"] + 1,
+            "batch_id": batch_id,
+            "buckets": new_buckets,
+        },
+    )
+    _cleanup(store_dir, retain_gens)
+
+
 def stream_cdc_apply(
     spark: SparkSession,
     source_path: str,
@@ -281,51 +368,17 @@ def stream_cdc_apply(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        cur = _current_manifest(store_dir)
-        if cur is None:
-            raise FileNotFoundError(
-                f"CDC store not initialized under {store_dir}: call "
-                "init_cdc_store with a (possibly empty) base snapshot first"
-            )
-        if cur["batch_id"] == batch_id:
-            # foreachBatch replay of a batch whose manifest already
-            # committed (driver died before the streaming checkpoint
-            # did) — idempotent skip; the snapshot already reflects it
-            return
-        n_buckets = cur["n_buckets"]
-        batch = batch_df.withColumn("_b", _bucket_col(key, n_buckets))
-        # bounded by n_buckets — a driver-side list, not a data collect
-        touched = sorted(
-            r["_b"] for r in batch.select("_b").distinct().collect()
-        )
-        if not touched:
-            new_buckets = dict(cur["buckets"])
-        else:
-            merged = merge_cdc_batch(
-                _read_buckets(spark, store_dir, cur, touched),
-                batch.drop("_b"),
-                key,
-                order_cols,
-                op_col,
-                payload_cols,
-                horizon=cur.get("horizon"),
-            )
-            written = _write_generation(
-                merged, store_dir, f"g{batch_id}", key, n_buckets
-            )
-            # untouched buckets carry their existing dirs forward —
-            # their files are never rewritten (O(touched), not O(store))
-            new_buckets = {**cur["buckets"], **written}
-        _commit_manifest(
+        apply_cdc_batch(
+            spark,
+            batch_df,
+            batch_id,
             store_dir,
-            {
-                **cur,
-                "seq": cur["seq"] + 1,
-                "batch_id": batch_id,
-                "buckets": new_buckets,
-            },
+            key,
+            order_cols,
+            op_col,
+            payload_cols,
+            retain_gens=retain_gens,
         )
-        _cleanup(store_dir, retain_gens)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -28,6 +28,7 @@ maintains itself.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -35,6 +36,22 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 _POSTING_COLS = ["doc_id", "tok", "tf"]
+_DOCLEN_COLS = ["doc_id", "dl"]
+
+
+def build_doclens(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) document-length stats from a (doc_id, text) frame —
+    the per-document norm a ranked-retrieval store keeps BESIDE the
+    postings (zero-token documents have no posting rows but still count
+    toward n_docs/avgdl and appear in ranked output with score 0, so
+    the stats cannot be derived from the posting rows alone).  Same
+    tokenizer and the same ``size(tokens(text))`` spelling as
+    ``operators/text.ns_bm25`` — parity by construction."""
+    from cassandra_extractor_spark.operators.text import tokens
+
+    return docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
 
 
 def build_postings(docs: DataFrame) -> DataFrame:
@@ -63,6 +80,17 @@ def write_posting_store(postings: DataFrame, table_name: str, n_buckets: int = 1
     )
 
 
+def write_doclen_store(doclens: DataFrame, table_name: str, n_buckets: int = 16) -> None:
+    """Persist doc-length stats bucketed+sorted on doc_id: the ranked
+    read joins the (tiny) per-query candidate set against this table
+    exchange-free on the store side."""
+    from cassandra_extractor_spark.operators.scale import write_bucketed
+
+    write_bucketed(
+        doclens.select(*_DOCLEN_COLS), table_name, ["doc_id"], n_buckets, sort_cols=["doc_id"]
+    )
+
+
 def stream_posting_ingest(
     spark: SparkSession,
     source_path: str,
@@ -72,6 +100,7 @@ def stream_posting_ingest(
     stats_sink: Callable[[DataFrame, int], None] | None = None,
     max_files_per_trigger: int = 1,
     path_glob: str = "*.parquet",
+    doclen_delta_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming posting ingest over a file source of
     ``(doc_id, text)`` batches.  Drains everything available
@@ -79,7 +108,11 @@ def stream_posting_ingest(
     ``checkpoint_dir`` resumes after the last committed batch.
 
     ``stats_sink(df, batch_id)``, if given, receives (n_docs,
-    n_postings) per batch for ingest monitoring."""
+    n_postings) per batch for ingest monitoring.  ``doclen_delta_dir``,
+    if given, additionally lands per-batch (doc_id, dl) stats deltas
+    under the same overwrite-own ``batch=<id>`` contract — required for
+    store-backed RANKED retrieval (BM25 needs n_docs/avgdl over ALL
+    documents, including zero-token ones that have no postings)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -94,6 +127,13 @@ def stream_posting_ingest(
             .write.mode("overwrite")
             .parquet(f"{delta_dir}/batch={batch_id}")
         )
+        if doclen_delta_dir is not None:
+            (
+                build_doclens(batch_df)
+                .select(*_DOCLEN_COLS)
+                .write.mode("overwrite")
+                .parquet(f"{doclen_delta_dir}/batch={batch_id}")
+            )
         if stats_sink is not None:
             stats_sink(
                 postings.agg(
@@ -111,8 +151,12 @@ def stream_posting_ingest(
     )
 
 
-def _read_postings(spark: SparkSession, store_table: str, delta_dir: str) -> DataFrame:
+def _read_postings(
+    spark: SparkSession, store_table: str, delta_dir: str | None
+) -> DataFrame:
     base = spark.table(store_table).select(*_POSTING_COLS)
+    if delta_dir is None:  # batch-built store: no streaming delta
+        return base
     try:
         delta = spark.read.parquet(delta_dir).select(*_POSTING_COLS)
     except AnalysisException:
@@ -158,6 +202,173 @@ def boolean_query_against_store(
         .select("doc_id", "tf_total", "tf_min")
         .orderBy("doc_id")
     )
+
+
+def _read_doclens(
+    spark: SparkSession, doclen_table: str, doclen_delta_dir: str | None
+) -> DataFrame:
+    base = spark.table(doclen_table).select(*_DOCLEN_COLS)
+    if doclen_delta_dir is None:  # batch-built store: no streaming delta
+        return base
+    try:
+        delta = spark.read.parquet(doclen_delta_dir).select(*_DOCLEN_COLS)
+    except AnalysisException:
+        return base
+    return base.unionByName(delta)
+
+
+def bm25_query_against_store(
+    spark: SparkSession,
+    store_table: str,
+    delta_dir: str | None,
+    doclen_table: str,
+    doclen_delta_dir: str | None,
+    terms: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(doc_id, bm25): Okapi BM25 ranking of every document against the
+    query terms, served FROM THE STORE — the ranked completion of the
+    posting store's read surface (``boolean_query_against_store`` is
+    the conjunctive one).  Row-identical to the corpus-recomputing
+    ``operators/text.ns_bm25`` (pinned by the parity test): the scoring
+    expression is spelled term for term, and the sufficient statistics
+    come from the store instead of a corpus re-tokenization —
+
+    - per-(doc, term) tf: bucket-pruned scan of the term-bucketed base
+      (``SelectedBucketsCount`` asserted in tests) + the small delta,
+      MAX-collapsed per the store's crash-window contract;
+    - df per term: counted off that same |query|-term candidate frame;
+    - n_docs/avgdl: one map-side-combined aggregate over the doc-length
+      stats table (2 narrow columns; the one corpus-cardinality input,
+      reduced to a single broadcast row);
+    - doc lengths for the candidates: broadcast the candidate tf frame
+      into the doc_id-bucketed stats table — exchange-free store side.
+
+    At 100 TB: the corpus is never re-tokenized; the only corpus-sized
+    work is the doclen aggregate (a production store would additionally
+    maintain that one row incrementally — same fold as the stats sink).
+
+    Reference parity: the reference delegates ranked search to
+    DSE/Solr (`ref:datacrawler.py:138-151`); this is the engine-side
+    equivalent a corpus without a search backend maintains itself.
+    """
+    from cassandra_extractor_spark.operators.text import BM25_B, BM25_K1, BM25_QUERY
+
+    terms = BM25_QUERY if terms is None else terms
+    # keep bucket PRUNING on filter-only scans (see boolean_query_
+    # against_store for the DisableUnnecessaryBucketedScan rationale)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    p = _read_postings(spark, store_table, delta_dir).where(F.col("tok").isin(*terms))
+    tf = p.groupBy("doc_id", "tok").agg(F.max("tf").cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    dls = _read_doclens(spark, doclen_table, doclen_delta_dir).groupBy("doc_id").agg(
+        F.max("dl").alias("dl")
+    )
+    n_and_avg = dls.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(38,18)")).cast("double").alias("score_raw")
+    )
+    return (
+        dls.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("score_raw"), F.lit(0.0)), 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per session per corpus dir) the batch posting +
+    doc-length stats stores for ``sf_dir``'s documents table and return
+    their table names — the durable-on-disk analog of the dedup/ANN
+    session chains, backing the ``ns_bm25_store`` registry entry.
+    Invalidation rides the shared-chain invalidator
+    (``dedup.invalidate_dedup_chain`` clears this cache too)."""
+    import hashlib
+
+    from cassandra_extractor_spark.operators.dedup import _norm_dir
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    cache: dict = spark.__dict__.setdefault("_ce_posting_store", {})
+    key = _norm_dir(sf_dir)
+    if key in cache:
+        return cache[key]
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    postings_t = f"bm25_postings_{tag}"
+    doclens_t = f"bm25_doclens_{tag}"
+    # a PREVIOUS process may have left the managed-table location on
+    # disk without this session's catalog knowing the table — drop both
+    # sides so saveAsTable never hits LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh[len("file:") :] if wh.startswith("file:") else wh
+    for t in (postings_t, doclens_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    write_posting_store(build_postings(docs), postings_t)
+    write_doclen_store(build_doclens(docs), doclens_t)
+    cache[key] = (postings_t, doclens_t)
+    return cache[key]
+
+
+def ns_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: BM25 over the session posting store — same rows
+    as ``ns_bm25`` (the oracle is literally ns_bm25's SQL), but served
+    from the persisted index instead of re-tokenizing the corpus."""
+    postings_t, doclens_t = ensure_session_bm25_store(spark, sf_dir)
+    return bm25_query_against_store(spark, postings_t, None, doclens_t, None)
+
+
+def compact_doclen_store(
+    spark: SparkSession, doclen_table: str, doclen_delta_dir: str, n_buckets: int = 16
+) -> int:
+    """Fold doc-length deltas into the bucketed stats base — same
+    idempotent MAX-collapse contract as ``compact_posting_store``
+    (a document's length never changes; base∩delta duplicates from the
+    crash window are identical rows).  Returns delta rows absorbed."""
+    import shutil
+
+    try:
+        delta = spark.read.parquet(doclen_delta_dir).select(*_DOCLEN_COLS)
+    except AnalysisException:
+        return 0
+    absorbed = delta.count()
+    if absorbed == 0:
+        return 0
+    merged = (
+        spark.table(doclen_table)
+        .select(*_DOCLEN_COLS)
+        .unionByName(delta)
+        .groupBy("doc_id")
+        .agg(F.max("dl").cast("long").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    write_doclen_store(merged, doclen_table, n_buckets=n_buckets)
+    shutil.rmtree(doclen_delta_dir, ignore_errors=True)
+    return absorbed
 
 
 def compact_posting_store(

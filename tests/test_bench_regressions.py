@@ -1,29 +1,72 @@
 """bench.py regression diff: an intentional slowdown must trip the
-`regressions` field (round-9 verdict #3) — pure-Python, no Spark."""
+`regressions` field (round-9 verdict #3) while an ambient host-drift
+burst must NOT (round-10 verdict #5) — pure-Python, no Spark."""
 
 from __future__ import annotations
 
 from bench import diff_regressions
 
 
-def test_intentional_slowdown_trips():
-    prev = {"tpch_q01": 1.50, "q02": 0.40, "shared_dedup_chain_build": 4.0}
-    cur = {"tpch_q01": 2.35, "q02": 0.41, "shared_dedup_chain_build": 4.1}
+def _quiet_run(n=20, sec=1.0):
+    return {f"q{i:02d}": sec for i in range(n)}
+
+
+def test_intentional_slowdown_trips_on_quiet_run():
+    prev = _quiet_run()
+    cur = {**_quiet_run(), "q03": 2.1}
     regs = diff_regressions(prev, cur)
-    assert [r["query"] for r in regs] == ["tpch_q01"]
-    assert regs[0]["ratio"] == 1.57
-    assert regs[0]["prev_sec"] == 1.50 and regs[0]["cur_sec"] == 2.35
+    assert [r["query"] for r in regs] == ["q03"]
+    assert regs[0]["ratio"] == 2.1
+    assert regs[0]["base_sec"] == 1.0 and regs[0]["cur_sec"] == 2.1
+    assert regs[0]["run_drift"] == 1.0
+
+
+def test_ambient_drift_burst_is_not_flagged():
+    """The PARITY.md run-3 scenario: ~half the table slows 1.5-2.2x
+    simultaneously from host drift.  The run-level drift factor rises
+    with the burst, so none of them read as structural."""
+    prev = _quiet_run(30)
+    cur = {
+        name: (sec * (1.5 + 0.7 * (i % 11) / 10) if i < 16 else sec * 1.4)
+        for i, (name, sec) in enumerate(prev.items())
+    }
+    assert diff_regressions(prev, cur) == []
+
+
+def test_structural_slowdown_still_trips_under_mild_drift():
+    """Everything drifts ~1.2x but one query goes 3x: the normalized
+    threshold (1.5 x drift = 1.8) still catches it."""
+    prev = _quiet_run(20)
+    cur = {name: sec * 1.2 for name, sec in prev.items()}
+    cur["q05"] = 3.0
+    regs = diff_regressions(prev, cur)
+    assert [r["query"] for r in regs] == ["q05"]
+    assert regs[0]["run_drift"] == 1.2
+
+
+def test_multi_run_median_baseline():
+    """One outlier run in the history cannot poison the baseline: the
+    per-query baseline is the median across the recorded runs."""
+    fast, outlier = _quiet_run(10, 1.0), _quiet_run(10, 0.2)
+    cur = {**_quiet_run(10, 1.0), "q01": 2.2}
+    # single-table API still works (prev as dict)
+    assert [r["query"] for r in diff_regressions(fast, cur)] == ["q01"]
+    # with an outlier-fast run in history, median(1.0, 0.2, 1.0) = 1.0:
+    # steady queries stay quiet, the real 2.2x still trips
+    regs = diff_regressions([fast, outlier, fast], cur)
+    assert [r["query"] for r in regs] == ["q01"]
+    assert regs[0]["base_sec"] == 1.0
 
 
 def test_jitter_floor_and_new_queries_ignored():
-    prev = {"tiny": 0.05, "gone": 1.0, "failed": -1.0}
-    cur = {"tiny": 0.12, "brand_new": 5.0, "failed": 2.0}
+    prev = {**_quiet_run(10), "tiny": 0.05, "failed": -1.0}
+    cur = {**_quiet_run(10), "tiny": 0.12, "brand_new": 5.0, "failed": 2.0}
     # tiny: 2.4x but under the 0.3 s floor; brand_new: no previous row;
     # failed: previous run errored (-1) so there is no honest baseline
     assert diff_regressions(prev, cur) == []
 
 
 def test_sorted_worst_first():
-    prev = {"a": 1.0, "b": 1.0}
-    cur = {"a": 2.0, "b": 4.0}
-    assert [r["query"] for r in diff_regressions(prev, cur)] == ["b", "a"]
+    prev = _quiet_run(12)
+    cur = {**_quiet_run(12), "q02": 2.0, "q07": 4.0}
+    assert [r["query"] for r in diff_regressions(prev, cur)] == ["q07", "q02"]

@@ -365,3 +365,158 @@ def test_maintenance_compact_route(spark, tmp_path):
     finally:
         server.shutdown()
         spark.sql("DROP TABLE IF EXISTS compact_route_t")
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    """Size-ratio auto-compaction (round-11): mode=check reports the
+    policy without folding; mode=auto folds exactly once when the
+    delta/base byte ratio crosses the threshold and is a no-op when it
+    does not (and idempotent when re-run after a fold)."""
+    import urllib.request as _rq
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        build_postings,
+        write_posting_store,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(8)), "text": ["join scan merge sort"] * 8}
+        ),
+        "doc_id LONG, text STRING",
+    )
+    write_posting_store(
+        build_postings(docs.where(F.col("doc_id") < 7)), "policy_t", n_buckets=2
+    )
+    delta = str(tmp_path / "delta")
+    build_postings(docs.where(F.col("doc_id") == 7)).write.mode("overwrite").parquet(
+        f"{delta}/batch=0"
+    )
+    actuator = Actuator(spark, MetricsRegistry())
+    server = actuator.serve()
+    port = server.server_port
+    try:
+        def post(body):
+            req = _rq.Request(
+                f"http://127.0.0.1:{port}/maintenance/compact",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with _rq.urlopen(req) as r:
+                return json.loads(r.read())
+
+        base = {"store": "posting", "table": "policy_t", "delta_dir": delta,
+                "n_buckets": 2}
+        # check: reports, never folds
+        chk = post({**base, "mode": "check", "threshold": 0.01})
+        assert chk["should_compact"] is True and chk["compacted"] is False
+        assert chk["delta_bytes"] > 0 and chk["base_bytes"] > 0
+        # below threshold: auto is a no-op
+        skip = post({**base, "mode": "auto", "threshold": 1e9})
+        assert skip["compacted"] is False and skip["status"] == "policy"
+        assert (tmp_path / "delta").exists()
+        # above threshold: auto folds exactly once
+        did = post({**base, "mode": "auto", "threshold": 0.01})
+        assert did["compacted"] is True and did["absorbed"] > 0
+        assert not (tmp_path / "delta").exists()
+        # idempotent re-run: policy sees an empty delta, no fold
+        again = post({**base, "mode": "auto", "threshold": 0.01})
+        assert again["compacted"] is False and again["delta_bytes"] == 0
+        # bad mode fails loudly
+        import urllib.error
+
+        try:
+            post({**base, "mode": "sometimes"})
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert "unknown compaction mode" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+        spark.sql("DROP TABLE IF EXISTS policy_t")
+
+
+def test_cdc_retention_over_control_plane(spark, tmp_path):
+    """CDC retention ops ride /maintenance/compact (round-11): a purge
+    drops tombstones below the horizon AND records the horizon fence —
+    a post-purge stale update below the horizon is rejected; a retain
+    op prunes old manifests/generations but never the current one."""
+    import urllib.request as _rq
+
+    import pandas as pd
+
+    from cassandra_extractor_spark.streaming.cdc_stream import (
+        _current_manifest,
+        _manifest_seqs,
+        apply_cdc_batch,
+        init_cdc_store,
+        read_cdc_view,
+    )
+
+    store = str(tmp_path / "cdc")
+    seed = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": ["a", "b"], "op": ["U", "U"], "ts": [0, 0]}),
+        "k LONG, v STRING, op STRING, ts LONG",
+    )
+    init_cdc_store(spark, seed, store, key="k", op_col="op", order_cols=["ts"], n_buckets=2)
+    # delete key 1 at ts=5
+    apply_cdc_batch(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1], "v": [None], "op": ["D"], "ts": [5]}),
+            "k LONG, v STRING, op STRING, ts LONG",
+        ),
+        0, store, key="k", order_cols=["ts"], op_col="op",
+        payload_cols=["v"], retain_gens=0,
+    )
+    actuator = Actuator(spark, MetricsRegistry())
+    server = actuator.serve()
+    port = server.server_port
+    try:
+        def post(body):
+            req = _rq.Request(
+                f"http://127.0.0.1:{port}/maintenance/compact",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with _rq.urlopen(req) as r:
+                return json.loads(r.read())
+
+        out = post({"store": "cdc", "op": "purge_tombstones", "store_dir": store,
+                    "order_cols": ["ts"], "horizon": [10]})
+        assert out["status"] == "purged" and out["horizon"] == [10]
+        assert _current_manifest(store)["horizon"] == [10]
+        # horizon fence: stale update (ts=3 < 10) for the purged key is
+        # rejected — key 1 stays deleted
+        apply_cdc_batch(
+            spark,
+            spark.createDataFrame(
+                pd.DataFrame({"k": [1], "v": ["zombie"], "op": ["U"], "ts": [3]}),
+                "k LONG, v STRING, op STRING, ts LONG",
+            ),
+            1, store, key="k", order_cols=["ts"], op_col="op",
+            payload_cols=["v"], retain_gens=0,
+        )
+        view = {r.k: r.v for r in read_cdc_view(spark, store).collect()}
+        assert view == {2: "b"}
+        # retention: keep only the newest manifest; current survives
+        n_before = len(_manifest_seqs(store))
+        rep = post({"store": "cdc", "op": "retain", "store_dir": store,
+                    "retain_gens": 1})
+        assert rep["status"] == "retained"
+        assert rep["removed_manifests"] == n_before - 1
+        assert len(rep["retained_seqs"]) == 1
+        view2 = {r.k: r.v for r in read_cdc_view(spark, store).collect()}
+        assert view2 == {2: "b"}
+        # unknown op fails loudly
+        import urllib.error
+
+        try:
+            post({"store": "cdc", "op": "vacuum", "store_dir": store})
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert "unknown cdc maintenance op" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()

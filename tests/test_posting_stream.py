@@ -139,3 +139,104 @@ def test_build_postings_matches_python(spark):
         (r.doc_id, r.tok): r.tf for r in build_postings(docs).collect()
     }
     assert got == {(0, "a"): 2, (0, "b"): 1, (0, "c"): 1, (1, "b"): 3}
+
+
+def test_bm25_store_ranked_retrieval_parity_and_pruning(
+    spark, sf_dir, tmp_path, doc_slices
+):
+    """Store-backed RANKED retrieval (round-11): BM25 served from the
+    posting + doc-length stores must be row-identical to the corpus-
+    recomputing ns_bm25, across the streamed base+delta split, after
+    compaction of BOTH stores, and the term-filtered base scan must be
+    bucket-pruned."""
+    from cassandra_extractor_spark.operators.text import ns_bm25
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        bm25_query_against_store,
+        build_doclens,
+        compact_doclen_store,
+        write_doclen_store,
+    )
+
+    docs, slices = doc_slices
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    table, dl_table = "bm25p_t", "bm25d_t"
+    write_posting_store(build_postings(slices[0]), table, n_buckets=4)
+    write_doclen_store(build_doclens(slices[0]), dl_table, n_buckets=4)
+    try:
+        q = stream_posting_ingest(
+            spark,
+            source_path=str(src),
+            schema=SCHEMA,
+            delta_dir=str(tmp_path / "delta"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            doclen_delta_dir=str(tmp_path / "dl_delta"),
+        )
+        _write_batch(spark, tmp_path, src, 0, slices[1])
+        _write_batch(spark, tmp_path, src, 1, slices[2])
+        q.awaitTermination(120)
+        q = stream_posting_ingest(
+            spark,
+            source_path=str(src),
+            schema=SCHEMA,
+            delta_dir=str(tmp_path / "delta"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            doclen_delta_dir=str(tmp_path / "dl_delta"),
+        )
+        q.awaitTermination(120)
+
+        want = [(r.doc_id, r.bm25) for r in ns_bm25(spark, sf_dir).collect()]
+        ranked = bm25_query_against_store(
+            spark, table, str(tmp_path / "delta"), dl_table, str(tmp_path / "dl_delta")
+        )
+        assert [(r.doc_id, r.bm25) for r in ranked.collect()] == want
+        assert any(s != 0.0 for _, s in want), "fixture query matched nothing"
+
+        # bucket pruning on the term-filtered posting base
+        base = spark.table(table).where(F.col("tok").isin("table", "hash", "spark"))
+        plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan[:2000]
+
+        # compact BOTH stores (doclen fold idempotent incl. crash window)
+        import shutil
+
+        shutil.copytree(str(tmp_path / "dl_delta"), str(tmp_path / "dl_stale"))
+        absorbed = compact_posting_store(spark, table, str(tmp_path / "delta"), 4)
+        assert absorbed > 0
+        dl_absorbed = compact_doclen_store(spark, dl_table, str(tmp_path / "dl_delta"), 4)
+        assert dl_absorbed > 0
+        ranked2 = bm25_query_against_store(
+            spark, table, str(tmp_path / "delta"), dl_table, str(tmp_path / "dl_delta")
+        )
+        assert [(r.doc_id, r.bm25) for r in ranked2.collect()] == want
+        assert (
+            compact_doclen_store(spark, dl_table, str(tmp_path / "dl_stale"), 4)
+            == dl_absorbed
+        )
+        ranked3 = bm25_query_against_store(spark, table, None, dl_table, None)
+        assert [(r.doc_id, r.bm25) for r in ranked3.collect()] == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {dl_table}")
+
+
+def test_ns_bm25_store_registry_entry(spark, sf_dir):
+    """The registry entry builds the session store once (second call is
+    a cache hit returning the same tables) and matches ns_bm25."""
+    from cassandra_extractor_spark.operators.text import ns_bm25
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        ensure_session_bm25_store,
+        ns_bm25_store,
+    )
+
+    got = [(r.doc_id, r.bm25) for r in ns_bm25_store(spark, sf_dir).collect()]
+    want = [(r.doc_id, r.bm25) for r in ns_bm25(spark, sf_dir).collect()]
+    assert got == want
+    first = ensure_session_bm25_store(spark, sf_dir)
+    assert ensure_session_bm25_store(spark, sf_dir) is first
+    # invalidation contract: the shared-chain invalidator clears it
+    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+    invalidate_dedup_chain(spark, sf_dir)
+    assert spark.__dict__["_ce_posting_store"] == {}
