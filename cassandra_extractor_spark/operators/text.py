@@ -855,11 +855,11 @@ BM25_B = 0.75
 BM25_QUERY = ("table", "hash", "spark")  #: fixed demo query terms
 
 
-def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranking of every document against a fixed query term
-    set — the retrieval scorer behind corpus search and RAG indexing
-    (Robertson & Zaragoza 2009), complementing ``ns_tfidf``'s
-    per-document term weights with a full query-document score.
+def bm25_rank(docs_frame: DataFrame, query: tuple[str, ...] = BM25_QUERY) -> DataFrame:
+    """Okapi BM25 ranking of every document in a (doc_id, text) frame
+    against the query term set — the corpus-recomputing spelling; the
+    store-backed twin is ``streaming/posting_stream.bm25_query_
+    against_store`` (row-identical, pinned by parity + property tests).
 
     100 TB shape: document frequencies and the average document length
     reduce to a FEW-ROW frame (|query| rows + one row) — both broadcast
@@ -869,10 +869,8 @@ def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document sum over query terms goes through DECIMAL(38,18)
     (order-independent), keeping the driver hash partition-stable.
     """
-    from cassandra_extractor_spark.sources.catalog import load_table
-
-    q_terms = F.array(*[F.lit(t) for t in BM25_QUERY])
-    d = load_table(spark, "documents", sf_dir).select(
+    q_terms = F.array(*[F.lit(t) for t in query])
+    d = docs_frame.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
     docs = d.select("doc_id", "toks", F.size("toks").cast("long").alias("dl"))
@@ -915,6 +913,12 @@ def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ns_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    return bm25_rank(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
 
 
 def ns_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,3 +131,64 @@ def test_ann_store_split_invariance(spark, tmp_path_factory, vecs, split):
     ]
     want = [(r.q_id, r.n_id, r.cos, r.rank) for r in ivf_topk(e).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------- BM25
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=10),
+    split=st.integers(min_value=0, max_value=10),
+)
+def test_bm25_store_split_invariance(spark, tmp_path_factory, texts, split):
+    """Store-backed BM25 (postings + doclen stats, ANY base/delta
+    split — both stores split the same way an ingest would) is
+    row-identical to the corpus-recomputing bm25_rank over the same
+    docs, INCLUDING zero-token documents that have no posting rows but
+    still shape avgdl and appear with score 0."""
+    from cassandra_extractor_spark.operators.text import bm25_rank
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        bm25_query_against_store,
+        build_doclens,
+        build_postings,
+        write_doclen_store,
+        write_posting_store,
+    )
+
+    d = tmp_path_factory.mktemp("bm25store")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id LONG, text STRING",
+    )
+    split = min(split, len(texts))
+    base = docs.where(F.col("doc_id") < split)
+    rest = docs.where(F.col("doc_id") >= split)
+    write_posting_store(build_postings(base), "bm25_prop_t", n_buckets=2)
+    write_doclen_store(build_doclens(base), "bm25_prop_dl", n_buckets=2)
+    try:
+        if rest.count():
+            build_postings(rest).write.mode("overwrite").parquet(
+                f"{d}/delta/batch=0"
+            )
+            build_doclens(rest).write.mode("overwrite").parquet(
+                f"{d}/dl_delta/batch=0"
+            )
+        got = [
+            (r.doc_id, r.bm25)
+            for r in bm25_query_against_store(
+                spark, "bm25_prop_t", f"{d}/delta", "bm25_prop_dl", f"{d}/dl_delta",
+                terms=_TERMS,
+            ).collect()
+        ]
+        want = [
+            (r.doc_id, r.bm25) for r in bm25_rank(docs, query=_TERMS).collect()
+        ]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_prop_t")
+        spark.sql("DROP TABLE IF EXISTS bm25_prop_dl")
