@@ -127,6 +127,12 @@ def main() -> None:
         "q23_window_running_sum",
         "ns_token_count",
         "ns_ann_cosine_topk",
+        # IVF-PQ exercises the whole ANN chain's codegen shapes
+        # (assignment window, residual explode, struct-min encode, ADC
+        # join) so the charged shared_ann_build below measures DATA
+        # work, not first-touch JIT — the invalidate before the build
+        # forces full recomputation under the clock either way
+        "ns_ann_ivfpq",
         "ns_dedup_exact",
         "ns_dedup_clusters",
     )

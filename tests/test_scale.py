@@ -638,14 +638,23 @@ def test_cluster_purity_zero_joins(spark, sf_dir):
 
 
 def test_knn_classifier_partial_topk_and_broadcast_labels(spark, sf_dir):
-    """The top-k prunes per-partition BEFORE the exchange
-    (WindowGroupLimit Partial) and the label lookups are broadcast
-    joins — nothing corpus-sized shuffles except the candidate
-    window."""
-    from cassandra_extractor_spark.operators.similarity import ns_knn_classifier
+    """Two halves since the round-11 shared ANN chain: (a) the exact
+    top-k SCORING plan (paid once per session in shared_brute_topk /
+    per run in ns_ann_cosine_topk) prunes per-partition BEFORE the
+    exchange (WindowGroupLimit Partial); (b) the classifier consumer
+    reads the materialized ground-truth blocks (ExistingRDD, no
+    re-scoring window) and its label lookups are broadcast joins —
+    nothing corpus-sized shuffles in either half."""
+    from cassandra_extractor_spark.operators.similarity import (
+        ns_ann_cosine_topk,
+        ns_knn_classifier,
+    )
 
+    scoring = _executed_plan(ns_ann_cosine_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in scoring, scoring
     plan = _executed_plan(ns_knn_classifier(spark, sf_dir))
-    assert "WindowGroupLimit" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "WindowGroupLimit" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Python" not in plan, plan
