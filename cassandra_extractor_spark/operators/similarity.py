@@ -19,7 +19,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from pyspark.sql.types import ArrayType, LongType
 
 from cassandra_extractor_spark.operators.dedup import (
-    cosine,
     cosine_prenormed,
     materialize_once,
     norm,
