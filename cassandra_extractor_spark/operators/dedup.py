@@ -928,12 +928,13 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.  Deterministic: min-id keeper, fold-order cosine, ties
     broken by centroid id.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    # zero-norm vectors excluded on BOTH engines (divergence #4):
-    # cosine is undefined for them and 0/0 throws under ANSI
-    e = e.withColumn("nrm", norm(F.col("emb"))).where(F.col("nrm") > 0)
+    # session-shared normed frame (zero-norm rows already excluded —
+    # divergence #4): SemDeDup's cell geometry (N_SEM_CELLS) differs
+    # from the IVF chain's, so only the scan+norm is shared, not the
+    # assignment.  Lazy import: similarity imports this module.
+    from cassandra_extractor_spark.operators.similarity import shared_embeddings
+
+    e = shared_embeddings(spark, sf_dir)
     cent = e.where(F.col("vec_id") < N_SEM_CELLS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )
