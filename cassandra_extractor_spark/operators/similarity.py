@@ -1354,6 +1354,73 @@ def ns_linear_probe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 MI_TOP = 10  #: report the top-k most informative dimensions
 
 
+K_CENTER = 8  #: current center-set size for the greedy k-center step
+
+
+def ns_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Gonzalez greedy k-center step over the embedding corpus —
+    the coverage audit + next-center selection behind diversity-aware
+    training-data curation (facility-location / coreset selection;
+    Gonzalez 1985, Sener & Savarese 2018): with the current center set
+    S (deterministic: the first ``K_CENTER`` vectors), every remaining
+    vector's distance to its NEAREST center is its coverage.  Per
+    center region this reports population, the coverage RADIUS (max
+    min-distance — the k-center objective), and the farthest vector:
+    the region's candidate next center, and the global radius argmax
+    row is exactly the vector Gonzalez's greedy adds next.
+
+    Exactness: per-pair cosine is the shared prenormed fold rounded at
+    6; distance = (1 − cos) in integer micro-units, so every min / max
+    / argmax downstream is an integer comparison on both engines (ties
+    → lowest center id, then lowest vector id, encoded in the struct
+    orderings).
+
+    100 TB shape: centers broadcast (K rows); min-over-centers is a
+    map-side-combined struct-MIN aggregate, so N×K collapses back to N
+    rows before any shuffle (the ``ns_semantic_dedup`` assignment
+    shape — no row_number window over the product); the region report
+    is one more map-side-combined aggregate to ≤K rows.  Each greedy
+    iteration is one such corpus-linear pass — k selection steps cost
+    k passes, never a pairwise matrix.
+    """
+    e = shared_embeddings(spark, sf_dir)
+    cent = e.where(F.col("vec_id") < K_CENTER).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    cand = e.where(F.col("vec_id") >= K_CENTER)
+    dist_u = F.round(
+        (
+            F.lit(1.0)
+            - F.round(
+                cosine_prenormed(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+                6,
+            )
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = cand.crossJoin(F.broadcast(cent)).select("vec_id", "c_id", dist_u.alias("dist_u"))
+    # nearest center: struct-min collapses map-side (ties → lowest c_id)
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist_u"), F.col("c_id"))).alias("m"))
+        .select("vec_id", F.col("m.c_id").alias("c_id"), F.col("m.dist_u").alias("dist_u"))
+    )
+    # region report: radius + farthest vector (ties → lowest vec_id,
+    # encoded as -vec_id in the struct max)
+    return (
+        assigned.groupBy("c_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.max("dist_u").alias("radius_micro"),
+            (-F.max(F.struct(F.col("dist_u"), (-F.col("vec_id")).alias("neg"))).getField("neg"))
+            .cast("long")
+            .alias("farthest_id"),
+        )
+        .orderBy("c_id")
+    )
+
+
 def ns_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information feature selection: which embedding dimensions
     carry label signal?  MI between (label == 0) and sign(emb[d] > 0)

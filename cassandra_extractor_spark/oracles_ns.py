@@ -2535,6 +2535,36 @@ def _ann_symmetry_sql() -> str:
 NS_ORACLES["ns_ann_symmetry"] = _ann_symmetry_sql()
 
 
+def _kcenter_step_sql() -> str:
+    """Mirror of ``similarity.ns_kcenter_step``: same prenormed-fold
+    cosine, same round-6 → micro-unit integer distance, same tie rules
+    (nearest center → lowest c_id via ORDER BY; farthest vector →
+    lowest vec_id via MIN over the radius-attaining rows)."""
+    from cassandra_extractor_spark.operators.similarity import K_CENTER
+
+    return (
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"e AS (SELECT * FROM e0 WHERE {_dot_sql('emb', 'emb')} > 0), "
+        f"cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < {K_CENTER}), "
+        f"cand AS (SELECT vec_id, emb FROM e WHERE vec_id >= {K_CENTER}), "
+        "scored AS (SELECT vec_id, c_id, CAST(round((1.0e0 - "
+        f"round({_cos_sql('emb', 'c_emb')}, 6)) * 1000000.0e0, 0) AS BIGINT) AS dist_u "
+        "FROM cand, cent), "
+        "assigned AS (SELECT vec_id, c_id, dist_u FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY dist_u, c_id) AS rk FROM scored) WHERE rk = 1), "
+        "rep AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "MAX(dist_u) AS radius_micro FROM assigned GROUP BY c_id) "
+        "SELECT r.c_id, r.n_vecs, r.radius_micro, "
+        "CAST(MIN(a.vec_id) AS BIGINT) AS farthest_id "
+        "FROM rep r JOIN assigned a ON a.c_id = r.c_id AND a.dist_u = r.radius_micro "
+        "GROUP BY r.c_id, r.n_vecs, r.radius_micro ORDER BY r.c_id"
+    )
+
+
+NS_ORACLES["ns_kcenter_step"] = _kcenter_step_sql()
+
+
 def _ann_cell_balance_sql() -> str:
     from cassandra_extractor_spark.operators.similarity import (
         N_IVF_CENTROIDS,

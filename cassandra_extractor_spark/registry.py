@@ -43,6 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # new in round 11 — need fresh rows
     "ns_bm25_store": _ns_bm25_store,
+    "ns_kcenter_step": S.ns_kcenter_step,
     # new in round 10 — need fresh rows
     "ns_top_dup_spans": D.ns_top_dup_spans,
     "ns_boolean_retrieval": TX.ns_boolean_retrieval,
@@ -337,7 +338,7 @@ QUERIES: dict[str, QueryFn] = {
 #: prioritization, not selection.
 _PRIORITY_PREFIX = [
     # NEW in round 11: zero evidence, oldest by rule
-    "ns_bm25_store",
+    "ns_bm25_store", "ns_kcenter_step",
     # oldest second-pass evidence, excluding the r9 ∪ r10 samples
     "q120_ltv_curve", "q121_ks_test", "tpch_q01",
     "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",

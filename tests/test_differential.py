@@ -631,6 +631,8 @@ def test_doc_query_differential(spark, tmp_path_factory, name, texts):
 
 
 EMB_QUERIES = [
+    # round 11
+    "ns_kcenter_step",
     # round 10
     "ns_ann_symmetry",
     "ns_ann_cell_balance",

@@ -374,3 +374,60 @@ def test_encoding_contract_guard_raises_loudly(spark):
     )
     with pytest.raises(Exception, match="encoding contract"):
         neg.collect()
+
+
+def test_kcenter_step_first_principles(spark, tmp_path):
+    """Tiny corpus with hand-checkable geometry: centers are unit axes
+    e0/e1 (K_CENTER monkey-free via direct frame use is not possible —
+    the operator is registry-shaped — so build a 2-center world by
+    padding vec_ids 2..7 with copies of the centers, which then belong
+    to center regions with distance 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_extractor_spark.operators.similarity import (
+        K_CENTER,
+        ns_kcenter_step,
+    )
+
+    # 8 centers: e0, e1, then 6 copies of e0 (ids 2-7)
+    e0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    mix = [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]  # 45° to both; cos ≈ 0.707107
+    neg = [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # cos −1 to e0, 0 to e1
+    vecs = [e0, e1] + [e0] * (K_CENTER - 2) + [e0, mix, neg]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    rows = {r.c_id: r for r in ns_kcenter_step(spark, str(tmp_path)).collect()}
+    # candidate 8 (e0 copy): dist 0 to center 0 — ties among the e0-copy
+    # centers resolve to the LOWEST c_id (0)
+    # candidate 9 (mix): nearest is ANY e0 copy or e1 at dist 1-0.707107
+    #   = 0.292893 → c_id 0 by tie rule
+    # candidate 10 (neg): cos −1 to e0s (dist 2.0), 0 to e1 (dist 1.0)
+    #   → center 1, radius 1_000_000
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert r0.n_vecs == 2 and r0.radius_micro == 292893 and r0.farthest_id == 9
+    r1 = rows[1]
+    assert r1.n_vecs == 1 and r1.radius_micro == 1000000 and r1.farthest_id == 10
+
+
+def test_kcenter_step_plan_shape(spark, sf_dir):
+    """Assignment must be the struct-min aggregate (map-side collapse
+    of N×K), never a row_number window over the product; centers ride
+    a broadcast; nothing runs in Python."""
+    from cassandra_extractor_spark.operators.similarity import ns_kcenter_step
+
+    df = ns_kcenter_step(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
