@@ -611,12 +611,82 @@ def q43_unpivot(spark, sf_dir):
 
 
 def q44_percentile(spark, sf_dir):
-    """Exact interpolating percentiles (sort-based, deterministic under
-    any partitioning)."""
-    return _t(spark, sf_dir, "orders").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    """Exact interpolating percentiles (p50/p95/p99) from integer-cent
+    order statistics — engine-portable where the native ``percentile()``
+    is not: Spark interpolates ``lo·(1−f)+hi·f`` while DuckDB's
+    ``quantile_cont`` computes ``lo+(hi−lo)·f``, and the two float
+    spellings differ by one ulp exactly on a .5 rounding boundary
+    (found by the round-11 differential run: p50 of a corpus whose
+    middle pair is {1.82, 1613.07} is 807.445 — one engine produces
+    807.4449999999999 — so round(…, 2) flips 807.45 vs 807.44).  Here
+    pos = p·(n−1)/100 stays RATIONAL: integer lo-index and remainder,
+    the interpolated value in exact cents/100 units
+    v = c_lo·(100−rem)+c_hi·rem, and the 2-dp rounding is divr (half
+    away from zero, PARITY #7) — no float touches the value until the
+    final exact /100.
+
+    Scale shape (also retires q44's one weakness): native
+    ``percentile()`` buffers the whole column in ONE aggregation
+    buffer; this spelling reduces to the distinct-cents count frame
+    (map-side combined) with a two-level prefix sum (cumulative window
+    over the tiny per-bucket totals, which also carries n; in-bucket
+    local prefix over domain-bounded slices — the q116/q101
+    discipline) and one conditional aggregate to a single row.  The
+    discrete sibling (q44b) keeps the mergeable-sketch spelling.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    cf = o.groupBy("c").agg(F.count("*").alias("cnt"))
+    bkt = F.floor(F.col("c") / F.lit(float(2**20)))
+    # bucket totals + n from the corpus directly (cf stays
+    # single-referenced — the q116 no-checkpoint discipline); n rides
+    # the tiny bucket frame as an unpartitioned window over ≤|buckets|
+    # rows, so no plan-time job and no second reference anywhere
+    btot = o.groupBy(bkt.alias("bkt")).agg(F.count("*").alias("bc"))
+    bw = W.orderBy("bkt")
+    before_bkt = btot.select(
+        "bkt",
+        (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt"),
+        F.sum("bc").over(W.partitionBy()).alias("n"),
+    )
+    lw = W.partitionBy("bkt").orderBy("c")
+    ranked = (
+        cf.withColumn("bkt", bkt)
+        .join(F.broadcast(before_bkt), "bkt")
+        .withColumn(
+            "before", F.col("before_bkt") + F.sum("cnt").over(lw) - F.col("cnt")
+        )
+    )
+
+    def cover(k):  # the one count-frame row whose index range holds k
+        return (F.col("before") <= k) & (k < F.col("before") + F.col("cnt"))
+
+    aggs = [F.first("n").alias("n")]
+    for p in (50, 95, 99):
+        lo = F.expr(f"div({p} * (n - 1), 100)")
+        aggs += [
+            F.max(F.when(cover(lo), F.col("c"))).alias(f"lo{p}"),
+            F.max(F.when(cover(lo + 1), F.col("c"))).alias(f"hi{p}"),
+        ]
+    one = ranked.agg(*aggs)
+    vs = []
+    for p in (50, 95, 99):
+        rem = F.expr(f"({p} * (n - 1)) % 100")
+        # rem == 0 ⇒ the hi order statistic may not exist (n == 1 or an
+        # exact index hit) and carries weight 0 anyway
+        vs.append(
+            F.when(rem == 0, F.col(f"lo{p}") * 100)
+            .otherwise(F.col(f"lo{p}") * (100 - rem) + F.col(f"hi{p}") * rem)
+            .alias(f"v{p}")
+        )
+    return one.select(*vs).select(
+        *[
+            (F.expr(divr_sql(f"v{p}", "100")).cast("double") / F.lit(100.0)).alias(
+                name
+            )
+            for p, name in ((50, "p50"), (95, "p95"), (99, "p99"))
+        ]
     )
 
 

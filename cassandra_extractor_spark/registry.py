@@ -1647,10 +1647,12 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT n_nationkey, 'supplier', supp_bal FROM wide) "
         "WHERE bal IS NOT NULL ORDER BY n_nationkey, side"
     ),
+    # integer-cent order statistics + exact rational interpolation —
+    # mirrors the Spark respelling exactly (quantile_cont's float
+    # interpolation diverges from Spark's percentile() by one ulp on
+    # .5 rounding boundaries; found by the round-11 differential run)
     "q44_percentile": (
-        "SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
-        "ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95, "
-        "ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99 FROM orders"
+        'WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), cf AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c), nn AS (SELECT COUNT(*) AS n FROM o), r AS (SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) - cnt AS before, n FROM cf, nn), sel AS (SELECT MAX(n) AS n, MAX(CASE WHEN before <= ((50 * (n - 1)) // 100) AND ((50 * (n - 1)) // 100) < before + cnt THEN c END) AS lo50, MAX(CASE WHEN before <= (((50 * (n - 1)) // 100) + 1) AND (((50 * (n - 1)) // 100) + 1) < before + cnt THEN c END) AS hi50, MAX(CASE WHEN before <= ((95 * (n - 1)) // 100) AND ((95 * (n - 1)) // 100) < before + cnt THEN c END) AS lo95, MAX(CASE WHEN before <= (((95 * (n - 1)) // 100) + 1) AND (((95 * (n - 1)) // 100) + 1) < before + cnt THEN c END) AS hi95, MAX(CASE WHEN before <= ((99 * (n - 1)) // 100) AND ((99 * (n - 1)) // 100) < before + cnt THEN c END) AS lo99, MAX(CASE WHEN before <= (((99 * (n - 1)) // 100) + 1) AND (((99 * (n - 1)) // 100) + 1) < before + cnt THEN c END) AS hi99 FROM r), vv AS (SELECT (CASE WHEN ((50 * (n - 1)) % 100) = 0 THEN lo50 * 100 ELSE lo50 * (100 - ((50 * (n - 1)) % 100)) + hi50 * ((50 * (n - 1)) % 100) END) AS v50, (CASE WHEN ((95 * (n - 1)) % 100) = 0 THEN lo95 * 100 ELSE lo95 * (100 - ((95 * (n - 1)) % 100)) + hi95 * ((95 * (n - 1)) % 100) END) AS v95, (CASE WHEN ((99 * (n - 1)) % 100) = 0 THEN lo99 * 100 ELSE lo99 * (100 - ((99 * (n - 1)) % 100)) + hi99 * ((99 * (n - 1)) % 100) END) AS v99 FROM sel) SELECT CAST((CASE WHEN v50 >= 0 THEN (2 * (v50) + (100)) // (2 * (100)) ELSE -((2 * (-(v50)) + (100)) // (2 * (100))) END) AS DOUBLE) / 100.0 AS p50, CAST((CASE WHEN v95 >= 0 THEN (2 * (v95) + (100)) // (2 * (100)) ELSE -((2 * (-(v95)) + (100)) // (2 * (100))) END) AS DOUBLE) / 100.0 AS p95, CAST((CASE WHEN v99 >= 0 THEN (2 * (v99) + (100)) // (2 * (100)) ELSE -((2 * (-(v99)) + (100)) // (2 * (100))) END) AS DOUBLE) / 100.0 AS p99 FROM vv'
     ),
     "q44b_quantile_disc": (
         "SELECT quantile_disc(o_totalprice, 0.5) AS p50, "
