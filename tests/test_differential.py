@@ -504,6 +504,10 @@ def test_order_query_differential(spark, tmp_path_factory, name, orows, lrows):
 
 
 DOC_QUERIES = [
+    # round 11 (ns_bm25_store builds its posting + doclen stores from
+    # the generated corpus per example — the store path itself under
+    # hostile text, compared against ns_bm25's oracle SQL)
+    "ns_bm25_store",
     # round 10
     "ns_top_dup_spans",
     "ns_quality_by_dup",
