@@ -37,19 +37,9 @@ def diff_regressions(
       trips ratio > 1.5 × drift;
     - the ≥0.3 s floor keeps 0.05→0.12 s scheduling jitter out.
     """
-    tables = [prev] if isinstance(prev, dict) else list(prev)
-    base: dict[str, float] = {}
-    for name in cur:
-        vals = sorted(t[name] for t in tables if t.get(name, 0) > 0)
-        if vals:
-            base[name] = vals[len(vals) // 2]
-    ratios = {
-        n: cur[n] / base[n] for n in base if cur[n] > 0 and base[n] > 0
-    }
+    base, ratios, drift = _ratio_stats(prev, cur)
     if not ratios:
         return []
-    rs = sorted(ratios.values())
-    drift = max(1.0, rs[len(rs) // 2])
     out = [
         {
             "query": name,
@@ -63,6 +53,38 @@ def diff_regressions(
     ]
     out.sort(key=lambda r: r["ratio"], reverse=True)
     return out
+
+
+def _ratio_stats(
+    prev: dict[str, float] | list[dict[str, float]], cur: dict[str, float]
+) -> tuple[dict[str, float], dict[str, float], float]:
+    """(per-query median baseline, cur/baseline ratios, run drift
+    factor = median ratio).  Shared by the per-query regression flag
+    and the run-level drift signal below."""
+    tables = [prev] if isinstance(prev, dict) else list(prev)
+    base: dict[str, float] = {}
+    for name in cur:
+        vals = sorted(t[name] for t in tables if t.get(name, 0) > 0)
+        if vals:
+            base[name] = vals[len(vals) // 2]
+    ratios = {n: cur[n] / base[n] for n in base if cur[n] > 0 and base[n] > 0}
+    rs = sorted(ratios.values())
+    drift = max(1.0, rs[len(rs) // 2]) if rs else 1.0
+    return base, ratios, drift
+
+
+def run_drift(
+    prev: dict[str, float] | list[dict[str, float]], cur: dict[str, float]
+) -> float:
+    """Run-level drift factor (median cur/baseline ratio across all
+    queries).  Normalizing the per-query flag by this is what makes
+    the tracker robust to ambient host slowdowns — but it also means a
+    UNIFORM structural regression (a code change that slows most
+    queries together) raises the bar and flags nothing.  So the drift
+    itself is reported as its own signal: drift > ~1.3 on a run with
+    no known host-drift cause is the uniform-slowdown alarm the
+    per-query list can't raise."""
+    return round(_ratio_stats(prev, cur)[2], 3)
 
 
 def main() -> None:
@@ -340,16 +362,30 @@ def main() -> None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         df = spec.build(spark, sf_dir)
         n_rows = df.count()
-        # median-of-3, same protocol as the queries above: the first
-        # JSON write pays one-time JVM JIT/classloading (~2x on this
-        # box), which the median absorbs as startup cost, not
-        # steady-state throughput
+        # Two protocols, both recorded (round-11 verdict #7 — the
+        # legacy number swung 289-450k rows/s across identical code,
+        # too wide to catch a real sink regression):
+        # - legacy extract_sec: median of the first 3 writes (write 1
+        #   pays one-time JSON-writer JIT/classloading) — kept for
+        #   round-over-round comparability with r1-r11 records;
+        # - pinned extract: median of 5 WARM writes (write 1 excluded
+        #   entirely), the drift-banded steady-state throughput.  The
+        #   scan split layout is already fixed by the deterministic
+        #   maxPartitionBytes formula above.
         ext_samples = []
-        for _ in range(runs):
+        for _ in range(6):
             t0 = time.time()
             write_jsonl(df, out_dir)
             ext_samples.append(round(time.time() - t0, 3))
-        extract_sec = sorted(ext_samples)[len(ext_samples) // 2]
+        legacy = sorted(ext_samples[:3])
+        extract_sec = legacy[len(legacy) // 2]
+        warm = sorted(ext_samples[1:])
+        extract_sec_pinned = warm[len(warm) // 2]
+        # drift band of the warm samples around their median — the
+        # regression-detection resolution of the pinned number
+        extract_band = round(
+            max(abs(s - extract_sec_pinned) for s in warm) / extract_sec_pinned, 3
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -365,6 +401,7 @@ def main() -> None:
     )
     regressions: list[dict] = []
     history: list[dict] = []
+    drift = 1.0
     try:
         with open(bench_full_path) as f:
             prev_payload = json.load(f)
@@ -373,6 +410,7 @@ def main() -> None:
             prev_payload.get("queries", {})
         ]
         regressions = diff_regressions(history, timings)
+        drift = run_drift(history, timings)
     except (OSError, ValueError):
         pass  # first run / unreadable previous table: nothing to diff
     payload = {
@@ -384,7 +422,17 @@ def main() -> None:
         "extract_sec": extract_sec,
         "extract_rows": n_rows,
         "extract_rows_per_sec": round(n_rows / extract_sec) if extract_sec else None,
+        "extract_sec_pinned": extract_sec_pinned,
+        "extract_rows_per_sec_pinned": (
+            round(n_rows / extract_sec_pinned) if extract_sec_pinned else None
+        ),
+        "extract_drift_band": extract_band,
         "regressions": regressions,
+        # run-level drift as its own signal (see run_drift): a uniform
+        # structural slowdown moves every ratio together and escapes
+        # the per-query flag — drift_alert is its alarm
+        "run_drift": drift,
+        "drift_alert": drift > 1.3,
         # last ≤4 prior query tables ride along so the NEXT run's
         # regression baseline is a multi-run median, not one table
         "history": history,

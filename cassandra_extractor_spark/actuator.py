@@ -256,11 +256,19 @@ class Actuator:
 
     def store_sizes(self, kind: str, params: dict[str, Any]) -> tuple[int, int]:
         """(base_bytes, delta_bytes) for one of the trio's stores —
-        the inputs of the size-ratio compaction policy."""
+        the inputs of the size-ratio compaction policy.  A posting
+        store with doclen params counts BOTH sides' bytes: the doclen
+        delta is folded by the same compaction call, so it must count
+        toward the ratio that triggers it (otherwise a doclen delta
+        grows unboundedly when postings are compacted out-of-band)."""
         if kind in ("signature", "posting"):
             loc = self._table_location(params["table"])
             base = _dir_bytes(loc) if loc else 0
             delta = _dir_bytes(params["delta_dir"])
+            if kind == "posting" and params.get("doclen_table"):
+                dl_loc = self._table_location(params["doclen_table"])
+                base += _dir_bytes(dl_loc) if dl_loc else 0
+                delta += _dir_bytes(params["doclen_delta_dir"])
         elif kind == "ann":
             base = _dir_bytes(os.path.join(params["store_dir"], "base"))
             delta = _dir_bytes(os.path.join(params["store_dir"], "delta"))
@@ -317,6 +325,14 @@ class Actuator:
         mode = params.get("mode", "force")
         if mode not in ("force", "auto", "check"):
             raise ValueError(f"unknown compaction mode {mode!r}")
+        if (
+            kind == "posting"
+            and params.get("doclen_table")
+            and not params.get("doclen_delta_dir")
+        ):
+            # fail the request loudly instead of surfacing a raw
+            # KeyError as an uninformative HTTP 500 mid-fold
+            raise ValueError("doclen_table requires doclen_delta_dir")
         if mode in ("auto", "check"):
             policy = self.compaction_policy(kind, params)
             if mode == "check" or not policy["should_compact"]:

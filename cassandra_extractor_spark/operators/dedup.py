@@ -457,20 +457,33 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
     cache = spark.__dict__.get("_ce_dedup_chain")
     # the session BM25 store cache (streaming/posting_stream.
     # ensure_session_bm25_store) memoizes DISK tables derived from the
-    # same corpus dirs — invalidate it under the same contract
+    # same corpus dirs — invalidate it under the same contract, and
+    # DROP the managed tables so the warehouse disk is released with
+    # the cache entry (not orphaned)
     stores = spark.__dict__.get("_ce_posting_store")
+    dropped: list[tuple[str, str]] = []
     if sf_dir is None:
         if cache:
             cache.clear()
         if stores:
+            dropped = list(stores.values())
             stores.clear()
-        return
-    norm = _norm_dir(sf_dir)
-    if cache:
-        for key in [k for k in cache if k[1] == norm]:
-            del cache[key]
-    if stores:
-        stores.pop(norm, None)
+    else:
+        norm = _norm_dir(sf_dir)
+        if cache:
+            for key in [k for k in cache if k[1] == norm]:
+                del cache[key]
+        if stores:
+            entry = stores.pop(norm, None)
+            if entry is not None:
+                dropped = [entry]
+    if dropped:
+        from cassandra_extractor_spark.streaming.posting_stream import (
+            drop_session_bm25_store,
+        )
+
+        for entry in dropped:
+            drop_session_bm25_store(spark, entry)
 
 
 def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

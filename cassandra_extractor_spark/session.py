@@ -58,6 +58,15 @@ def get_spark(
         # concurrent per-table jobs (D10) share the cluster fairly
         # instead of FIFO-starving each other
         .config("spark.scheduler.mode", "FAIR")
+        # the incremental stores' read surface depends on BUCKET
+        # PRUNING for filter-only scans (a 3-term posting query reads
+        # ≤3 of n_buckets file groups); Spark's
+        # DisableUnnecessaryBucketedScan rule would forfeit that on
+        # plans with no downstream exchange to save, and it reads the
+        # conf at execution time — so disable it once HERE rather than
+        # flipping it mid-session as a query-construction side effect
+        # (the store readers re-assert it only for foreign sessions)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -185,9 +185,13 @@ def boolean_query_against_store(
     # bucket partitioning) — which also forfeits bucket PRUNING, the
     # entire point of this store's layout: a 3-term query should read
     # ≤3 of n_buckets bucket file groups, not the whole index.  The
-    # rule reads the conf at execution time, so it must stay set for
-    # the returned lazy frame; tables that benefit from auto-disable
-    # (joins on bucket keys) keep their bucketed scans either way.
+    # rule reads the conf at EXECUTION time, so save/restore around
+    # plan construction cannot work for the lazy frame we return —
+    # instead ``session.get_spark`` sets this session-wide at build
+    # (documented there), and this set is its idempotent re-assertion
+    # for sessions constructed elsewhere (bare test sessions, notebook
+    # users).  Tables that benefit from auto-disable (joins on bucket
+    # keys) keep their bucketed scans either way.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     p = _read_postings(spark, store_table, delta_dir).where(F.col("tok").isin(*terms))
     per_term = p.groupBy("doc_id", "tok").agg(F.max("tf").alias("tf"))
@@ -254,8 +258,9 @@ def bm25_query_against_store(
     from cassandra_extractor_spark.operators.text import BM25_B, BM25_K1, BM25_QUERY
 
     terms = BM25_QUERY if terms is None else terms
-    # keep bucket PRUNING on filter-only scans (see boolean_query_
-    # against_store for the DisableUnnecessaryBucketedScan rationale)
+    # keep bucket PRUNING on filter-only scans (session default set in
+    # session.get_spark; re-asserted here for foreign sessions — see
+    # boolean_query_against_store for the full rationale)
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     p = _read_postings(spark, store_table, delta_dir).where(F.col("tok").isin(*terms))
     tf = p.groupBy("doc_id", "tok").agg(F.max("tf").cast("long").alias("tf"))
@@ -303,7 +308,17 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     their table names — the durable-on-disk analog of the dedup/ANN
     session chains, backing the ``ns_bm25_store`` registry entry.
     Invalidation rides the shared-chain invalidator
-    (``dedup.invalidate_dedup_chain`` clears this cache too)."""
+    (``dedup.invalidate_dedup_chain`` clears this cache too, and — via
+    ``drop_session_bm25_store`` — drops the managed tables themselves,
+    so a forgotten store releases its disk instead of orphaning).
+
+    The table tag folds in the session's ``applicationId``: the store
+    is a SESSION store, and keying the on-disk name by corpus alone let
+    two concurrent sessions on one warehouse DROP/rmtree each other's
+    tables mid-read (observed as transient hash failures under two
+    concurrent gate runs).  A production deployment's durable shared
+    index is the explicitly-named ``write_posting_store`` path; this
+    cache is each session's private build of it."""
     import hashlib
 
     from cassandra_extractor_spark.operators.dedup import _norm_dir
@@ -313,25 +328,37 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     key = _norm_dir(sf_dir)
     if key in cache:
         return cache[key]
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    nonce = f"{spark.sparkContext.applicationId}|{key}"
+    tag = hashlib.md5(nonce.encode()).hexdigest()[:10]
     postings_t = f"bm25_postings_{tag}"
     doclens_t = f"bm25_doclens_{tag}"
-    # a PREVIOUS process may have left the managed-table location on
-    # disk without this session's catalog knowing the table — drop both
+    # a PREVIOUS incarnation of this app id (restarted session reusing
+    # a checkpointed app id is impossible locally, but a stale crash
+    # artifact isn't) may have left the managed-table location on disk
+    # without this session's catalog knowing the table — drop both
     # sides so saveAsTable never hits LOCATION_ALREADY_EXISTS
-    import shutil
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    wh = wh[len("file:") :] if wh.startswith("file:") else wh
-    for t in (postings_t, doclens_t):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        if wh:
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    drop_session_bm25_store(spark, (postings_t, doclens_t))
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     write_posting_store(build_postings(docs), postings_t)
     write_doclen_store(build_doclens(docs), doclens_t)
     cache[key] = (postings_t, doclens_t)
     return cache[key]
+
+
+def drop_session_bm25_store(spark: SparkSession, entry: tuple[str, str]) -> None:
+    """Drop a session store's managed tables AND their warehouse
+    directories.  Invalidation calls this so the disk is released with
+    the cache entry — without it every hypothesis/differential corpus
+    left two orphaned ``bm25_*`` table directories behind, accruing
+    without bound across runs."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh[len("file:") :] if wh.startswith("file:") else wh
+    for t in entry:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
 
 def ns_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:

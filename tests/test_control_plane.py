@@ -438,6 +438,56 @@ def test_auto_compaction_policy(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS policy_t")
 
 
+def test_posting_policy_counts_doclen_and_validates_pair(spark, tmp_path):
+    """Round-12: (a) doclen_table without doclen_delta_dir is rejected
+    up front with a ValueError (not a raw KeyError mid-fold → opaque
+    HTTP 500); (b) the size-ratio policy counts the doclen delta's
+    bytes, so a doclen delta alone can trip auto-compaction even when
+    the posting delta is empty (postings compacted out-of-band)."""
+    import pandas as pd
+    import pytest
+
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        build_doclens,
+        build_postings,
+        write_doclen_store,
+        write_posting_store,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["join scan", "merge sort"]}),
+        "doc_id LONG, text STRING",
+    )
+    write_posting_store(build_postings(docs), "dlpol_t", n_buckets=2)
+    write_doclen_store(build_doclens(docs), "dlpol_dl", n_buckets=2)
+    dl_delta = str(tmp_path / "dl_delta")
+    build_doclens(docs).write.mode("overwrite").parquet(f"{dl_delta}/batch=0")
+    actuator = Actuator(spark, MetricsRegistry())
+    try:
+        with pytest.raises(ValueError, match="doclen_table requires doclen_delta_dir"):
+            actuator.compact_store(
+                "posting",
+                {"table": "dlpol_t", "delta_dir": str(tmp_path / "nodelta"),
+                 "doclen_table": "dlpol_dl"},
+            )
+        base_params = {"table": "dlpol_t", "delta_dir": str(tmp_path / "nodelta")}
+        dl_params = {**base_params, "doclen_table": "dlpol_dl",
+                     "doclen_delta_dir": dl_delta}
+        b0, d0 = actuator.store_sizes("posting", base_params)
+        b1, d1 = actuator.store_sizes("posting", dl_params)
+        assert d0 == 0 and d1 > 0  # doclen delta bytes now count
+        assert b1 > b0  # and the doclen base counts on the base side
+        # the doclen-only delta trips the auto policy and folds
+        out = actuator.compact_store(
+            "posting", {**dl_params, "mode": "auto", "threshold": 1e-9, "n_buckets": 2}
+        )
+        assert out["compacted"] is True and out["absorbed"] == 2
+        assert not (tmp_path / "dl_delta").exists()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dlpol_t")
+        spark.sql("DROP TABLE IF EXISTS dlpol_dl")
+
+
 def test_cdc_retention_over_control_plane(spark, tmp_path):
     """CDC retention ops ride /maintenance/compact (round-11): a purge
     drops tombstones below the horizon AND records the horizon fence —

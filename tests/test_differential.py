@@ -623,15 +623,26 @@ def test_doc_query_differential(spark, tmp_path_factory, name, texts):
         }
     ).to_parquet(d / "documents.parquet", index=False)
 
-    sdf = QUERIES[name](spark, str(d)).toPandas()
-    s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+    try:
+        sdf = QUERIES[name](spark, str(d)).toPandas()
+        s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
 
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'")
-    odf = con.sql(_oracle_for(name)).fetchdf()
-    o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'"
+        )
+        odf = con.sql(_oracle_for(name)).fetchdf()
+        o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
 
-    assert s_hash == o_hash, (name, len(sdf), len(odf))
+        assert s_hash == o_hash, (name, len(sdf), len(odf))
+    finally:
+        # evict this tmp corpus's chain/store entries AND drop any
+        # session BM25 store tables it built — without this every
+        # hypothesis example of ns_bm25_store leaves two managed
+        # tables orphaned in the warehouse
+        from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+        invalidate_dedup_chain(spark, str(d))
 
 
 EMB_QUERIES = [

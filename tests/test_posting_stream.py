@@ -235,8 +235,12 @@ def test_ns_bm25_store_registry_entry(spark, sf_dir):
     assert got == want
     first = ensure_session_bm25_store(spark, sf_dir)
     assert ensure_session_bm25_store(spark, sf_dir) is first
-    # invalidation contract: the shared-chain invalidator clears it
-    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+    # invalidation contract: the shared-chain invalidator is SCOPED —
+    # it evicts this corpus's entry (other corpora built earlier in the
+    # session legitimately keep theirs) and drops its managed tables
+    from cassandra_extractor_spark.operators.dedup import _norm_dir, invalidate_dedup_chain
 
     invalidate_dedup_chain(spark, sf_dir)
-    assert spark.__dict__["_ce_posting_store"] == {}
+    assert _norm_dir(sf_dir) not in spark.__dict__["_ce_posting_store"]
+    for t in first:
+        assert not spark.catalog.tableExists(t), t
