@@ -244,3 +244,65 @@ def test_ns_bm25_store_registry_entry(spark, sf_dir):
     assert _norm_dir(sf_dir) not in spark.__dict__["_ce_posting_store"]
     for t in first:
         assert not spark.catalog.tableExists(t), t
+
+
+def test_two_process_store_isolation(spark, sf_dir):
+    """Two engine sessions on one corpus + one warehouse must not
+    destroy each other's session BM25 stores.  Round-12 regression
+    test: the on-disk table tag was keyed by corpus dir alone, and
+    every session build starts with DROP TABLE + rmtree — so a second
+    session's build clobbered the first's tables mid-read (observed as
+    transient ns_bm25_store hash failures under two concurrent gate
+    runs).  The tag now folds in the applicationId; this test proves a
+    second process's build+invalidate cycle leaves the first session's
+    cached store intact and value-identical."""
+    import subprocess
+    import sys
+
+    from cassandra_extractor_spark.operators.text import ns_bm25
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        ensure_session_bm25_store,
+        ns_bm25_store,
+    )
+
+    want = [(r.doc_id, r.bm25) for r in ns_bm25(spark, sf_dir).collect()]
+    assert [(r.doc_id, r.bm25) for r in ns_bm25_store(spark, sf_dir).collect()] == want
+    mine = ensure_session_bm25_store(spark, sf_dir)
+    # second session, SAME cwd → same default warehouse dir: build the
+    # store for the SAME corpus, read it, then invalidate (dropping
+    # only its own app-id-tagged tables) and exit
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+from cassandra_extractor_spark.session import get_spark
+from cassandra_extractor_spark.streaming.posting_stream import (
+    ensure_session_bm25_store, ns_bm25_store)
+spark = get_spark("second-session", master="local[4]", shuffle_partitions=4)
+tables = ensure_session_bm25_store(spark, {sf_dir!r})
+n = ns_bm25_store(spark, {sf_dir!r}).count()
+invalidate_dedup_chain(spark, {sf_dir!r})
+print("TABLES", *tables)
+print("ROWS", n)
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = dict(
+        l.split(" ", 1) for l in out.stdout.splitlines() if l.startswith(("TABLES", "ROWS"))
+    )
+    theirs = tuple(lines["TABLES"].split())
+    assert int(lines["ROWS"]) == len(want)
+    # distinct per-session table names — the isolation mechanism
+    assert set(theirs).isdisjoint(set(mine))
+    # and the parent's CACHED store survived the other session's full
+    # build/read/invalidate cycle, value-identical (pre-nonce this read
+    # failed: the tables had been dropped out from under the cache)
+    assert ensure_session_bm25_store(spark, sf_dir) is mine
+    assert [(r.doc_id, r.bm25) for r in ns_bm25_store(spark, sf_dir).collect()] == want
