@@ -32,18 +32,14 @@ from typing import Any, Callable
 
 from cassandra_extractor_spark.metrics import MetricsRegistry
 
-
-def _dir_bytes(path: str) -> int:
-    """Recursive on-disk byte count of a directory tree (0 if absent) —
-    driver-side filesystem metadata only, never a Spark job."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+# the policy primitives live beside the stores so a streaming ingest
+# can run the same auto-compaction in-band (round-12) — the control
+# plane and the foreachBatch hook share one implementation
+from cassandra_extractor_spark.streaming.maintenance import (
+    dir_bytes as _dir_bytes,
+    size_policy as _size_policy,
+    table_location as _loc,
+)
 
 
 class JobState(str, Enum):
@@ -245,14 +241,7 @@ class Actuator:
     def _table_location(self, table: str) -> str | None:
         """Filesystem path of a managed table (DESC FORMATTED Location
         row), file:-URI stripped; None if unresolvable."""
-        try:
-            for r in self.spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-                if (r["col_name"] or "").strip() == "Location":
-                    loc = r["data_type"].strip()
-                    return loc[len("file:") :] if loc.startswith("file:") else loc
-        except Exception:  # noqa: BLE001
-            return None
-        return None
+        return _loc(self.spark, table)
 
     def store_sizes(self, kind: str, params: dict[str, Any]) -> tuple[int, int]:
         """(base_bytes, delta_bytes) for one of the trio's stores —
@@ -285,16 +274,7 @@ class Actuator:
         always folds; an empty delta never does."""
         threshold = float(params.get("threshold", 0.2))
         base, delta = self.store_sizes(kind, params)
-        ratio = round(delta / base, 4) if base > 0 else None
-        should = delta > 0 and (base == 0 or delta > threshold * base)
-        return {
-            "store": kind,
-            "base_bytes": base,
-            "delta_bytes": delta,
-            "ratio": ratio,
-            "threshold": threshold,
-            "should_compact": should,
-        }
+        return {"store": kind, **_size_policy(base, delta, threshold)}
 
     def compact_store(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
         """Operational entry point for the incremental stores'

@@ -332,10 +332,17 @@ def incremental_dedup(
     # vs-new self-join, and the returned store-append frame
     new_bands = materialize_once(bands_for(minhash_signatures_for(new_docs)))
     nb, bb = new_bands.alias("n"), base_bands.alias("b")
+    # the doc_id inequality guards the crash-replay window: a batch
+    # whose delta was already folded into the base (mid-stream or
+    # between-restart compaction) re-runs against a base containing its
+    # OWN bands — a document must never report itself as its duplicate
+    # (doc ids are append-once corpus-unique by the store's contract)
     vs_base = (
         nb.join(
             bb,
-            (F.col("n.band") == F.col("b.band")) & (F.col("n.sig") == F.col("b.sig")),
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.sig") == F.col("b.sig"))
+            & (F.col("n.doc_id") != F.col("b.doc_id")),
         )
         .select(F.col("n.doc_id").alias("new_id"), F.col("b.doc_id").alias("dup_of"))
     )

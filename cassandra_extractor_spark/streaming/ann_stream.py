@@ -103,6 +103,7 @@ def stream_ann_ingest(
     stats_sink: Callable[[DataFrame, int], None] | None = None,
     max_files_per_trigger: int = 1,
     path_glob: str = "*.parquet",
+    auto_compact: dict | None = None,
 ) -> StreamingQuery:
     """Start the streaming ingest over a file source of
     ``(vec_id, emb)`` batches.  Drains everything available
@@ -112,7 +113,13 @@ def stream_ann_ingest(
     ``stats_sink(cell_counts_df, batch_id)``, if given, receives the
     per-cell arrival counts each batch — the balance signal that tells
     an operator when the quantizer has drifted and cells need
-    re-training (the streaming analog of ``ns_skew_audit``)."""
+    re-training (the streaming analog of ``ns_skew_audit``).
+
+    ``auto_compact`` (off by default) runs the control plane's
+    size-ratio policy in-band every ``every_n_batches`` (default 8)
+    batches and folds the cell-partitioned delta into the base when
+    crossed (keys: ``every_n_batches``, ``threshold``; see
+    ``streaming/maintenance.py`` for the mid-stream safety argument)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -131,6 +138,15 @@ def stream_ann_ingest(
         if stats_sink is not None:
             stats_sink(
                 assigned.groupBy("c_id").agg(F.count("*").alias("n")), batch_id
+            )
+        from cassandra_extractor_spark.streaming.maintenance import (
+            batch_due,
+            maybe_compact_ann,
+        )
+
+        if batch_due(auto_compact, batch_id):
+            maybe_compact_ann(
+                spark, store_dir, threshold=float(auto_compact.get("threshold", 0.2))
             )
 
     return (

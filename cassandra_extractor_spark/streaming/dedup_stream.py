@@ -50,6 +50,7 @@ def stream_incremental_dedup(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     path_glob: str = "*.parquet",
+    auto_compact: dict | None = None,
 ) -> StreamingQuery:
     """Start the streaming dedup gate over a file source of
     ``(doc_id, text)`` batches.  Drains everything available
@@ -60,6 +61,14 @@ def stream_incremental_dedup(
     the (new_id, dup_of) frame where ``dup_of`` may come from the base
     corpus, an earlier streamed batch (via the delta), or an earlier
     document of the same batch.
+
+    ``auto_compact`` (off by default) runs the control plane's
+    size-ratio policy in-band every ``every_n_batches`` (default 8)
+    batches and folds the band delta into the bucketed base when
+    crossed (keys: ``every_n_batches``, ``threshold``, ``n_buckets``;
+    see ``streaming/maintenance.py`` for the mid-stream safety
+    argument — the candidate join is set-semantic, so the crash
+    window's base∪delta duplicates cannot duplicate pairs).
     """
     stream = (
         spark.readStream.schema(schema)
@@ -86,6 +95,19 @@ def stream_incremental_dedup(
             .write.mode("overwrite")
             .parquet(f"{delta_dir}/batch={batch_id}")
         )
+        from cassandra_extractor_spark.streaming.maintenance import (
+            batch_due,
+            maybe_compact_signature,
+        )
+
+        if batch_due(auto_compact, batch_id):
+            maybe_compact_signature(
+                spark,
+                store_table,
+                delta_dir,
+                threshold=float(auto_compact.get("threshold", 0.2)),
+                n_buckets=int(auto_compact.get("n_buckets", 16)),
+            )
 
     return (
         stream.writeStream.foreachBatch(process)

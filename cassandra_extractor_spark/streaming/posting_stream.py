@@ -101,6 +101,8 @@ def stream_posting_ingest(
     max_files_per_trigger: int = 1,
     path_glob: str = "*.parquet",
     doclen_delta_dir: str | None = None,
+    store_table: str | None = None,
+    auto_compact: dict | None = None,
 ) -> StreamingQuery:
     """Start the streaming posting ingest over a file source of
     ``(doc_id, text)`` batches.  Drains everything available
@@ -112,7 +114,19 @@ def stream_posting_ingest(
     if given, additionally lands per-batch (doc_id, dl) stats deltas
     under the same overwrite-own ``batch=<id>`` contract — required for
     store-backed RANKED retrieval (BM25 needs n_docs/avgdl over ALL
-    documents, including zero-token ones that have no postings)."""
+    documents, including zero-token ones that have no postings).
+
+    ``auto_compact`` (off by default; requires ``store_table``, plus
+    the doclen table name under key ``doclen_table`` when doclen deltas
+    are ingested) runs the control plane's size-ratio policy in-band
+    every ``every_n_batches`` (default 8) batches and folds the delta
+    into the bucketed base when crossed — a long-running ingest then
+    keeps its read plans store-shaped without an operator curling
+    ``/maintenance/compact`` (keys: ``every_n_batches``, ``threshold``,
+    ``n_buckets``; see ``streaming/maintenance.py`` for the mid-stream
+    safety argument)."""
+    if auto_compact and not store_table:
+        raise ValueError("auto_compact requires store_table")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -141,6 +155,21 @@ def stream_posting_ingest(
                     F.count("*").alias("n_postings"),
                 ),
                 batch_id,
+            )
+        from cassandra_extractor_spark.streaming.maintenance import (
+            batch_due,
+            maybe_compact_posting,
+        )
+
+        if batch_due(auto_compact, batch_id):
+            maybe_compact_posting(
+                spark,
+                store_table,
+                delta_dir,
+                doclen_table=auto_compact.get("doclen_table"),
+                doclen_delta_dir=doclen_delta_dir,
+                threshold=float(auto_compact.get("threshold", 0.2)),
+                n_buckets=int(auto_compact.get("n_buckets", 16)),
             )
 
     return (

@@ -127,6 +127,70 @@ def test_posting_store_parity_restart_pruning_compaction(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_auto_compaction_mid_stream(spark, sf_dir, tmp_path):
+    """Round-12: the in-band size-ratio policy (``auto_compact``) folds
+    the delta exactly once mid-stream at its batch cadence — posting
+    AND doclen stores together — and the ranked read over base+delta
+    stays value-identical to the batch reference across the fold."""
+    from cassandra_extractor_spark.operators.text import ns_bm25
+    from cassandra_extractor_spark.streaming.maintenance import batch_due
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        bm25_query_against_store,
+        build_doclens,
+        write_doclen_store,
+    )
+
+    # cadence contract: every_n_batches=2 fires at batch ids 1, 3, …
+    assert [b for b in range(6) if batch_due({"every_n_batches": 2}, b)] == [1, 3, 5]
+    assert not any(batch_due(None, b) for b in range(6))  # off by default
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    table, dl_table = "autoc_post_t", "autoc_dl_t"
+    base = docs.where(F.col("doc_id") % 4 == 3)
+    write_posting_store(build_postings(base), table, n_buckets=2)
+    write_doclen_store(build_doclens(base), dl_table, n_buckets=2)
+    try:
+        for i in range(3):
+            _write_batch(
+                spark, tmp_path, src, i, docs.where(F.col("doc_id") % 4 == i)
+            )
+        q = stream_posting_ingest(
+            spark,
+            source_path=str(src),
+            schema=SCHEMA,
+            delta_dir=str(tmp_path / "delta"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            doclen_delta_dir=str(tmp_path / "dl_delta"),
+            store_table=table,
+            auto_compact={
+                "every_n_batches": 2,
+                "threshold": 1e-9,
+                "n_buckets": 2,
+                "doclen_table": dl_table,
+            },
+        )
+        q.awaitTermination(180)
+        # the fold ran EXACTLY once (at batch 1): batches 0-1 absorbed
+        # into both bases, batch 2's delta still pending on both sides
+        assert {p.name for p in (tmp_path / "delta").iterdir()} == {"batch=2"}
+        assert {p.name for p in (tmp_path / "dl_delta").iterdir()} == {"batch=2"}
+        # read parity across the fold: store-backed BM25 == the
+        # corpus-recomputing batch operator over the same documents
+        got = bm25_query_against_store(
+            spark, table, str(tmp_path / "delta"), dl_table, str(tmp_path / "dl_delta")
+        )
+        want = ns_bm25(spark, sf_dir)
+        assert [(r.doc_id, r.bm25) for r in got.collect()] == [
+            (r.doc_id, r.bm25) for r in want.collect()
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {dl_table}")
+
+
 def test_build_postings_matches_python(spark):
     pdf = pd.DataFrame(
         {
