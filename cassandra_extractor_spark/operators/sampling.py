@@ -536,3 +536,194 @@ def ns_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+WATERFILL_BUDGET_DEN = 2  #: token budget = total_tokens // 2 (integer-exact)
+
+
+def ns_waterfill_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling per-domain token caps: given a global token budget
+    ``B = total_tokens // 2``, find the single integer cap ``C`` such
+    that keeping ``min(tokens_d, C)`` tokens from every domain (here:
+    ``lang``) spends at most the budget with the largest possible cap —
+    the classic "cap over-represented sources, keep the tail whole"
+    mixture rule of LLM data recipes (the per-source clamp step of a
+    temperature/mixture pipeline, cf. ``ns_temperature_sample`` which
+    REWEIGHTS instead of capping).
+
+    Closed form, integer-exact end to end: with domains sorted by token
+    count ascending, the boundary position ``k`` (domains before it
+    kept whole, the rest capped) satisfies
+    ``C = (B - prefix_tokens_{k-1}) div (n_domains - k + 1)`` with
+    ``n_{k-1} <= C < n_k`` — a unique row, selected by a window over
+    the per-domain aggregate.  No floats anywhere except the final
+    reported ``kept_frac``; Spark's ``div`` and the oracle's ``//``
+    agree on every surviving row because the numerator is non-negative
+    exactly where the validity filter can pass.
+
+    100 TB shape: one corpus scan to per-domain token totals (map-side
+    combined to n_domains rows), then windows/joins over that
+    n_domains-row frame — bounded by construction (domains are a
+    labeling, not data).  The cap broadcast-joins back to the domain
+    table; applying it to documents would be one more codegen'd filter.
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.text import tokens
+
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    # n_domains rows, referenced by three branches (totals, the ranked
+    # boundary search, the output) — materialize so the corpus token
+    # pass runs once, not once per reference
+    per = materialize_once(
+        d.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_domains"),
+    )
+    w = W.orderBy("lang_tokens", "lang")
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "lang_tokens",
+        "total_tokens",
+        "n_domains",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("lang_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("p_prev"),
+        F.coalesce(F.lag("lang_tokens").over(w), F.lit(0)).cast("long").alias("n_prev"),
+    )
+    cand = ranked.select(
+        "lang_tokens",
+        "n_prev",
+        F.expr(
+            f"((total_tokens div {WATERFILL_BUDGET_DEN}) - p_prev)"
+            " div (n_domains - i + 1)"
+        ).alias("cand"),
+    )
+    cap = cand.where(
+        (F.col("cand") < F.col("lang_tokens")) & (F.col("cand") >= F.col("n_prev"))
+    ).select(F.col("cand").alias("cap"))
+    return (
+        per.crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "cap",
+            F.least(F.col("lang_tokens"), F.col("cap")).cast("long").alias("kept_tokens"),
+            F.round(
+                F.least(F.col("lang_tokens"), F.col("cap")).cast("double")
+                / F.col("lang_tokens").cast("double"),
+                6,
+            ).alias("kept_frac"),
+            (F.col("lang_tokens") > F.col("cap")).alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+DRM_BUCKETS = 1024  #: hashed-unigram feature space for domain reweighting
+DRM_ETA = 1.0  #: exponentiated-gradient step size (one DoReMi-style step)
+
+
+def ns_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): up-weight domains the corpus-average model explains
+    poorly.  The per-domain excess-loss signal here is the hashed-
+    unigram KL divergence ``KL(domain || corpus)`` with Laplace
+    smoothing over ``DRM_BUCKETS`` md5-hashed buckets (the DSIR hashing
+    trick, ``ns_dsir_select``), and the update is the exponentiated-
+    gradient step ``w_d ∝ share_d · exp(eta · KL_d)``, normalized.
+    Like ``ns_kmeans_step``/``ns_kcenter_step``, this is the per-
+    iteration primitive — a training loop re-estimates losses under the
+    reweighted proxy and repeats.
+
+    Exactness: the KL sum runs over the FULL fixed bucket grid
+    (n_domains × 1024 rows, generated, so zero-count buckets contribute
+    their closed-form smoothing mass on both engines), each term is one
+    double quotient-of-quotients and ONE ``ln``, and both the KL and
+    the weight normalizer accumulate through DECIMAL(38,18) so the sums
+    are order-independent (the ``ns_corpus_stats`` trick).
+
+    100 TB shape: one corpus explode (map-local) collapsed map-side to
+    ≤ n_domains × 1024 count rows; every downstream frame is fixed-size
+    regardless of corpus volume.  No corpus-sized shuffle at all — the
+    groupBy key is (lang, f) with heavy map-side combine.
+    """
+    from cassandra_extractor_spark.operators.text import tokens
+
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    b = DRM_BUCKETS
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    feats = d.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("lang", (_md5_hash64(F.col("tok"), "drm") % b).alias("f"))
+    # ≤ n_domains×1024 rows, referenced by every downstream branch
+    # (per-domain totals, corpus totals, the grid join) — materialize
+    # so the corpus explode runs ONCE, not once per reference
+    lf = materialize_once(
+        feats.groupBy("lang", "f").agg(F.count("*").cast("long").alias("c_lf"))
+    )
+    pl = lf.groupBy("lang").agg(F.sum("c_lf").cast("long").alias("tot_l"))
+    cf = lf.groupBy("f").agg(F.sum("c_lf").cast("long").alias("c_f"))
+    tot = pl.agg(F.sum("tot_l").cast("long").alias("tot"))
+    grid = spark.range(b).select(F.col("id").alias("f")).crossJoin(F.broadcast(pl))
+    p_lf = (F.coalesce(F.col("c_lf"), F.lit(0)) + 1).cast("double") / (
+        F.col("tot_l") + b
+    ).cast("double")
+    p_cf = (F.coalesce(F.col("c_f"), F.lit(0)) + 1).cast("double") / (
+        F.col("tot") + b
+    ).cast("double")
+    cells = (
+        grid.join(lf, ["lang", "f"], "left")
+        .join(F.broadcast(cf), "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", (p_lf * F.log(p_lf / p_cf)).alias("term"))
+    )
+    kl = cells.groupBy("lang").agg(
+        F.sum(F.col("term").cast("decimal(38,18)")).cast("double").alias("kl")
+    )
+    nd = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    wr = (
+        pl.join(kl, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "tot_l",
+            "kl",
+            (F.col("tot_l").cast("double") / F.col("tot").cast("double")).alias("share"),
+            (
+                (F.col("tot_l").cast("double") / F.col("tot").cast("double"))
+                * F.exp(F.lit(DRM_ETA) * F.col("kl"))
+            ).alias("w_raw"),
+        )
+    )
+    ws = wr.agg(
+        F.sum(F.col("w_raw").cast("decimal(38,18)")).cast("double").alias("w_sum")
+    )
+    return (
+        wr.join(F.broadcast(nd), "lang")
+        .crossJoin(F.broadcast(ws))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("tot_l").alias("lang_tokens"),
+            F.round("share", 6).alias("share"),
+            F.round("kl", 6).alias("kl"),
+            F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("weight"),
+        )
+        .orderBy("lang")
+    )

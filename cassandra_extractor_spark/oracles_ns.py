@@ -2644,3 +2644,83 @@ NS_ORACLES["ns_dedup_savings"] = (
     "ELSE 0 END AS BIGINT) AS savings_ppm "
     "FROM j GROUP BY source ORDER BY source"
 )
+
+
+def _waterfill_sql() -> str:
+    """Mirror of ``ns_waterfill_cap``: integer-exact waterfilling cap
+    over per-lang token totals (budget = total // 2).  ``//`` here and
+    Spark's ``div`` agree wherever the validity filter can pass (the
+    numerator is non-negative on the unique surviving row)."""
+    from cassandra_extractor_spark.operators.sampling import WATERFILL_BUDGET_DEN
+
+    den = WATERFILL_BUDGET_DEN
+    return (
+        f"WITH d AS (SELECT lang, CAST(len({TOKS}) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM d GROUP BY lang), "
+        "t AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_domains FROM per), "
+        "r AS (SELECT lang_tokens, total_tokens, n_domains, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY lang_tokens, lang) AS BIGINT) AS i, "
+        "CAST(COALESCE(SUM(lang_tokens) OVER (ORDER BY lang_tokens, lang "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_prev, "
+        "CAST(COALESCE(LAG(lang_tokens) OVER (ORDER BY lang_tokens, lang), 0) "
+        "AS BIGINT) AS n_prev FROM per, t), "
+        f"c AS (SELECT CAST(((total_tokens // {den}) - p_prev) "
+        "// (n_domains - i + 1) AS BIGINT) AS cap, lang_tokens, n_prev FROM r), "
+        "pick AS (SELECT cap FROM c WHERE cap < lang_tokens AND cap >= n_prev) "
+        "SELECT lang, n_docs, lang_tokens, cap, "
+        "CAST(LEAST(lang_tokens, cap) AS BIGINT) AS kept_tokens, "
+        "ROUND(CAST(LEAST(lang_tokens, cap) AS DOUBLE) / "
+        "CAST(lang_tokens AS DOUBLE), 6) AS kept_frac, "
+        "lang_tokens > cap AS capped "
+        "FROM per, pick ORDER BY lang"
+    )
+
+
+NS_ORACLES["ns_waterfill_cap"] = _waterfill_sql()
+
+
+def _domain_reweight_sql() -> str:
+    """Mirror of ``ns_domain_reweight``: hashed-unigram KL over the
+    full fixed bucket grid, one ``ln`` per cell, DECIMAL(38,18)
+    accumulation for both the KL and the weight normalizer, then the
+    exponentiated-gradient update ``share · exp(eta · kl)``."""
+    from cassandra_extractor_spark.operators.sampling import DRM_BUCKETS, DRM_ETA
+
+    b = DRM_BUCKETS
+    p_lf = f"(CAST(COALESCE(c_lf, 0) + 1 AS DOUBLE) / CAST(tot_l + {b} AS DOUBLE))"
+    p_cf = f"(CAST(COALESCE(c_f, 0) + 1 AS DOUBLE) / CAST(tot + {b} AS DOUBLE))"
+    return (
+        f"WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents), "
+        "tk AS (SELECT lang, unnest(toks) AS tok FROM d), "
+        f"fe AS (SELECT lang, {_hash_sql('tok', 'drm')} % {b} AS f FROM tk), "
+        "lf AS (SELECT lang, f, CAST(COUNT(*) AS BIGINT) AS c_lf "
+        "FROM fe GROUP BY lang, f), "
+        "pl AS (SELECT lang, CAST(SUM(c_lf) AS BIGINT) AS tot_l FROM lf GROUP BY lang), "
+        "cf AS (SELECT f, CAST(SUM(c_lf) AS BIGINT) AS c_f FROM lf GROUP BY f), "
+        "t AS (SELECT CAST(SUM(tot_l) AS BIGINT) AS tot FROM pl), "
+        f"grid AS (SELECT pl.lang, pl.tot_l, gs.f FROM pl, range({b}) gs(f)), "
+        "cell AS (SELECT g.lang, "
+        f"{p_lf} * ln({p_lf} / {p_cf}) AS term "
+        "FROM grid g LEFT JOIN lf ON g.lang = lf.lang AND g.f = lf.f "
+        "LEFT JOIN cf ON g.f = cf.f, t), "
+        "kl AS (SELECT lang, CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) "
+        "AS kl FROM cell GROUP BY lang), "
+        "nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY lang), "
+        "wr AS (SELECT lang, tot_l, kl, "
+        "CAST(tot_l AS DOUBLE) / CAST(tot AS DOUBLE) AS share, "
+        "(CAST(tot_l AS DOUBLE) / CAST(tot AS DOUBLE)) * "
+        f"exp({float(DRM_ETA)!r} * kl) AS w_raw "
+        "FROM pl JOIN kl USING (lang), t), "
+        "ws AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(38,18))) AS DOUBLE) "
+        "AS w_sum FROM wr) "
+        "SELECT lang, n_docs, tot_l AS lang_tokens, "
+        "ROUND(share, 6) AS share, ROUND(kl, 6) AS kl, "
+        "ROUND(w_raw / w_sum, 6) AS weight "
+        "FROM wr JOIN nd USING (lang), ws ORDER BY lang"
+    )
+
+
+NS_ORACLES["ns_domain_reweight"] = _domain_reweight_sql()

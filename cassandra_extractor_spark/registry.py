@@ -191,6 +191,8 @@ QUERIES: dict[str, QueryFn] = {
     "ns_temperature_sample": SM.ns_temperature_sample,
     "ns_shard_layout": X.ns_shard_layout,
     "ns_dsir_select": SM.ns_dsir_select,
+    "ns_waterfill_cap": SM.ns_waterfill_cap,
+    "ns_domain_reweight": SM.ns_domain_reweight,
     "ns_bm25": TX.ns_bm25,
     "ns_entropy": TX.ns_entropy,
     "ns_cross_split_leakage": D.ns_cross_split_leakage,
@@ -337,24 +339,24 @@ QUERIES: dict[str, QueryFn] = {
 #: ns_ann_lsh_bucketed.  Every entry stays registered —
 #: prioritization, not selection.
 _PRIORITY_PREFIX = [
-    # NEW in round 11: zero evidence, oldest by rule
-    "ns_bm25_store", "ns_kcenter_step",
-    # oldest second-pass evidence, excluding the r9 ∪ r10 samples
-    "q120_ltv_curve", "q121_ks_test", "tpch_q01",
-    "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
-    "tpch_q18", "tpch_q19", "tpch_q22", "ns_ann_lsh_bucketed",
-    "ns_bm25", "ns_cross_split_leakage", "ns_dsir_select", "ns_entropy",
-    "ns_pagerank", "ns_shard_layout", "ns_winnowing", "q01_projection",
-    "q02_filter", "q03_string_filter", "q04_count", "q05_filtered_count",
-    "q06_sort_limit", "q07_offset_page", "q08_hwm_filter", "q09_rename_project",
-    "q107_full_outer_reconcile", "q108_ewma", "q109_cusum", "q10_epoch_millis",
-    "q110_markov_transitions", "q111_mom_growth", "q11_expression", "q12_json_serialize",
-    "q13_group_agg", "q14_having", "q15_inner_join", "q16_left_join",
-    "q17_semi_join", "q18_anti_join", "q19_multiway_join", "q20_distinct",
-    "q21_count_distinct", "q22_window_rank", "q23_window_running_sum", "q24_union",
-    "q25_except", "q26_rollup", "q27_dedup", "q28_date_funcs",
-    "q29_string_funcs", "q30_case", "q31_json_extract", "q32_event_agg",
+    # NEW in round 12: zero evidence, oldest by rule
+    "ns_waterfill_cap", "ns_domain_reweight",
+    # oldest driver evidence, excluding the r10 ∪ r11 samples
+    "q22_window_rank", "q23_window_running_sum",
+    "q24_union", "q25_except", "q26_rollup", "q27_dedup",
+    "q28_date_funcs", "q29_string_funcs", "q30_case", "q31_json_extract",
+    "q32_event_agg", "q33_range_join", "q72_funnel", "q73_retention_cohorts",
+    "q74_latency_bands", "q75_path_analysis", "ns_ann_mrr", "ns_cluster_purity",
+    "ns_doc_fingerprint", "ns_hybrid_rrf", "ns_knn_classifier", "ns_lang_id",
+    "ns_ngram_pmi", "ns_pii_scrub", "ns_preference_pairs", "ns_text_quality",
+    "ns_tfidf", "ns_token_count", "ns_tokenizer_fertility", "q122_hist_quantile",
+    "q34_asof_join", "q35_time_bucket", "q36_cube", "q37_grouping_sets",
+    "q39_exists_subquery", "q40_scalar_subquery", "q41_cte", "q42_pivot",
+    "q43_unpivot", "q44_percentile", "q45_stats", "q46_recursive_cte",
+    "q47_regex_funcs", "q48_null_funcs", "q49_intersect", "q50_lag_lead",
+    "q54_date_arith", "q55_range_frame", "q56_first_last", "q57_array_funcs",
+    "q58_explode", "q59_except_all", "q60_not_exists", "q61_json_keys",
+    "q62_histogram", "q76_rolling_zscore",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)

@@ -99,3 +99,45 @@ def test_dsir_steers_toward_target_domain(spark, sf_dir):
     rest = out.where(F.col("lang") != DSIR_TARGET_LANG).agg(F.avg("logw")).first()[0]
     assert tgt > rest
     assert out.count() == d.count()  # every doc scored, none dropped
+
+
+def test_waterfill_cap_budget_feasible_and_maximal(spark, sf_dir):
+    """The waterfilling cap must (a) spend at most the budget, (b) be
+    MAXIMAL — cap+1 would overspend, (c) keep every domain at or below
+    its own size, and (d) cap at least the largest domain (the budget
+    is a strict fraction of the total)."""
+    from cassandra_extractor_spark.operators.sampling import (
+        WATERFILL_BUDGET_DEN,
+        ns_waterfill_cap,
+    )
+
+    rows = ns_waterfill_cap(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.lang_tokens for r in rows)
+    budget = total // WATERFILL_BUDGET_DEN
+    cap = rows[0].cap
+    assert all(r.cap == cap for r in rows)  # one global cap
+    kept = sum(min(r.lang_tokens, cap) for r in rows)
+    assert kept <= budget
+    assert sum(min(r.lang_tokens, cap + 1) for r in rows) > budget  # maximal
+    for r in rows:
+        assert r.kept_tokens == min(r.lang_tokens, cap)
+        assert r.capped == (r.lang_tokens > cap)
+    assert max(rows, key=lambda r: r.lang_tokens).capped  # head clamped
+
+
+def test_domain_reweight_is_a_proper_eg_step(spark, sf_dir):
+    """Weights are a probability distribution; KL is non-negative; and
+    the exponentiated-gradient step moves mass TOWARD domains whose KL
+    is above the mixture average (relative weight w/share rises with
+    KL — the DoReMi direction)."""
+    from cassandra_extractor_spark.operators.sampling import ns_domain_reweight
+
+    rows = ns_domain_reweight(spark, sf_dir).collect()
+    assert rows and abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert all(r.kl >= 0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # boost ratio is monotone in KL (strictly ordered where KL differs)
+    by_kl = sorted(rows, key=lambda r: r.kl)
+    boosts = [r.weight / r.share for r in by_kl]
+    assert all(b2 >= b1 - 1e-9 for b1, b2 in zip(boosts, boosts[1:]))

@@ -57,6 +57,10 @@ PROBES = {
     "q44_percentile": "exact interpolating percentiles via count-frame order statistics (r11 respelling)",
     "ns_kcenter_step": "broadcast-centers struct-min assignment + region report",
     "ns_bm25_store": "store-backed ranked retrieval (COLD: store rebuilt per run)",
+    # round-12 (r11 watch item: 1.53→1.93 s bench uptick — classify
+    # drift vs structural; the shared token-stream read is confirmed
+    # still wired, so a flat ratio = ambient)
+    "ns_dsir_select": "hashed-bigram LLR scoring: fixed-size count tables + broadcast-back (cold chain)",
 }
 CHAIN_QUERIES = {
     "ns_dedup_minhash_lsh",
@@ -73,6 +77,7 @@ CHAIN_QUERIES = {
     # cold per run: invalidation clears the session BM25 store memo,
     # so each run pays store build + ranked read end-to-end
     "ns_bm25_store",
+    "ns_dsir_select",
 }
 
 
