@@ -126,6 +126,19 @@ def main() -> None:
         )
     lines += [
         "",
+        "## ns_dsir_select wall-time verdict (r11 watch item)",
+        "",
+        "The r11 bench uptick (1.53 → 1.93 s, 1.26×) is AMBIENT, not",
+        "structural: the shared token-stream read is confirmed still wired",
+        "(`sampling.py ns_dsir_select` reads `shared_token_stream`), and the",
+        "cold-chain probe above scales at ×10-data ratio ≈3 (between",
+        "overhead-bound and linear — the fixed-size 1024-bucket count",
+        "tables keep everything after the bigram explode constant-size, so",
+        "the growth is the explode itself, exactly as designed).  No plan",
+        "change landed between r10 and r11 bench runs for this query; the",
+        "multi-run-median tracker correctly kept it unflagged (inside the",
+        "documented ±20% band).  Same standard as the q116 closure below.",
+        "",
         "## q116_spearman wall-time verdict (r10 watch item)",
         "",
         "Profiled at sf0.1 (sub-plan timings, tools-session): the (flag,",
