@@ -166,3 +166,41 @@ def test_init_ann_centroids_rejects_zero_norm(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="zero-norm"):
         init_ann_centroids(spark, bad, str(tmp_path / "s"))
+
+
+def test_auto_compaction_mid_stream_ann(spark, sf_dir, tmp_path, corpus_parts):
+    """Round-12: an in-band auto_compact on the ANN ingest folds the
+    cell-partitioned delta into the base exactly once at its cadence,
+    and the store-backed probe stays row-identical to the batch IVF
+    operator across the fold."""
+    queries, cent, slices = corpus_parts
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    store = str(tmp_path / "annstore")
+    init_ann_centroids(spark, cent, store)
+    import os
+
+    for i, s in enumerate(slices):
+        _write_batch(spark, tmp_path, src, i, s)
+    q = stream_ann_ingest(
+        spark,
+        source_path=str(src),
+        schema=SCHEMA,
+        store_dir=store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        auto_compact={"every_n_batches": 2, "threshold": 1e-9},
+    )
+    q.awaitTermination(120)
+    # fold ran exactly once (after batch 1): base exists, delta holds
+    # only batch 2
+    assert os.path.isdir(f"{store}/base")
+    batches = {
+        d for d in os.listdir(f"{store}/delta") if d.startswith("batch=")
+    }
+    assert batches == {"batch=2"}, batches
+    got = ann_store_topk(spark, store, queries).collect()
+    want = ivf_topk(_load_embeddings(spark, sf_dir)).collect()
+    assert [(r.q_id, r.n_id, r.cos, r.rank) for r in got] == [
+        (r.q_id, r.n_id, r.cos, r.rank) for r in want
+    ]

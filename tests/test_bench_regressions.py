@@ -70,3 +70,22 @@ def test_sorted_worst_first():
     prev = _quiet_run(12)
     cur = {**_quiet_run(12), "q02": 2.0, "q07": 4.0}
     assert [r["query"] for r in diff_regressions(prev, cur)] == ["q07", "q02"]
+
+
+def test_run_drift_surfaces_uniform_structural_slowdown():
+    """Round-12 (ADVICE): a code change that slows MOST queries
+    together raises the drift factor and the per-query list stays
+    empty — run_drift is the signal that catches it (alerted at >1.3
+    in the bench payload)."""
+    from bench import run_drift
+
+    prev = _quiet_run(20)
+    uniform = {name: sec * 1.6 for name, sec in prev.items()}
+    assert diff_regressions(prev, uniform) == []  # the blind spot
+    assert run_drift(prev, uniform) == 1.6  # the alarm
+    # quiet run: drift ~1; never reported below 1.0
+    assert run_drift(prev, _quiet_run(20)) == 1.0
+    assert run_drift(prev, {n: s * 0.7 for n, s in prev.items()}) == 1.0
+    # multi-run history: drift measured against the median baseline
+    fast = _quiet_run(20, 0.5)
+    assert run_drift([prev, fast, prev], {n: 1.2 for n in prev}) == 1.2

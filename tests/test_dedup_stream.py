@@ -220,3 +220,60 @@ def test_compaction_folds_delta_into_bucketed_base(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_store_compact_t")
+
+
+def test_auto_compaction_mid_stream_signature(spark, tmp_path):
+    """Round-12: an in-band auto_compact on the dedup gate folds the
+    band delta into the bucketed base exactly once at its cadence, and
+    detection quality is unchanged across the fold — a later batch
+    still finds its duplicate even though the earlier batch's bands
+    now live in the BASE, not the delta."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    base_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(_BASE), "text": list(_BASE.values())}),
+        SCHEMA,
+    )
+    write_signature_store(
+        bands_for(minhash_signatures_for(base_docs)), "sig_autoc_t", n_buckets=4
+    )
+    got: dict[int, set[tuple[int, int]]] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {(r["new_id"], r["dup_of"]) for r in df.collect()}
+
+    try:
+        # three single-file batches BEFORE the stream starts; cadence 2
+        # → the policy fires after batch 1 only (threshold ~0 → folds)
+        _write_batch(spark, tmp_path, src, 0,
+                     {100: "a fresh streamed story about topic alpha " * 3})
+        _write_batch(spark, tmp_path, src, 1,
+                     {101: "another new account of subject beta here " * 3})
+        _write_batch(spark, tmp_path, src, 2, {200: "a fresh streamed story about topic alpha " * 3})
+        q = stream_incremental_dedup(
+            spark,
+            source_path=str(src),
+            schema=SCHEMA,
+            store_table="sig_autoc_t",
+            delta_dir=str(tmp_path / "delta"),
+            pairs_sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            auto_compact={"every_n_batches": 2, "threshold": 1e-9, "n_buckets": 4},
+        )
+        q.awaitTermination(120)
+        # fold ran exactly once (after batch 1): only batch 2's bands
+        # remain in the delta
+        delta = spark.read.parquet(str(tmp_path / "delta"))
+        assert {r["batch"] for r in delta.select("batch").distinct().collect()} == {2}
+        # doc 200 (batch 2) still found its duplicate 100 (batch 0) —
+        # ACROSS the fold, via the base store
+        assert got[2] == {(200, 100)}, got
+        # and batch 0/1's bands are in the base now
+        base_ids = {
+            r["doc_id"]
+            for r in spark.table("sig_autoc_t").select("doc_id").distinct().collect()
+        }
+        assert {100, 101} <= base_ids
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_autoc_t")

@@ -848,3 +848,29 @@ def test_one_ann_assignment_scan_per_session(spark, sf_dir, monkeypatch):
     assert "row_number" not in plan, plan[:2000]
     assert "Scan parquet" not in plan, plan[:2000]
     assert "ExistingRDD" in plan, plan[:2000]
+
+
+def test_mixture_ops_materialize_the_corpus_pass_once(spark, sf_dir):
+    """Round-12 plan guards: both mixture operators reduce the corpus
+    to tiny materialized frames ONCE — ns_waterfill_cap's final plan
+    reads only the checkpointed n_domains-row aggregate (zero parquet
+    scans), and ns_domain_reweight's reads the checkpointed
+    (lang, bucket) counts plus exactly ONE column-pruned scan for the
+    per-domain doc counts.  A regression to per-reference recompute
+    (13 scans before the audit) multiplies the corpus explode by the
+    branch count."""
+    from cassandra_extractor_spark.operators.sampling import (
+        ns_domain_reweight,
+        ns_waterfill_cap,
+    )
+
+    wf = _executed_plan(ns_waterfill_cap(spark, sf_dir))
+    assert wf.count("Scan parquet") == 0, wf
+    assert "ExistingRDD" in wf, wf
+    dr = _executed_plan(ns_domain_reweight(spark, sf_dir))
+    assert dr.count("Scan parquet") == 1, dr
+    assert "ExistingRDD" in dr, dr
+    # all windows in the waterfill boundary search are post-aggregate
+    # (n_domains rows), never over corpus rows
+    opt = ns_waterfill_cap(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    assert _window_paths_pass_aggregate(opt), opt.toString()
