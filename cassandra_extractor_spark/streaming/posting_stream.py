@@ -357,6 +357,18 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     key = _norm_dir(sf_dir)
     if key in cache:
         return cache[key]
+    if not spark.__dict__.get("_ce_posting_store_exit_hook"):
+        # first build in this session: make sure whatever is still in
+        # the cache at interpreter exit is dropped — tool processes
+        # (gate/bench/probe) otherwise leak 2 tables per run
+        import atexit
+
+        wh0 = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh0 = wh0[len("file:") :] if wh0.startswith("file:") else wh0
+        if not _EXIT_CLEANUP:
+            atexit.register(_drop_all_session_stores)
+        _EXIT_CLEANUP.append((cache, wh0))
+        spark.__dict__["_ce_posting_store_exit_hook"] = True
     nonce = f"{spark.sparkContext.applicationId}|{key}"
     tag = hashlib.md5(nonce.encode()).hexdigest()[:10]
     postings_t = f"bm25_postings_{tag}"
@@ -388,6 +400,40 @@ def drop_session_bm25_store(spark: SparkSession, entry: tuple[str, str]) -> None
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+#: (store-cache dict, warehouse path) pairs whose tables the interpreter
+#: must release at exit — see _drop_all_session_stores
+_EXIT_CLEANUP: list[tuple[dict, str]] = []
+
+
+def _drop_all_session_stores() -> None:
+    """atexit hook: a session store is SESSION-scoped state, so a
+    process that builds one and exits without invalidating (a gate
+    run, a bench, a notebook) must not leave its app-id-tagged tables
+    accruing in the shared warehouse.  Tries a catalog DROP while a
+    session is still alive, then removes the directories regardless
+    (a stale catalog row without a directory is harmless: every build
+    pre-drops its own names before saveAsTable)."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    sp = SparkSession.getActiveSession()
+    for cache, wh in _EXIT_CLEANUP:
+        for entry in list(cache.values()):
+            for t in entry:
+                if sp is not None:
+                    try:
+                        sp.sql(f"DROP TABLE IF EXISTS {t}")
+                    except Exception:  # noqa: BLE001 — JVM may be gone
+                        sp = None
+                if wh:
+                    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        # clear the cache (tables are gone) but KEEP the registration:
+        # a later build in the same session must stay covered, and a
+        # re-invocation over cleared caches is a cheap no-op
+        cache.clear()
 
 
 def ns_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:

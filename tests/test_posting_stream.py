@@ -127,6 +127,66 @@ def test_posting_store_parity_restart_pruning_compaction(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_exiting_process_releases_its_session_store(spark, sf_dir):
+    """Round-12: a process that builds a session BM25 store and exits
+    WITHOUT invalidating (a gate run, a bench, a notebook) must not
+    leave its app-id-tagged tables in the shared warehouse — the
+    atexit hook drops them.  Observed before the fix: 2 orphan tables
+    per tool process, 18 accrued over one working session."""
+    import os
+    import subprocess
+    import sys
+
+    from cassandra_extractor_spark.streaming.posting_stream import (
+        _drop_all_session_stores,
+        ensure_session_bm25_store,
+    )
+
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from cassandra_extractor_spark.session import get_spark
+from cassandra_extractor_spark.streaming.posting_stream import (
+    ensure_session_bm25_store)
+spark = get_spark("leaky-session", master="local[4]", shuffle_partitions=4)
+tables = ensure_session_bm25_store(spark, {sf_dir!r})
+print("TABLES", *tables)
+# exit WITHOUT invalidating: the atexit hook must clean up
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    theirs = next(
+        l.split()[1:] for l in out.stdout.splitlines() if l.startswith("TABLES")
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[len("file:") :] if wh.startswith("file:") else wh
+    for t in theirs:
+        assert not os.path.isdir(os.path.join(wh, t)), t
+    # in-process spelling of the same contract: the hook drops this
+    # session's live store too (cache cleared, tables + dirs gone) and
+    # stays registered, so a REBUILD after a manual invocation is
+    # still covered at exit
+    mine = ensure_session_bm25_store(spark, sf_dir)
+    _drop_all_session_stores()
+    assert spark.__dict__["_ce_posting_store"] == {}
+    for t in mine:
+        assert not spark.catalog.tableExists(t), t
+        assert not os.path.isdir(os.path.join(wh, t)), t
+    rebuilt = ensure_session_bm25_store(spark, sf_dir)
+    assert rebuilt == mine  # same session → same deterministic names…
+    for t in rebuilt:  # …but genuinely rebuilt on disk
+        assert spark.catalog.tableExists(t), t
+    from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+    invalidate_dedup_chain(spark, sf_dir)
+
+
 def test_auto_compaction_mid_stream(spark, sf_dir, tmp_path):
     """Round-12: the in-band size-ratio policy (``auto_compact``) folds
     the delta exactly once mid-stream at its batch cadence — posting
