@@ -1786,3 +1786,91 @@ def ns_top_dup_spans(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> Dat
         .limit(TOP_SPANS_K)
         .select("gram", "n_occ", "n_docs")
     )
+
+
+def ns_sketch_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-MinHash shard audit — the property that makes MinHash
+    work on a 1000-executor cluster: per-shard sketches (elementwise
+    MIN over the shard's per-doc signatures) merge associatively into
+    the corpus sketch, so executors ship NUM_PERM longs per shard
+    instead of shingle sets.  The MinHash twin of ``ns_hll_set_ops``
+    (HLL registers merge by MAX; MinHash components merge by MIN).
+
+    Per shard (= ``source``): the signed-doc and distinct-shingle
+    counts, the sketch agreement with the corpus sketch
+    (``sketch_matches`` of NUM_PERM components; ``est_ppm`` =
+    matches/NUM_PERM — the single-set Jaccard J(shard, corpus) =
+    |shard|/|corpus| estimator, since shard ⊆ corpus), the exact
+    shingle share it estimates, and ``merged_ok``: the elementwise MIN
+    of ALL shard sketches equals the corpus sketch computed directly
+    from per-doc signatures — the associativity readout over real
+    data.  Integer-exact end to end (the only arithmetic is MIN,
+    COUNT DISTINCT, equality, and BIGINT ``div``).
+
+    100 TB shape: per-doc signatures come from the session-shared
+    chain (one signing pass per session, ``minhash_signatures_df``);
+    the shard sketches are ONE map-side-combined MIN aggregate over
+    8 longs per doc; the exact-count audit column is the only
+    corpus-shingle-volume work and reads the shared DISTINCT shingle
+    frame.  The corpus sketch and merged sketch are one-row broadcasts.
+    """
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    sig = minhash_signatures_df(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    per_doc = sig.join(src, "doc_id")
+    mins = [F.min(f"mh{s}").cast("long").alias(f"mh{s}") for s in range(NUM_PERM)]
+    shard = materialize_once(
+        per_doc.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"), *mins
+        )
+    )
+    corpus = sig.agg(
+        *[F.min(f"mh{s}").cast("long").alias(f"c{s}") for s in range(NUM_PERM)]
+    )
+    merged = shard.agg(
+        *[F.min(f"mh{s}").cast("long").alias(f"m{s}") for s in range(NUM_PERM)]
+    )
+    # exact audit side: distinct shingles per shard / corpus-wide, off
+    # the session-shared DISTINCT shingle frame
+    sh_src = shared_shingles(spark, sf_dir).join(src, "doc_id")
+    n_sh = sh_src.groupBy("source").agg(
+        F.countDistinct("sh").cast("long").alias("n_shingles")
+    )
+    n_union = sh_src.agg(F.countDistinct("sh").cast("long").alias("n_union"))
+    matches = sum(
+        F.when(F.col(f"mh{s}") == F.col(f"c{s}"), 1).otherwise(0)
+        for s in range(NUM_PERM)
+    )
+    merged_ok = None
+    for s in range(NUM_PERM):
+        eq = F.col(f"m{s}") == F.col(f"c{s}")
+        merged_ok = eq if merged_ok is None else (merged_ok & eq)
+    return (
+        shard.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(merged))
+        .join(F.broadcast(n_sh), "source")
+        .crossJoin(F.broadcast(n_union))
+        .select(
+            "source",
+            "n_docs",
+            "n_shingles",
+            F.expr(f"CAST({NUM_PERM} AS BIGINT)").alias("n_components"),
+            matches.cast("long").alias("sketch_matches"),
+            F.expr(
+                f"(CAST({1_000_000} AS BIGINT) * ("
+                + " + ".join(
+                    f"CASE WHEN mh{s} = c{s} THEN 1 ELSE 0 END"
+                    for s in range(NUM_PERM)
+                )
+                + f")) div {NUM_PERM}"
+            )
+            .cast("long")
+            .alias("est_ppm"),
+            F.expr("(CAST(1000000 AS BIGINT) * n_shingles) div n_union")
+            .cast("long")
+            .alias("exact_ppm"),
+            merged_ok.alias("merged_ok"),
+        )
+        .orderBy("source")
+    )

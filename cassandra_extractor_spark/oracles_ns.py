@@ -2724,3 +2724,59 @@ def _domain_reweight_sql() -> str:
 
 
 NS_ORACLES["ns_domain_reweight"] = _domain_reweight_sql()
+
+
+def _sketch_shard_merge_sql() -> str:
+    """Mirror of ``ns_sketch_shard_merge``: per-doc MinHash signatures
+    (same md5/Kirsch-Mitzenmacher family as ``_minhash_sql``), shard
+    sketches by elementwise MIN, the merged-vs-direct corpus sketch
+    equality, and exact distinct-shingle shares.  Integer arithmetic
+    only."""
+    from cassandra_extractor_spark.operators.dedup import MH_MOD, NUM_PERM
+
+    sig_cols = ", ".join(
+        f"MIN((h1 + {s} * h2) % {MH_MOD}) AS mh{s}" for s in range(NUM_PERM)
+    )
+    shard_mins = ", ".join(
+        f"CAST(MIN(mh{s}) AS BIGINT) AS mh{s}" for s in range(NUM_PERM)
+    )
+    corpus_mins = ", ".join(
+        f"CAST(MIN(mh{s}) AS BIGINT) AS c{s}" for s in range(NUM_PERM)
+    )
+    merged_mins = ", ".join(
+        f"CAST(MIN(mh{s}) AS BIGINT) AS m{s}" for s in range(NUM_PERM)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN mh{s} = c{s} THEN 1 ELSE 0 END" for s in range(NUM_PERM)
+    )
+    merged_eq = " AND ".join(f"m{s} = c{s}" for s in range(NUM_PERM))
+    return (
+        f"WITH {_DOCS_SH}, "
+        "hashed AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(t), 1, 10)) AS BIGINT) AS h1, "
+        "CAST(concat('0x', substr(md5(t), 11, 10)) AS BIGINT) AS h2 "
+        "FROM (SELECT doc_id, unnest(sh) AS t FROM docs)), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id), "
+        "src AS (SELECT doc_id, source FROM documents), "
+        "pd AS (SELECT source, sig.* FROM sig JOIN src USING (doc_id)), "
+        "shard AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"{shard_mins} FROM pd GROUP BY source), "
+        f"corpus AS (SELECT {corpus_mins} FROM sig), "
+        f"merged AS (SELECT {merged_mins} FROM shard), "
+        "shsrc AS (SELECT source, t FROM "
+        "(SELECT doc_id, unnest(sh) AS t FROM docs) JOIN src USING (doc_id)), "
+        "nsh AS (SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) "
+        "AS n_shingles FROM shsrc GROUP BY source), "
+        "nun AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_union FROM shsrc) "
+        "SELECT shard.source, n_docs, n_shingles, "
+        f"CAST({NUM_PERM} AS BIGINT) AS n_components, "
+        f"CAST({match_sum} AS BIGINT) AS sketch_matches, "
+        f"CAST((1000000 * ({match_sum})) // {NUM_PERM} AS BIGINT) AS est_ppm, "
+        "CAST((1000000 * n_shingles) // n_union AS BIGINT) AS exact_ppm, "
+        f"({merged_eq}) AS merged_ok "
+        "FROM shard JOIN nsh USING (source), corpus, merged, nun "
+        "ORDER BY shard.source"
+    )
+
+
+NS_ORACLES["ns_sketch_shard_merge"] = _sketch_shard_merge_sql()

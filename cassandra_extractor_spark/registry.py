@@ -193,6 +193,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_dsir_select": SM.ns_dsir_select,
     "ns_waterfill_cap": SM.ns_waterfill_cap,
     "ns_domain_reweight": SM.ns_domain_reweight,
+    "ns_sketch_shard_merge": D.ns_sketch_shard_merge,
     "ns_bm25": TX.ns_bm25,
     "ns_entropy": TX.ns_entropy,
     "ns_cross_split_leakage": D.ns_cross_split_leakage,
@@ -340,7 +341,7 @@ QUERIES: dict[str, QueryFn] = {
 #: prioritization, not selection.
 _PRIORITY_PREFIX = [
     # NEW in round 12: zero evidence, oldest by rule
-    "ns_waterfill_cap", "ns_domain_reweight",
+    "ns_waterfill_cap", "ns_domain_reweight", "ns_sketch_shard_merge",
     # oldest driver evidence, excluding the r10 ∪ r11 samples
     "q22_window_rank", "q23_window_running_sum",
     "q24_union", "q25_except", "q26_rollup", "q27_dedup",

@@ -508,6 +508,7 @@ DOC_QUERIES = [
     # stress lives in test_domain_mixture_differential below)
     "ns_waterfill_cap",
     "ns_domain_reweight",
+    "ns_sketch_shard_merge",
     # round 11 (ns_bm25_store builds its posting + doclen stores from
     # the generated corpus per example — the store path itself under
     # hostile text, compared against ns_bm25's oracle SQL)
@@ -656,37 +657,55 @@ def test_doc_query_differential(spark, tmp_path_factory, name, texts):
 )
 @given(
     rows=st.lists(
-        st.tuples(_text, st.sampled_from(["en", "de", "zh", "xx"])),
+        st.tuples(
+            _text,
+            st.sampled_from(["en", "de", "zh", "xx"]),
+            st.sampled_from(["web", "book", "code"]),
+        ),
         min_size=1,
         max_size=16,
     )
 )
 def test_domain_mixture_differential(spark, tmp_path_factory, rows):
-    """Hostile MULTI-domain corpora for the round-12 mixture ops:
-    random lang labels stress the waterfilling boundary cases (ties,
-    single domain, every-domain-capped) and the ln/exp parity of the
-    exponentiated-gradient update — the main doc differential keeps
-    lang fixed at 'en', which degenerates both ops to one domain."""
+    """Hostile MULTI-domain corpora for the round-12 mixture/sketch
+    ops: random lang labels stress the waterfilling boundary cases
+    (ties, single domain, every-domain-capped) and the ln/exp parity
+    of the exponentiated-gradient update; random source labels stress
+    the shard-merge audit (empty shards, one-doc shards, shards whose
+    docs are all <3 tokens) — the main doc differential keeps both
+    labels fixed, which degenerates all three to one domain/shard."""
     d = tmp_path_factory.mktemp("diffm")
-    texts = [t for t, _ in rows]
-    langs = [l for _, l in rows]
+    texts = [t for t, _, _ in rows]
     pd.DataFrame(
         {
             "doc_id": pd.Series(range(len(rows)), dtype="int64"),
             "text": pd.Series(texts, dtype="object"),
-            "lang": pd.Series(langs, dtype="object"),
-            "source": pd.Series(["web"] * len(rows), dtype="object"),
+            "lang": pd.Series([l for _, l, _ in rows], dtype="object"),
+            "source": pd.Series([s for _, _, s in rows], dtype="object"),
             "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
         }
     ).to_parquet(d / "documents.parquet", index=False)
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'")
-    for name in ("ns_waterfill_cap", "ns_domain_reweight"):
-        sdf = QUERIES[name](spark, str(d)).toPandas()
-        s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
-        odf = con.sql(_oracle_for(name)).fetchdf()
-        o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
-        assert s_hash == o_hash, (name, len(sdf), len(odf))
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'"
+        )
+        for name in (
+            "ns_waterfill_cap",
+            "ns_domain_reweight",
+            "ns_sketch_shard_merge",
+        ):
+            sdf = QUERIES[name](spark, str(d)).toPandas()
+            s_hash = check.canon_hash(list(sdf.columns), check.pandas_rows(sdf))
+            odf = con.sql(_oracle_for(name)).fetchdf()
+            o_hash = check.canon_hash(list(odf.columns), check.pandas_rows(odf))
+            assert s_hash == o_hash, (name, len(sdf), len(odf))
+    finally:
+        # the shard audit builds chain entries for the tmp corpus —
+        # evict them so the LRU isn't churned by hypothesis examples
+        from cassandra_extractor_spark.operators.dedup import invalidate_dedup_chain
+
+        invalidate_dedup_chain(spark, str(d))
 
 
 EMB_QUERIES = [

@@ -1576,3 +1576,30 @@ def test_dedup_savings_reconciles(spark, sf_dir):
         assert 0 <= r.removable_tokens <= r.total_tokens
         if r.total_tokens:
             assert r.savings_ppm == r.removable_tokens * 1_000_000 // r.total_tokens
+
+
+def test_sketch_shard_merge_properties(spark, sf_dir):
+    """Mergeable-MinHash audit invariants: every shard row reports the
+    merged-equals-direct corpus sketch (associativity over real data);
+    each corpus-sketch component is witnessed by at least one shard;
+    estimates are multiples of the 1/NUM_PERM granularity; and the
+    exact shingle shares are consistent (each shard ≤ the union, the
+    shards together cover it)."""
+    from cassandra_extractor_spark.operators.dedup import (
+        NUM_PERM,
+        ns_sketch_shard_merge,
+    )
+
+    rows = ns_sketch_shard_merge(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merged_ok for r in rows)
+    assert all(0 <= r.sketch_matches <= NUM_PERM for r in rows)
+    # each corpus min comes from some shard: totals across shards must
+    # witness every component at least once
+    assert sum(r.sketch_matches for r in rows) >= NUM_PERM
+    step = 1_000_000 // NUM_PERM
+    assert all(r.est_ppm == r.sketch_matches * step for r in rows)
+    assert all(0 < r.exact_ppm <= 1_000_000 for r in rows)
+    # shards cover the union (with overlap): Σ shard distinct ≥ union
+    n_union = round(rows[0].n_shingles * 1_000_000 / rows[0].exact_ppm)
+    assert sum(r.n_shingles for r in rows) >= n_union
