@@ -3916,3 +3916,90 @@ def q126_cramers_v(spark, sf_dir):
         F.round(F.col("chi2d").cast("double"), 6).alias("chi2"),
         F.when((F.col("n_rows") > 0) & (k > 0), F.round(v, 6)).alias("cramers_v"),
     )
+
+
+def q127_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on PAIRED samples — completes the
+    nonparametric trio (q123 Mann–Whitney: two independent samples;
+    q121 KS: whole distributions; this: within-subject before/after):
+    did customers' order values shift between their FIRST and LAST
+    order?  The paired design removes between-customer variance, which
+    is why it's the standard drift test for per-entity money series.
+
+    EXACT sufficient statistics, the q123 discipline doubled: with
+    d = last − first in integer cents (zeros excluded per the standard
+    procedure), average ranks of |d| stay integer as
+    2·rank = 2·|{|d| < v}| + t + 1, so 2·W⁺ is an exact DECIMAL
+    integer; the tie-corrected normal approximation
+    z = (2W⁺ − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 − Σ(t³−t)/12)
+    is ONE deterministic double expression over four integer
+    aggregates (doubling W scales both moments' integer forms —
+    nothing fractional exists before the final division).
+
+    Scale shape: first/last per customer is a single map-side
+    min/max-of-struct aggregate (no window over raw orders); the rank
+    algebra runs on the (|d| → counts) frame — bounded by the value
+    domain, not the customer count; output is one row.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct(
+            "o_orderdate",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).alias("s"),
+    )
+    pairs = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("s").alias("first"),
+            F.max("s").alias("last"),
+        )
+        .where(F.col("n_orders") >= 2)
+        .select((F.col("last.cents") - F.col("first.cents")).alias("d"))
+    )
+    # ONE corpus pass to the (|d| → counts) frame, zeros kept as their
+    # own group so n_pairs needs no second scan; the frame is
+    # domain-bounded and referenced by both statistics below, so it is
+    # checkpointed once (the q44/ns_length_outliers count-frame rule)
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    counts = materialize_once(
+        pairs.select(
+            F.abs(F.col("d")).alias("v"),
+            F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("pos").cast("long").alias("p"),
+            F.count("*").cast("long").alias("t"),
+        )
+    )
+    n_pairs = counts.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_pairs")
+    )
+    vw = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = counts.where(F.col("v") > 0).withColumn(
+        "less", F.sum("t").over(vw) - F.col("t")
+    )
+    agg = cum.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(dec(F.col("p")) * dec(F.lit(2) * F.col("less") + F.col("t") + 1)).alias(
+            "w2p"
+        ),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t")) - dec(F.col("t"))
+        ).alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    w2d, tiesd = F.col("w2p").cast("double"), F.col("ties").cast("double")
+    sig2 = nd * (nd + 1) * (F.lit(2.0) * nd + 1) / F.lit(6.0) - tiesd / F.lit(12.0)
+    z = (w2d - nd * (nd + 1) / F.lit(2.0)) / F.sqrt(sig2)
+    return n_pairs.crossJoin(agg).select(
+        "n_pairs",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nonzero"),
+        F.coalesce(F.col("w2p"), F.lit(0)).cast("long").alias("w2_plus"),
+        F.when((F.col("n") > 0) & (sig2 > 0), F.round(z, 6)).alias("z"),
+    )

@@ -50,6 +50,7 @@ QUERIES: dict[str, QueryFn] = {
     "ns_length_outliers": TX.ns_length_outliers,
     "ns_ann_symmetry": S.ns_ann_symmetry,
     "q123_mann_whitney": R.q123_mann_whitney,
+    "q127_wilcoxon_signed_rank": R.q127_wilcoxon_signed_rank,
     "q124_cusum_changepoint": R.q124_cusum_changepoint,
     "ns_ann_cell_balance": S.ns_ann_cell_balance,
     "ns_quality_by_dup": X.ns_quality_by_dup,
@@ -342,6 +343,7 @@ QUERIES: dict[str, QueryFn] = {
 _PRIORITY_PREFIX = [
     # NEW in round 12: zero evidence, oldest by rule
     "ns_waterfill_cap", "ns_domain_reweight", "ns_sketch_shard_merge",
+    "q127_wilcoxon_signed_rank",
     # oldest driver evidence, excluding the r10 ∪ r11 samples
     "q22_window_rank", "q23_window_running_sum",
     "q24_union", "q25_except", "q26_rollup", "q27_dedup",
@@ -810,6 +812,42 @@ ORACLES: dict[str, str] = {
         "((CAST(n AS DOUBLE) + 1) - CAST(ties AS DOUBLE) / "
         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))), 6) END AS z "
         "FROM pre"
+    ),
+    "q127_wilcoxon_signed_rank": (
+        # identical doubled-rank integer algebra as the Spark side
+        # (first/last per customer via row_number == min/max of the
+        # (date, orderkey, cents) struct, since (date, orderkey) is
+        # unique); the z expression is the same double AST
+        "WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "r AS (SELECT o_custkey, cents, ROW_NUMBER() OVER w AS rn, "
+        "COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM o "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), "
+        "pairs AS (SELECT MAX(CASE WHEN rn = n THEN cents END) "
+        "- MAX(CASE WHEN rn = 1 THEN cents END) AS d "
+        "FROM r WHERE n >= 2 GROUP BY o_custkey), "
+        "counts AS (SELECT abs(d) AS v, "
+        "CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p, "
+        "CAST(COUNT(*) AS BIGINT) AS t FROM pairs GROUP BY abs(d)), "
+        "np AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_pairs FROM counts), "
+        "cum AS (SELECT p, t, SUM(t) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS less "
+        "FROM counts WHERE v > 0), "
+        "agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n, "
+        "SUM(CAST(p AS HUGEINT) * CAST(2 * less + t + 1 AS HUGEINT)) AS w2p, "
+        "SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT) "
+        "- CAST(t AS HUGEINT)) AS ties FROM cum) "
+        "SELECT n_pairs, CAST(COALESCE(n, 0) AS BIGINT) AS n_nonzero, "
+        "CAST(COALESCE(w2p, 0) AS BIGINT) AS w2_plus, "
+        "CASE WHEN n > 0 AND (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) * "
+        "(2.0 * CAST(n AS DOUBLE) + 1) / 6.0 "
+        "- CAST(ties AS DOUBLE) / 12.0) > 0 THEN "
+        "round((CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE) * "
+        "(CAST(n AS DOUBLE) + 1) / 2.0) / "
+        "sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) * "
+        "(2.0 * CAST(n AS DOUBLE) + 1) / 6.0 "
+        "- CAST(ties AS DOUBLE) / 12.0), 6) END AS z "
+        "FROM np, agg"
     ),
     "q124_cusum_changepoint": (
         "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events), "

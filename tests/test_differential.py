@@ -195,6 +195,9 @@ def test_event_query_differential(spark, tmp_path_factory, name, rows):
 
 
 ORDER_QUERIES = [
+    # round 12: paired signed-rank — mirrored rows drive d to exact
+    # zeros (the exclusion branch) and tie-heavy |d| groups
+    "q127_wilcoxon_signed_rank",
     # round 10
     "q123_mann_whitney",
     "q125_theil_index",

@@ -1603,3 +1603,54 @@ def test_sketch_shard_merge_properties(spark, sf_dir):
     # shards cover the union (with overlap): Σ shard distinct ≥ union
     n_union = round(rows[0].n_shingles * 1_000_000 / rows[0].exact_ppm)
     assert sum(r.n_shingles for r in rows) >= n_union
+
+
+def test_wilcoxon_signed_rank_first_principles(spark, sf_dir):
+    """q127 recomputed from raw orders in plain Python: first/last per
+    customer by (date, orderkey), zero diffs excluded, average ranks
+    over |d| with tie correction — the exact integers must match and z
+    must agree to float tolerance."""
+    import math
+
+    from cassandra_extractor_spark.operators.relational import (
+        q127_wilcoxon_signed_rank,
+    )
+    from cassandra_extractor_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.o_custkey, []).append(
+            (r.o_orderdate, r.o_orderkey, round(r.o_totalprice * 100))
+        )
+    ds = []
+    for v in per.values():
+        if len(v) >= 2:
+            v.sort()
+            ds.append(v[-1][2] - v[0][2])
+    nz = sorted((abs(d), d > 0) for d in ds if d != 0)
+    n = len(nz)
+    # doubled average ranks per |d| group
+    w2p = 0
+    ties = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and nz[j][0] == nz[i][0]:
+            j += 1
+        t = j - i
+        ties += t**3 - t
+        rank2 = 2 * i + t + 1  # doubled average rank of the group
+        w2p += rank2 * sum(1 for k in range(i, j) if nz[k][1])
+        i = j
+    got = q127_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got.n_pairs == len(ds)
+    assert got.n_nonzero == n
+    assert got.w2_plus == w2p
+    sig2 = n * (n + 1) * (2.0 * n + 1) / 6.0 - ties / 12.0
+    z = (w2p - n * (n + 1) / 2.0) / math.sqrt(sig2)
+    assert abs(got.z - z) < 1e-6
