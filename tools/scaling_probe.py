@@ -61,6 +61,9 @@ PROBES = {
     # drift vs structural; the shared token-stream read is confirmed
     # still wired, so a flat ratio = ambient)
     "ns_dsir_select": "hashed-bigram LLR scoring: fixed-size count tables + broadcast-back (cold chain)",
+    # round-12 additions
+    "ns_sketch_shard_merge": "per-shard MIN-merge over per-doc signatures + exact-share audit (cold chain)",
+    "q127_wilcoxon_signed_rank": "paired signed-rank: struct-min/max aggregate + domain-bounded doubled ranks",
 }
 CHAIN_QUERIES = {
     "ns_dedup_minhash_lsh",
@@ -78,6 +81,7 @@ CHAIN_QUERIES = {
     # so each run pays store build + ranked read end-to-end
     "ns_bm25_store",
     "ns_dsir_select",
+    "ns_sketch_shard_merge",
 }
 
 
