@@ -127,6 +127,9 @@ def stream_posting_ingest(
     safety argument)."""
     if auto_compact and not store_table:
         raise ValueError("auto_compact requires store_table")
+    if auto_compact and auto_compact.get("doclen_table") and not doclen_delta_dir:
+        # fail at start-up, not at the first mid-stream policy check
+        raise ValueError("auto_compact doclen_table requires doclen_delta_dir")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
