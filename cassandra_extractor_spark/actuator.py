@@ -255,6 +255,12 @@ class Actuator:
             base = _dir_bytes(loc) if loc else 0
             delta = _dir_bytes(params["delta_dir"])
             if kind == "posting" and params.get("doclen_table"):
+                if not params.get("doclen_delta_dir"):
+                    # guard here, not only in compact_store: every
+                    # policy entry point (store_sizes,
+                    # compaction_policy, mode=check) must fail with the
+                    # descriptive error, not a raw KeyError
+                    raise ValueError("doclen_table requires doclen_delta_dir")
                 dl_loc = self._table_location(params["doclen_table"])
                 base += _dir_bytes(dl_loc) if dl_loc else 0
                 delta += _dir_bytes(params["doclen_delta_dir"])
@@ -278,8 +284,11 @@ class Actuator:
 
     def compact_store(self, kind: str, params: dict[str, Any]) -> dict[str, Any]:
         """Operational entry point for the incremental stores'
-        maintenance jobs (run between streaming restarts — never
-        concurrently with an active ingest, per each store's contract):
+        maintenance jobs.  Run between streaming restarts; the ingest
+        streams may also invoke the same folds in-band from their own
+        serial ``foreachBatch`` hook (``auto_compact``) — what remains
+        forbidden is an EXTERNAL fold concurrent with an active ingest
+        (safety argument in ``streaming/maintenance.py``):
 
         - ``signature``: fold the streamed band delta into the bucketed
           LSH base (params: ``table``, ``delta_dir``, ``n_buckets``);

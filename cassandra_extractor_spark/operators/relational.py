@@ -3733,10 +3733,15 @@ def q123_mann_whitney(spark, sf_dir):
     (sqrt → irrational → round-safe; same discipline as q116).
 
     Scale shape: one map-side-combined corpus aggregate to the
-    (value → count_a, count_b) frame; the cumulative window runs over
-    the |distinct values| frame ordered once (domain-bounded, not
-    corpus-bounded — q121's rationale); the final statistics are a
-    1-row aggregate.
+    (value → count_a, count_b) frame; ranks are a two-level
+    distributed prefix sum (the q44/q101/q116 discipline): per-bucket
+    totals come from the corpus directly so the count frame stays
+    single-referenced, the only unpartitioned window runs over the
+    tiny ≤|buckets| frame, and the in-bucket prefix is partitioned on
+    the bucket key — no single task ever funnels the whole value
+    domain (retired in round 13: previously one unpartitioned window
+    over the distinct-value frame); the final statistics are a 1-row
+    aggregate.
     """
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -3748,10 +3753,20 @@ def q123_mann_whitney(spark, sf_dir):
         F.sum(F.when(F.col("t") == "1-URGENT", 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(F.col("t") == "5-LOW", 1).otherwise(0)).cast("long").alias("b"),
     )
-    vw = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    bkt = F.floor(F.col("x") / F.lit(float(2**20)))
+    btot = o.groupBy(bkt.alias("bkt")).agg(F.count("*").cast("long").alias("bc"))
+    bw = W.orderBy("bkt")
+    before_bkt = btot.select(
+        "bkt", (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt")
+    )
+    lw = W.partitionBy("bkt").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     t = F.col("a") + F.col("b")
-    cum = counts.withColumn("less", F.sum(t).over(vw) - t)
+    cum = (
+        counts.withColumn("bkt", bkt)
+        .join(F.broadcast(before_bkt), "bkt")
+        .withColumn("less", F.col("before_bkt") + F.sum(t).over(lw) - t)
+    )
     # 2·R_A = Σ_values a · (2·less + t + 1); ties: Σ (t³ − t)
     agg = cum.agg(
         F.sum("a").cast("long").alias("n_a"),
@@ -3939,7 +3954,12 @@ def q127_wilcoxon_signed_rank(spark, sf_dir):
     Scale shape: first/last per customer is a single map-side
     min/max-of-struct aggregate (no window over raw orders); the rank
     algebra runs on the (|d| → counts) frame — bounded by the value
-    domain, not the customer count; output is one row.
+    domain, not the customer count — as a two-level distributed
+    prefix sum (the q44/q101/q116 discipline, retired here in round
+    13): the only unpartitioned window runs over the ≤|buckets|
+    per-bucket-total frame (derived from the already-materialized
+    count frame), the in-bucket prefix is partitioned on the bucket
+    key; output is one row.
     """
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -3979,10 +3999,21 @@ def q127_wilcoxon_signed_rank(spark, sf_dir):
     n_pairs = counts.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_pairs")
     )
-    vw = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    pos = counts.where(F.col("v") > 0)
+    # bucket totals from the materialized count frame (checkpointed
+    # above, so the second reference reads blocks, not the corpus)
+    bkt = F.floor(F.col("v") / F.lit(float(2**20)))
+    btot = pos.groupBy(bkt.alias("bkt")).agg(F.sum("t").cast("long").alias("bc"))
+    bw = W.orderBy("bkt")
+    before_bkt = btot.select(
+        "bkt", (F.sum("bc").over(bw) - F.col("bc")).alias("before_bkt")
+    )
+    lw = W.partitionBy("bkt").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cum = counts.where(F.col("v") > 0).withColumn(
-        "less", F.sum("t").over(vw) - F.col("t")
+    cum = (
+        pos.withColumn("bkt", bkt)
+        .join(F.broadcast(before_bkt), "bkt")
+        .withColumn("less", F.col("before_bkt") + F.sum("t").over(lw) - F.col("t"))
     )
     agg = cum.agg(
         F.sum("t").cast("long").alias("n"),

@@ -226,8 +226,11 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
     read the directory it is rewriting), the delta is removed only
     after the commit; a crash in between leaves duplicate vectors in
     base∪delta, which the ranked read tolerates (``ann_store_topk``
-    dedupes candidates on (q_id, n_id) before ranking).  Returns the
-    number of delta vectors absorbed."""
+    dedupes candidates on (q_id, n_id) before ranking).  Safe between
+    restarts or in-band from the owning query's serial ``foreachBatch``
+    hook (``auto_compact``; safety argument in
+    ``streaming/maintenance.py``) — only external concurrent invocation
+    is forbidden.  Returns the number of delta vectors absorbed."""
     import shutil
 
     try:

@@ -129,9 +129,15 @@ def compact_signature_store(
 
     Reads base ∪ delta, rewrites the store with the SAME bucket spec
     (one full shuffle, amortized across every future batch join), and
-    removes the absorbed delta partitions.  Run it between streaming
-    query restarts — never concurrently with an active query, which
-    may be appending new ``batch=<id>`` partitions.  Returns the
+    removes the absorbed delta partitions.  Safe to run between
+    streaming query restarts, or in-band from the SAME query's
+    ``foreachBatch`` hook (``auto_compact`` →
+    ``maintenance.maybe_compact_signature``): micro-batches never
+    overlap within one query, so an in-hook fold is exactly as
+    isolated as one run between restarts (full safety argument in
+    ``streaming/maintenance.py``).  Only EXTERNAL concurrent
+    invocation — a separate process folding while an active query
+    appends ``batch=<id>`` partitions — remains forbidden.  Returns the
     number of delta band rows absorbed (0 = nothing to do, store
     untouched).
     """

@@ -130,6 +130,14 @@ def stream_posting_ingest(
     if auto_compact and auto_compact.get("doclen_table") and not doclen_delta_dir:
         # fail at start-up, not at the first mid-stream policy check
         raise ValueError("auto_compact doclen_table requires doclen_delta_dir")
+    if auto_compact and doclen_delta_dir and not auto_compact.get("doclen_table"):
+        # converse guard: doclen deltas accruing outside the size-ratio
+        # policy would grow unboundedly while only postings get folded
+        raise ValueError(
+            "auto_compact with doclen_delta_dir requires doclen_table, "
+            "otherwise doclen deltas are excluded from the size-ratio "
+            "policy and grow unboundedly"
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -483,8 +491,11 @@ def compact_posting_store(
     crash window (base committed, delta not yet removed): the merge
     dedupes on (doc_id, tok) keeping MAX(tf) — re-absorbing an
     already-folded batch changes nothing, because a given (doc, term)
-    posting is identical in both copies.  Returns delta posting rows
-    absorbed (0 = nothing to do)."""
+    posting is identical in both copies.  Safe between restarts or
+    in-band from the owning query's serial ``foreachBatch`` hook
+    (``auto_compact``; safety argument in ``streaming/maintenance.py``)
+    — only external concurrent invocation is forbidden.  Returns delta
+    posting rows absorbed (0 = nothing to do)."""
     import shutil
 
     try:

@@ -89,3 +89,71 @@ def test_run_drift_surfaces_uniform_structural_slowdown():
     # multi-run history: drift measured against the median baseline
     fast = _quiet_run(20, 0.5)
     assert run_drift([prev, fast, prev], {n: 1.2 for n in prev}) == 1.2
+
+
+def test_confirm_regressions_retracts_ambient_spike():
+    """Round-13 (r12 verdict #1): a flagged query whose in-process
+    re-run comes back fast is an ambient spike — retracted into the
+    ambient list with the audit fields, not shipped as a regression."""
+    from bench import confirm_regressions
+
+    flagged = [
+        {"query": "q03", "base_sec": 1.0, "cur_sec": 3.0, "ratio": 3.0}
+    ]
+    confirmed, ambient = confirm_regressions(
+        flagged, 1.0, lambda name: [1.05, 0.98]
+    )
+    assert confirmed == []
+    assert [r["query"] for r in ambient] == ["q03"]
+    assert ambient[0]["reruns"] == [1.05, 0.98]
+    assert ambient[0]["rerun_min"] == 0.98
+    assert ambient[0]["reproduced"] is False
+
+
+def test_confirm_regressions_keeps_reproducing_slowdown():
+    """A structural regression reproduces: the re-run min still clears
+    1.5 x drift vs the baseline, so the flag survives (with evidence)."""
+    from bench import confirm_regressions
+
+    flagged = [
+        {"query": "q05", "base_sec": 1.0, "cur_sec": 3.0, "ratio": 3.0}
+    ]
+    confirmed, ambient = confirm_regressions(
+        flagged, 1.0, lambda name: [2.9, 3.1]
+    )
+    assert ambient == []
+    assert [r["query"] for r in confirmed] == ["q05"]
+    assert confirmed[0]["reproduced"] is True
+    assert confirmed[0]["rerun_min"] == 2.9
+
+
+def test_confirm_regressions_unrerunnable_keeps_flag():
+    """A flag that can't be re-run (shared build line item, re-run
+    error) can't be disproven — it stays confirmed, un-annotated."""
+    from bench import confirm_regressions
+
+    flagged = [
+        {"query": "shared_dedup_chain_build", "base_sec": 4.0,
+         "cur_sec": 9.0, "ratio": 2.25}
+    ]
+    confirmed, ambient = confirm_regressions(flagged, 1.0, lambda name: None)
+    assert ambient == []
+    assert confirmed == flagged
+    assert "reruns" not in confirmed[0]
+
+
+def test_confirm_regressions_threshold_scales_with_drift():
+    """The reproduce bar is the SAME normalized threshold as the flag:
+    under host drift 1.4, a re-run min of 1.9x base (< 1.5 x 1.4) is
+    ambient; the identical min on a quiet box reproduces."""
+    from bench import confirm_regressions
+
+    flagged = [{"query": "q09", "base_sec": 1.0, "cur_sec": 2.4, "ratio": 2.4}]
+    confirmed, ambient = confirm_regressions(
+        [dict(flagged[0])], 1.4, lambda name: [1.9]
+    )
+    assert confirmed == [] and len(ambient) == 1
+    confirmed, ambient = confirm_regressions(
+        [dict(flagged[0])], 1.0, lambda name: [1.9]
+    )
+    assert len(confirmed) == 1 and ambient == []

@@ -464,12 +464,16 @@ def test_posting_policy_counts_doclen_and_validates_pair(spark, tmp_path):
     build_doclens(docs).write.mode("overwrite").parquet(f"{dl_delta}/batch=0")
     actuator = Actuator(spark, MetricsRegistry())
     try:
+        bad = {"table": "dlpol_t", "delta_dir": str(tmp_path / "nodelta"),
+               "doclen_table": "dlpol_dl"}
         with pytest.raises(ValueError, match="doclen_table requires doclen_delta_dir"):
-            actuator.compact_store(
-                "posting",
-                {"table": "dlpol_t", "delta_dir": str(tmp_path / "nodelta"),
-                 "doclen_table": "dlpol_dl"},
-            )
+            actuator.compact_store("posting", bad)
+        # round-13 (advisor): the descriptive error also fires on the
+        # policy-only entry points, not a raw KeyError
+        with pytest.raises(ValueError, match="doclen_table requires doclen_delta_dir"):
+            actuator.store_sizes("posting", bad)
+        with pytest.raises(ValueError, match="doclen_table requires doclen_delta_dir"):
+            actuator.compaction_policy("posting", bad)
         base_params = {"table": "dlpol_t", "delta_dir": str(tmp_path / "nodelta")}
         dl_params = {**base_params, "doclen_table": "dlpol_dl",
                      "doclen_delta_dir": dl_delta}

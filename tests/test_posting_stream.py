@@ -430,3 +430,31 @@ spark.stop()
     # failed: the tables had been dropped out from under the cache)
     assert ensure_session_bm25_store(spark, sf_dir) is mine
     assert [(r.doc_id, r.bm25) for r in ns_bm25_store(spark, sf_dir).collect()] == want
+
+
+def test_auto_compact_doclen_param_pairing_rejected_at_start(spark, tmp_path):
+    """Round-13 (advisor): BOTH directions of the doclen param pairing
+    fail at stream start — doclen_table without doclen_delta_dir
+    (round-12 guard) AND doclen_delta_dir without doclen_table (the
+    converse: doclen deltas silently excluded from the size-ratio
+    policy would grow unboundedly while only postings fold)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    common = dict(
+        source_path=str(src),
+        schema=SCHEMA,
+        delta_dir=str(tmp_path / "delta"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_table="never_created",
+    )
+    with pytest.raises(ValueError, match="doclen_table requires doclen_delta_dir"):
+        stream_posting_ingest(
+            spark, auto_compact={"doclen_table": "dl_t"}, **common
+        )
+    with pytest.raises(ValueError, match="requires doclen_table"):
+        stream_posting_ingest(
+            spark,
+            doclen_delta_dir=str(tmp_path / "dl_delta"),
+            auto_compact={"threshold": 0.2},
+            **common,
+        )

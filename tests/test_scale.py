@@ -705,6 +705,72 @@ def test_low_cardinality_windows_never_see_corpus_rows(spark, sf_dir):
         assert _window_paths_pass_aggregate(opt), (name, opt.toString())
 
 
+def _unpartitioned_windows_sit_on_bucket_aggregate(node, under=False) -> bool:
+    """True iff every Window with an EMPTY partitionSpec sits over an
+    Aggregate that groups on the bucket key — i.e. an unpartitioned
+    sort touches at most |buckets| rows, never a full distinct-value
+    frame (the q44/q101/q116 two-level discipline).  Walks the
+    optimized logical plan."""
+    name = node.nodeName()
+    if name == "Aggregate":
+        # the bucket aggregate groups on the FLOOR(value/width) key.
+        # The optimizer extracts that expression into a child Project
+        # and renames the grouping to `_groupingexpression` — which is
+        # itself the discriminator: a count-frame aggregate groups on
+        # a RAW value column and keeps its name (x/v/c), never earning
+        # the extracted-expression marker
+        ge = node.groupingExpressions().toString()
+        if under and "bkt" not in ge and "groupingexpression" not in ge:
+            return False
+        under = False  # below a bucket aggregate: frame is ≤|buckets|
+    if "Relation" in name and under:
+        return False  # unpartitioned window saw raw rows, no aggregate
+    if name == "Window" and node.partitionSpec().isEmpty():
+        under = True
+    ch = node.children()
+    return all(
+        _unpartitioned_windows_sit_on_bucket_aggregate(ch.apply(i), under)
+        for i in range(ch.size())
+    )
+
+
+def test_rank_statistics_unpartitioned_windows_are_bucket_bounded(spark, sf_dir):
+    """Round-13 (r12 verdict #3): the rank-statistic family's only
+    unpartitioned windows run over the ≤|buckets| per-bucket-total
+    frame — q123/q127 retired their single window over the whole
+    distinct-value frame into the shared two-level prefix-sum shape
+    (q44 pinned too: it set the pattern)."""
+    from cassandra_extractor_spark.registry import QUERIES
+
+    for name in ("q123_mann_whitney", "q127_wilcoxon_signed_rank", "q44_percentile"):
+        df = QUERIES[name](spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        assert _unpartitioned_windows_sit_on_bucket_aggregate(opt), (
+            name,
+            opt.toString(),
+        )
+        # and the general guard: no window (partitioned or not) ever
+        # sorts raw corpus rows
+        assert _window_paths_pass_aggregate(opt), (name, opt.toString())
+
+
+def test_bucket_window_checker_rejects_value_frame_window(spark):
+    """Negative control for the checker above: the RETIRED spelling —
+    one unpartitioned cumulative window straight over a value-grouped
+    count frame — must fail it (otherwise the guard guards nothing)."""
+    df = spark.range(100).select((F.col("id") % 7).alias("x"))
+    counts = df.groupBy("x").agg(F.count("*").alias("t"))
+    from pyspark.sql import Window as PW
+
+    old = counts.withColumn(
+        "less",
+        F.sum("t").over(PW.orderBy("x").rowsBetween(PW.unboundedPreceding, 0))
+        - F.col("t"),
+    )
+    opt = old._jdf.queryExecution().optimizedPlan()
+    assert not _unpartitioned_windows_sit_on_bucket_aggregate(opt)
+
+
 def test_corpus_family_single_signing_pass(spark, sf_dir):
     """Regression guard for the round-9 shared chain: the corpus-family
     pipelines must read the session-shared materialized signature→LSH→
