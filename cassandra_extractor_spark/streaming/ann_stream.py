@@ -240,7 +240,17 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
     absorbed = delta.count()
     if absorbed == 0:
         return 0
-    merged = _read_store(spark, store_dir).localCheckpoint(eager=True)
+    # dropDuplicates(vec_id) makes the fold SELF-HEALING across the
+    # crash window: re-absorbing a delta whose rows already reached the
+    # base (fold committed, delta removal crashed, batch replayed)
+    # collapses the duplicates instead of carrying them in the base
+    # forever (assignment is keep=1 and deterministic, so duplicate
+    # vec_id rows are identical — keeping any one is exact)
+    merged = (
+        _read_store(spark, store_dir)
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
     merged.write.mode("overwrite").partitionBy("c_id").parquet(f"{store_dir}/base")
     shutil.rmtree(f"{store_dir}/delta", ignore_errors=True)
     return absorbed

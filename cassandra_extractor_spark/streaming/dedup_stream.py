@@ -150,7 +150,17 @@ def compact_signature_store(
     absorbed = delta.count()
     if absorbed == 0:
         return 0
-    merged = spark.table(store_table).select(*_BAND_COLS).unionByName(delta)
+    # .distinct() makes the fold SELF-HEALING across the crash window:
+    # re-absorbing a delta whose band rows already reached the base
+    # (fold committed, delta removal crashed, batch replayed) collapses
+    # the duplicates instead of carrying them in the base forever —
+    # band rows are set-semantic by the store's contract
+    merged = (
+        spark.table(store_table)
+        .select(*_BAND_COLS)
+        .unionByName(delta)
+        .distinct()
+    )
     # two-phase rename-free rewrite: the store table swaps atomically at
     # the saveAsTable commit; the delta is removed only afterwards, so a
     # crash between the two steps leaves duplicate bands (harmless: the
