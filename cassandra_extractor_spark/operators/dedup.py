@@ -954,7 +954,15 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment.  Lazy import: similarity imports this module.
     from cassandra_extractor_spark.operators.similarity import shared_embeddings
 
-    e = shared_embeddings(spark, sf_dir)
+    return semantic_dedup_frame(shared_embeddings(spark, sf_dir))
+
+
+def semantic_dedup_frame(e: DataFrame) -> DataFrame:
+    """The SemDeDup core over an arbitrary normed embedding frame
+    ``(vec_id, emb, nrm)`` — split out of ``ns_semantic_dedup`` so the
+    streaming gate's parity test can run both spellings over the same
+    augmented corpus (the registry entry keeps reading the session
+    frame).  Semantics and plan shape documented above."""
     cent = e.where(F.col("vec_id") < N_SEM_CELLS).select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
     )
