@@ -332,34 +332,32 @@ QUERIES: dict[str, QueryFn] = {
 #: before it and every entry re-earns driver evidence ~once per 5
 #: rounds.  The union of CORRECTNESS_r{01..10}.json covers ALL 264
 #: pre-round-11 registry names — the rotation accrues further-pass
-#: evidence where it is stalest.  This round's 60, computed
-#: mechanically from the CORRECTNESS files (oldest round first,
-#: name-ordered within a round; verified disjoint from the r9∪r10
-#: samples): the NEW round-11 operator (zero evidence) leads, then
-#: the 59 oldest-evidence eligibles — which naturally include the
-#: TPC-H heavies and the round-11-replanned ANN consumer
-#: ns_ann_lsh_bucketed.  Every entry stays registered —
-#: prioritization, not selection.
+#: evidence where it is stalest.  Computed mechanically each round
+#: from the CORRECTNESS files (oldest round first, name-ordered
+#: within a round; new zero-evidence entries lead).  Every entry
+#: stays registered — prioritization, not selection.
 _PRIORITY_PREFIX = [
-    # NEW in round 12: zero evidence, oldest by rule
-    "ns_waterfill_cap", "ns_domain_reweight", "ns_sketch_shard_merge",
-    "q127_wilcoxon_signed_rank",
-    # oldest driver evidence, excluding the r10 ∪ r11 samples
-    "q22_window_rank", "q23_window_running_sum",
-    "q24_union", "q25_except", "q26_rollup", "q27_dedup",
-    "q28_date_funcs", "q29_string_funcs", "q30_case", "q31_json_extract",
-    "q32_event_agg", "q33_range_join", "q72_funnel", "q73_retention_cohorts",
-    "q74_latency_bands", "q75_path_analysis", "ns_ann_mrr", "ns_cluster_purity",
-    "ns_doc_fingerprint", "ns_hybrid_rrf", "ns_knn_classifier", "ns_lang_id",
-    "ns_ngram_pmi", "ns_pii_scrub", "ns_preference_pairs", "ns_text_quality",
-    "ns_tfidf", "ns_token_count", "ns_tokenizer_fertility", "q122_hist_quantile",
-    "q34_asof_join", "q35_time_bucket", "q36_cube", "q37_grouping_sets",
-    "q39_exists_subquery", "q40_scalar_subquery", "q41_cte", "q42_pivot",
-    "q43_unpivot", "q44_percentile", "q45_stats", "q46_recursive_cte",
-    "q47_regex_funcs", "q48_null_funcs", "q49_intersect", "q50_lag_lead",
+    # Round 13 (no new registry entries this round — robustness round):
+    # the 60 oldest-evidence eligibles, computed mechanically from
+    # CORRECTNESS_r01..r12 (latest-green round r7/r8 for all of these),
+    # excluding the r11 ∪ r12 samples.  Includes the round-13-replanned
+    # rank statistics' neighbors and the TPC-H heavies whose evidence
+    # is stalest.
     "q54_date_arith", "q55_range_frame", "q56_first_last", "q57_array_funcs",
     "q58_explode", "q59_except_all", "q60_not_exists", "q61_json_keys",
-    "q62_histogram", "q76_rolling_zscore",
+    "q62_histogram", "q76_rolling_zscore", "tpch_q02", "tpch_q07",
+    "tpch_q08", "tpch_q09", "tpch_q11", "tpch_q13",
+    "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21",
+    "ns_ann_cosine_topk", "ns_ann_ivf", "ns_ann_pq", "ns_ann_recall",
+    "ns_boilerplate", "ns_cdc_chunk", "ns_chunk_dedup", "ns_corpus_diff",
+    "ns_corpus_drift", "ns_corpus_select", "ns_corpus_stats", "ns_data_audit",
+    "ns_decontaminate", "ns_dedup_clusters", "ns_dedup_containment", "ns_dedup_exact",
+    "ns_dedup_fingerprint", "ns_dedup_jaccard", "ns_dedup_minhash_lsh", "ns_dedup_prefix_jaccard",
+    "ns_dedup_simhash", "ns_doc_chunk", "ns_embedding_quantize", "ns_filter_funnel",
+    "ns_gate_agreement", "ns_kmeans_step", "ns_mixture_sample", "ns_multimodal_meta",
+    "ns_neardup_editdist", "ns_neardup_embedding", "ns_quality_classifier", "ns_repetition_filter",
+    "ns_sample_stratified", "ns_sample_uniform", "ns_semantic_dedup", "ns_sequence_pack",
+    "ns_sessionize", "ns_split_assign", "ns_tablespec_pipeline", "ns_top_terms",
 ]
 QUERIES = {name: QUERIES[name] for name in _PRIORITY_PREFIX} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_PREFIX)
