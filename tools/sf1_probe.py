@@ -199,15 +199,17 @@ def main() -> None:
             samples.append(time.time() - t0)
         record("ns_dedup_simhash", tag, sorted(samples)[1])
 
-        # 3. q116_spearman — plain median-of-3
-        samples = []
-        for _ in range(3):
-            t0 = time.time()
-            QUERIES["q116_spearman"](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            samples.append(time.time() - t0)
-        record("q116_spearman", tag, sorted(samples)[1])
+        # 3. plain median-of-3 probes: the remaining hot classes whose
+        # inputs the tier carries (lineitem-only plans)
+        for qname in ("q116_spearman", "q101_weighted_median", "tpch_q01"):
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                QUERIES[qname](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            record(qname, tag, sorted(samples)[1])
 
     lines = [
         "## sf1 probe — the hot classes at 10× sf0.1 (round 13)",
