@@ -389,3 +389,55 @@ def test_stream_semantic_dedup_parity_with_batch_operator(spark, sf_dir, tmp_pat
         for r in _read_store(spark, store).select("vec_id", "c_id").collect()
     }
     assert got_cells == want_cells
+
+
+def test_auto_compaction_mid_stream_semantic_gate(spark, tmp_path):
+    """Round-13: the SemDeDup gate honors the same in-band
+    ``auto_compact`` contract as the other three ingest streams — the
+    fold fires exactly once at its cadence, and the pair stream is
+    unaffected by WHERE candidates live (base vs delta): a duplicate
+    arriving after the fold is still caught, now against the base."""
+    import os
+
+    from cassandra_extractor_spark.streaming.ann_stream import (
+        stream_semantic_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "stage").mkdir()
+    store = str(tmp_path / "semstore")
+    cent = spark.createDataFrame(
+        pd.DataFrame(
+            {"c_id": [0, 1], "c_emb": [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]}
+        ),
+        "c_id LONG, c_emb ARRAY<DOUBLE>",
+    )
+    init_ann_centroids(spark, cent, store)
+
+    got: dict[int, set[tuple[int, int]]] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {(r["new_id"], r["dup_of"]) for r in df.collect()}
+
+    # batch 0/1 fresh; the cadence-2 policy folds after batch 1;
+    # batch 2's duplicate of 10 must then come from the BASE
+    _write_vec_batch(spark, tmp_path, src, 0, {10: [1.0, 0.0, 0.0, 0.0]})
+    _write_vec_batch(spark, tmp_path, src, 1, {11: [0.0, 1.0, 0.0, 0.0]})
+    _write_vec_batch(spark, tmp_path, src, 2, {12: [0.99, 0.1, 0.0, 0.0]})
+    q = stream_semantic_dedup(
+        spark,
+        source_path=str(src),
+        schema=_EMB_SCHEMA,
+        store_dir=store,
+        pairs_sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tau=0.8,
+        auto_compact={"every_n_batches": 2, "threshold": 1e-9},
+    )
+    q.awaitTermination(120)
+    assert got[0] == set() and got[1] == set()
+    assert got[2] == {(12, 10)}, got
+    assert os.path.isdir(f"{store}/base")
+    batches = {d for d in os.listdir(f"{store}/delta") if d.startswith("batch=")}
+    assert batches == {"batch=2"}, batches
