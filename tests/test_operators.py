@@ -1654,3 +1654,30 @@ def test_wilcoxon_signed_rank_first_principles(spark, sf_dir):
     sig2 = n * (n + 1) * (2.0 * n + 1) / 6.0 - ties / 12.0
     z = (w2p - n * (n + 1) / 2.0) / math.sqrt(sig2)
     assert abs(got.z - z) < 1e-6
+
+
+def test_q25_except_nonvacuous(spark, tmp_path):
+    """q25's fixture result is empty at every SF (every nation has a
+    customer) and its inputs are static dims the differential never
+    varies — so the oracle gate alone would pass an always-empty
+    implementation.  Pin the EXCEPT semantics on a corpus where the
+    difference is non-empty, including the DISTINCT contract (a
+    nation key missing from customers appears ONCE however many
+    nation rows carry it... keys are unique in nation, so the
+    distinct half is pinned by the duplicated customer side not
+    re-adding rows)."""
+    import pandas as pd
+
+    from cassandra_extractor_spark.registry import QUERIES
+
+    pd.DataFrame(
+        {"n_nationkey": [0, 1, 2, 3], "n_name": ["A", "B", "C", "D"],
+         "n_regionkey": [0, 0, 1, 1], "n_comment": [""] * 4}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {"c_custkey": [10, 11, 12], "c_nationkey": [0, 2, 2],
+         "c_name": ["x", "y", "z"], "c_acctbal": [1.0, 2.0, 3.0],
+         "c_mktsegment": ["S"] * 3, "c_comment": [""] * 3}
+    ).to_parquet(tmp_path / "customer.parquet")
+    got = [r.n_nationkey for r in QUERIES["q25_except"](spark, str(tmp_path)).collect()]
+    assert got == [1, 3]

@@ -28,10 +28,14 @@ _doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join)
 @given(
     texts=st.lists(_doc, min_size=1, max_size=10),
     split=st.integers(min_value=0, max_value=10),
+    overlap=st.integers(min_value=0, max_value=5),
 )
-def test_posting_store_split_invariance(spark, tmp_path_factory, texts, split):
+def test_posting_store_split_invariance(spark, tmp_path_factory, texts, split, overlap):
     """base ∪ delta retrieval is split-invariant and matches a direct
-    Python recomputation of the conjunctive query."""
+    Python recomputation of the conjunctive query — for ANY split AND
+    any base∩delta overlap (docs in [split−overlap, split) live in
+    BOTH sides: the crash-window duplicate shape, round 13
+    hypothesis-varied instead of only directly simulated)."""
     from cassandra_extractor_spark.streaming.posting_stream import (
         boolean_query_against_store,
         build_postings,
@@ -45,7 +49,7 @@ def test_posting_store_split_invariance(spark, tmp_path_factory, texts, split):
     )
     split = min(split, len(texts))
     base = docs.where(F.col("doc_id") < split)
-    rest = docs.where(F.col("doc_id") >= split)
+    rest = docs.where(F.col("doc_id") >= max(0, split - overlap))
     write_posting_store(build_postings(base), "posting_prop_t", n_buckets=2)
     try:
         if rest.count():
@@ -85,11 +89,14 @@ _vec6 = st.lists(
 @given(
     vecs=st.lists(_vec6, min_size=28, max_size=36),
     split=st.integers(min_value=10, max_value=40),
+    overlap=st.integers(min_value=0, max_value=8),
 )
-def test_ann_store_split_invariance(spark, tmp_path_factory, vecs, split):
+def test_ann_store_split_invariance(spark, tmp_path_factory, vecs, split, overlap):
     """The cell-partitioned store built from ANY base/delta split of
-    the corpus answers probe top-k row-identically to the batch IVF
-    operator over the same vectors and quantizer."""
+    the corpus — including any base∩delta overlap (the crash-window
+    duplicate shape: vectors in both batches) — answers probe top-k
+    row-identically to the batch IVF operator over the same vectors
+    and quantizer."""
     from cassandra_extractor_spark.operators.similarity import (
         N_IVF_CENTROIDS,
         N_QUERIES,
@@ -115,8 +122,9 @@ def test_ann_store_split_invariance(spark, tmp_path_factory, vecs, split):
     centdf = spark.read.parquet(f"{store}/centroids")
     corpus = e.where(F.col("vec_id") >= N_QUERIES)
     split = max(N_QUERIES, min(split, len(vecs)))
+    lo = max(N_QUERIES, split - overlap)
     for i, part in enumerate(
-        (corpus.where(F.col("vec_id") < split), corpus.where(F.col("vec_id") >= split))
+        (corpus.where(F.col("vec_id") < split), corpus.where(F.col("vec_id") >= lo))
     ):
         if part.count():
             assign_cells(part, centdf).write.mode("overwrite").partitionBy(
@@ -144,13 +152,16 @@ def test_ann_store_split_invariance(spark, tmp_path_factory, vecs, split):
 @given(
     texts=st.lists(_doc, min_size=1, max_size=10),
     split=st.integers(min_value=0, max_value=10),
+    overlap=st.integers(min_value=0, max_value=5),
 )
-def test_bm25_store_split_invariance(spark, tmp_path_factory, texts, split):
+def test_bm25_store_split_invariance(spark, tmp_path_factory, texts, split, overlap):
     """Store-backed BM25 (postings + doclen stats, ANY base/delta
-    split — both stores split the same way an ingest would) is
-    row-identical to the corpus-recomputing bm25_rank over the same
-    docs, INCLUDING zero-token documents that have no posting rows but
-    still shape avgdl and appear with score 0."""
+    split — both stores split the same way an ingest would, including
+    any base∩delta overlap: the crash-window duplicate shape on BOTH
+    the posting and doclen sides simultaneously) is row-identical to
+    the corpus-recomputing bm25_rank over the same docs, INCLUDING
+    zero-token documents that have no posting rows but still shape
+    avgdl and appear with score 0."""
     from cassandra_extractor_spark.operators.text import bm25_rank
     from cassandra_extractor_spark.streaming.posting_stream import (
         bm25_query_against_store,
@@ -167,7 +178,7 @@ def test_bm25_store_split_invariance(spark, tmp_path_factory, texts, split):
     )
     split = min(split, len(texts))
     base = docs.where(F.col("doc_id") < split)
-    rest = docs.where(F.col("doc_id") >= split)
+    rest = docs.where(F.col("doc_id") >= max(0, split - overlap))
     write_posting_store(build_postings(base), "bm25_prop_t", n_buckets=2)
     write_doclen_store(build_doclens(base), "bm25_prop_dl", n_buckets=2)
     try:
