@@ -157,6 +157,76 @@ def stream_ann_ingest(
     )
 
 
+def semantic_candidate_pairs(
+    spark: SparkSession,
+    store_dir: str,
+    assigned: DataFrame,
+    tau: float,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """(new_id, dup_of, cos): cosine-≥τ near-duplicate pairs of an
+    assigned batch ``(vec_id, emb, nrm, c_id)`` against the three
+    candidate sources — compacted base, earlier-batch delta (the
+    ``exclude_batch`` partition is skipped: a replayed batch must not
+    see its own half-written delta), and earlier vectors of the same
+    batch.  Split out of the gate's ``foreachBatch`` body so the plan
+    shape is directly assertable: the store scan carries
+    ``c_id IN (batch cells)`` as a PARTITION filter (driver-side cell
+    list inlined — only the batch's cell directories are opened), the
+    batch side of both joins is broadcast, and the vec_id inequality
+    plus final ``.distinct()`` make replay and crash-window duplicates
+    harmless."""
+    batch_cells = [r["c_id"] for r in assigned.select("c_id").distinct().collect()]
+    cand_parts = []
+    try:
+        cand_parts.append(
+            spark.read.parquet(f"{store_dir}/base").select(*_STORE_COLS)
+        )
+    except AnalysisException:
+        pass
+    try:
+        delta = spark.read.parquet(f"{store_dir}/delta")
+        if exclude_batch is not None:
+            delta = delta.where(F.col("batch") != exclude_batch)
+        cand_parts.append(delta.select(*_STORE_COLS))
+    except AnalysisException:
+        pass
+    new = assigned.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "c_id",
+    )
+    sim = F.round(
+        cosine_prenormed(F.col("emb"), F.col("n_emb"), F.col("nrm"), F.col("n_nrm")),
+        6,
+    )
+    pair_frames = []
+    if cand_parts:
+        store = cand_parts[0]
+        for p in cand_parts[1:]:
+            store = store.unionByName(p)
+        # partition-pruned candidate scan: only the batch's cells
+        store = store.where(F.col("c_id").isin(batch_cells))
+        pair_frames.append(
+            store.join(F.broadcast(new), "c_id")
+            .where(F.col("vec_id") < F.col("new_id"))
+            .where(sim >= tau)
+            .select("new_id", F.col("vec_id").alias("dup_of"), sim.alias("cos"))
+        )
+    earlier = assigned.select(F.col("vec_id"), F.col("emb"), F.col("nrm"), "c_id")
+    pair_frames.append(
+        earlier.join(F.broadcast(new), "c_id")
+        .where(F.col("vec_id") < F.col("new_id"))
+        .where(sim >= tau)
+        .select("new_id", F.col("vec_id").alias("dup_of"), sim.alias("cos"))
+    )
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct()
+
+
 def stream_semantic_dedup(
     spark: SparkSession,
     source_path: str,
@@ -213,60 +283,10 @@ def stream_semantic_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cent = _read_centroids(spark, store_dir)
         assigned = assign_cells(batch_df, cent).localCheckpoint(eager=True)
-        batch_cells = [r["c_id"] for r in assigned.select("c_id").distinct().collect()]
-        cand_parts = []
-        try:
-            cand_parts.append(
-                spark.read.parquet(f"{store_dir}/base").select(*_STORE_COLS)
-            )
-        except AnalysisException:
-            pass
-        try:
-            cand_parts.append(
-                spark.read.parquet(f"{store_dir}/delta")
-                .where(F.col("batch") != batch_id)
-                .select(*_STORE_COLS)
-            )
-        except AnalysisException:
-            pass
-        new = assigned.select(
-            F.col("vec_id").alias("new_id"),
-            F.col("emb").alias("n_emb"),
-            F.col("nrm").alias("n_nrm"),
-            "c_id",
+        pairs = semantic_candidate_pairs(
+            spark, store_dir, assigned, tau, exclude_batch=batch_id
         )
-        sim = F.round(
-            cosine_prenormed(
-                F.col("emb"), F.col("n_emb"), F.col("nrm"), F.col("n_nrm")
-            ),
-            6,
-        )
-        pair_frames = []
-        if cand_parts:
-            store = cand_parts[0]
-            for p in cand_parts[1:]:
-                store = store.unionByName(p)
-            # partition-pruned candidate scan: only the batch's cells
-            store = store.where(F.col("c_id").isin(batch_cells))
-            pair_frames.append(
-                store.join(F.broadcast(new), "c_id")
-                .where(F.col("vec_id") < F.col("new_id"))
-                .where(sim >= tau)
-                .select("new_id", F.col("vec_id").alias("dup_of"), sim.alias("cos"))
-            )
-        earlier = assigned.select(
-            F.col("vec_id"), F.col("emb"), F.col("nrm"), "c_id"
-        )
-        pair_frames.append(
-            earlier.join(F.broadcast(new), "c_id")
-            .where(F.col("vec_id") < F.col("new_id"))
-            .where(sim >= tau)
-            .select("new_id", F.col("vec_id").alias("dup_of"), sim.alias("cos"))
-        )
-        pairs = pair_frames[0]
-        for p in pair_frames[1:]:
-            pairs = pairs.unionByName(p)
-        pairs_sink(pairs.distinct(), batch_id)
+        pairs_sink(pairs, batch_id)
         (
             assigned.write.mode("overwrite")
             .partitionBy("c_id")

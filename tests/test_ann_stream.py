@@ -441,3 +441,66 @@ def test_auto_compaction_mid_stream_semantic_gate(spark, tmp_path):
     assert os.path.isdir(f"{store}/base")
     batches = {d for d in os.listdir(f"{store}/delta") if d.startswith("batch=")}
     assert batches == {"batch=2"}, batches
+
+
+def test_semantic_candidate_probe_prunes_partitions_and_broadcasts(spark, tmp_path):
+    """Round-13 plan guard for the SemDeDup gate's candidate probe
+    (extracted as ``semantic_candidate_pairs``): the store scan must
+    carry the batch's cell list as a PARTITION filter (only the
+    probed cell directories are opened), and the batch side of the
+    candidate join must broadcast — at 100 TB the store never
+    shuffles for a gate check."""
+    from cassandra_extractor_spark.streaming.ann_stream import (
+        _read_centroids,
+        assign_cells,
+        compact_ann_store,
+        semantic_candidate_pairs,
+    )
+
+    store = str(tmp_path / "store")
+    cent = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "c_id": [0, 1, 2],
+                "c_emb": [
+                    [1.0, 0.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.0, 0.0],
+                ],
+            }
+        ),
+        "c_id LONG, c_emb ARRAY<DOUBLE>",
+    )
+    init_ann_centroids(spark, cent, store)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [10, 11, 12],
+                "emb": [[1.0, 0.1, 0.0, 0.0], [0.1, 1.0, 0.0, 0.0], [0.0, 0.1, 1.0, 0.0]],
+            }
+        ),
+        "vec_id LONG, emb ARRAY<DOUBLE>",
+    )
+    centdf = _read_centroids(spark, store)
+    assign_cells(corpus, centdf).write.mode("overwrite").partitionBy("c_id").parquet(
+        f"{store}/delta/batch=0"
+    )
+    assert compact_ann_store(spark, store) == 3
+
+    # a batch landing only in cell 0
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [20], "emb": [[0.99, 0.05, 0.0, 0.0]]}),
+        "vec_id LONG, emb ARRAY<DOUBLE>",
+    )
+    assigned = assign_cells(batch, centdf).localCheckpoint(eager=True)
+    pairs = semantic_candidate_pairs(spark, store, assigned, tau=0.8)
+    got = {(r["new_id"], r["dup_of"]) for r in pairs.collect()}
+    assert got == {(20, 10)}
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the store scan's partition filter carries the batch's cell list
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "c_id" in pf, plan[:3000]
+    # the batch side broadcasts; the store side never exchanges for
+    # the join (no shuffle of store rows)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
