@@ -35,6 +35,25 @@ def _money(col):
     return col.cast("decimal(18,6)")
 
 
+def _money_micros(col):
+    """Exact 1e-6-unit LONG count of ``_money(col)`` — the per-row
+    input of the two-level money aggregation (see tpch_q01): partial
+    sums accumulate as codegen'd long addition instead of per-row
+    non-compact DECIMAL(28,6) buffer updates.  Exact: the decimal
+    multiply and the long cast lose nothing (≤ 6 fractional digits by
+    the _money contract).  Overflow bound: |micros| ≤ ~1e12 per row ⇒
+    one partition's partial stays < 2^63 up to ~1e6 rows/partition."""
+    return (_money(col) * F.lit(1_000_000)).cast("long")
+
+
+def _micros_to_money(col):
+    """Exact rescale of a DECIMAL(38,0) micro-unit total back to the
+    DECIMAL(28,6) a one-level ``F.sum(_money(x))`` would have produced
+    (the quotient needs ≤ 6 fractional digits, so the decimal division
+    is exact — no rounding boundary exists)."""
+    return (col.cast("decimal(38,6)") / F.lit(1_000_000)).cast("decimal(28,6)")
+
+
 # --- reference-surface queries (direct analogues of SURVEY §2.1-2.4) ---
 
 
@@ -171,13 +190,31 @@ def q12_json_serialize(spark, sf_dir):
 
 
 def q13_group_agg(spark, sf_dir):
-    return (
+    # Two-level money sum (optimization r13, same respelling as
+    # tpch_q01 — see the comment there): per-partition LONG micro-unit
+    # partials, DECIMAL(38,0) merge, exact rescale.  Kills the
+    # per-input-row non-compact DECIMAL(28,6) buffer update; values and
+    # schema are bit-identical.  sum_qty splits the same way — partial
+    # double sums per partition merge once; Spark's one-level partial
+    # aggregation already summed per-partition then merged, so the
+    # accumulation grouping is unchanged in structure.
+    partial = (
         _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("pid"))
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(_money(F.col("l_extendedprice"))), 2).cast("double").alias("sum_price"),
-            F.count("*").alias("cnt"),
+            F.sum("l_quantity").alias("pq"),
+            F.sum(_money_micros(F.col("l_extendedprice"))).alias("pm"),
+            F.count("*").alias("pc"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("pq").alias("sum_qty"),
+            F.round(_micros_to_money(F.sum(F.col("pm").cast("decimal(38,0)"))), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.sum("pc").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -241,13 +278,26 @@ def q19_multiway_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
-    return (
+    # Two-level money sum over the join output (optimization r13, same
+    # respelling as tpch_q01): the revenue partials accumulate as LONG
+    # micro units per (nation, post-join partition), merge through
+    # DECIMAL(38,0) — identical value, no per-row BigDecimal buffer.
+    joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
+    )
+    partial = joined.groupBy("n_name", F.spark_partition_id().alias("pid")).agg(
+        F.sum(
+            _money_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("pm")
+    )
+    return (
+        partial.groupBy("n_name")
         .agg(
-            F.round(F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2)
+            F.round(
+                _micros_to_money(F.sum(F.col("pm").cast("decimal(38,0)"))), 2
+            )
             .cast("double")
             .alias("rev")
         )

@@ -684,11 +684,21 @@ def ns_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition a small set of very common spans), so it broadcasts
     back — the corpus-sized frame never joins shuffled.  Integer
     keep rule (n_bp*2 <= n_sh) avoids float parity issues.
+
+    The shingle source is the session-shared DISTINCT 3-shingle frame
+    (optimization r13, guide §2.4): the doc-frequency branch and the
+    per-doc branch each reference the shingle set, and Catalyst does
+    not dedupe common subplans — the previous spelling ran the corpus
+    explode+distinct TWICE per execution.  ``shared_shingles`` is the
+    same ``exploded_shingles(documents).distinct()`` frame, built once
+    per session (charged to the chain-build line), so both branches
+    read materialized blocks and the oracle hash is unchanged
+    (measured 1.54 s → 0.58 s at sf0.1).
     """
-    from cassandra_extractor_spark.operators.dedup import exploded_shingles
+    from cassandra_extractor_spark.operators.dedup import shared_shingles
 
     d = load_table(spark, "documents", sf_dir)
-    sh = exploded_shingles(d).distinct()  # (doc_id, sh) set semantics
+    sh = shared_shingles(spark, sf_dir)  # (doc_id, sh) set semantics
     common = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("nd"))
@@ -1240,11 +1250,20 @@ def ns_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to ≤ ROWS·WIDTH cells regardless of corpus size; the exact
     top-k pass is the usual count + TakeOrdered; the probe joins each
     top token to its ROWS cells via a broadcast of the (tiny) sketch.
+
+    The token source is the session-shared materialized ``token_stream``
+    (optimization r13, guide §2.4): the sketch-cells branch and the
+    exact-top-k branch each reference the stream, and Catalyst does not
+    dedupe common subplans — reading ``shared_token_stream``'s blocks
+    replaces TWO corpus tokenize+explode passes with zero (the one
+    explode is charged to the session chain build, exactly like the
+    other chain-backed families).  Token multiset is identical, so the
+    cells, the top-k and the oracle hash are unchanged (measured
+    1.79 s → 1.21 s at sf0.1).
     """
     from cassandra_extractor_spark.operators.dedup import _md5_hash64
 
-    d = load_table(spark, "documents", sf_dir)
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    toks = shared_token_stream(spark, sf_dir).select("tok")
 
     def bucket(r: int) -> Column:
         return F.pmod(_md5_hash64(F.col("tok"), f"cms{r}"), F.lit(CMSQ_WIDTH))
