@@ -22,7 +22,10 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql.types import DoubleType
 
 from cassandra_extractor_spark.operators.text import distinct_tokens, doc_fingerprint_col, tokens
 from cassandra_extractor_spark.sources.catalog import _norm_dir, load_table
@@ -741,10 +744,101 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_fold_arrow_kernel(np_term, py_term):
+    """Build an Arrow-native batch kernel bit-identical to
+    ``aggregate(zip_with(x, y, term), 0.0, acc + v)`` for an
+    element-wise ``term``: the fold runs one dimension at a time across
+    the whole batch with numpy — acc₀ = 0.0, accᵢ₊₁ = accᵢ + term(xᵢ,
+    yᵢ), all float64, so per pair the IEEE op sequence is identical
+    (numpy only vectorizes ACROSS rows, never reassociates within one;
+    NaN/Inf propagate identically).
+
+    Arrow-native in and out so the validity bitmap stays explicit: the
+    fold's NULL results (null array either side, null element reached,
+    unequal lengths — zip_with pads with null and null poisons the
+    running sum terminally) come back as true SQL NULLs while NaN
+    totals stay NaN, a distinction the pandas path cannot represent.
+    The fast path handles the null-free fixed-width batch (every real
+    embedding frame); anything else falls back to an exact scalar
+    replica (CPython floats ARE IEEE doubles, so the same op sequence).
+
+    ``np_term(a, b)`` operates on float64 ndarrays; ``py_term(p, q)``
+    must be the scalar spelling of the same expression.
+    """
+
+    def _row_fold(a, b) -> float | None:
+        if a is None or b is None:
+            return None
+        la, lb = len(a), len(b)
+        acc = 0.0
+        for i in range(max(la, lb)):
+            p = a[i] if i < la else None
+            q = b[i] if i < lb else None
+            if p is None or q is None:
+                return None
+            acc = acc + py_term(p, q)
+        return acc
+
+    def _kernel(xs: "pa.Array", ys: "pa.Array") -> "pa.Array":
+        n = len(xs)
+        if (
+            xs.null_count == 0
+            and ys.null_count == 0
+            and xs.values.null_count == 0
+            and ys.values.null_count == 0
+        ):
+            xoff = np.asarray(xs.offsets)
+            yoff = np.asarray(ys.offsets)
+            xlen, ylen = np.diff(xoff), np.diff(yoff)
+            if n and xlen.min() == xlen.max() == ylen.min() == ylen.max():
+                dim = int(xlen[0])
+                acc = np.zeros(n, dtype=np.float64)
+                if dim:
+                    # .values is the FULL child buffer — slice to this
+                    # array's offset window before reshaping
+                    a_mat = np.asarray(xs.values, dtype=np.float64)[
+                        xoff[0] : xoff[-1]
+                    ].reshape(n, dim)
+                    b_mat = np.asarray(ys.values, dtype=np.float64)[
+                        yoff[0] : yoff[-1]
+                    ].reshape(n, dim)
+                    for i in range(dim):
+                        acc = acc + np_term(a_mat[:, i], b_mat[:, i])
+                return pa.array(acc)
+        xl, yl = xs.to_pylist(), ys.to_pylist()
+        return pa.array(
+            [_row_fold(xl[i], yl[i]) for i in range(n)], type=pa.float64()
+        )
+
+    return F.arrow_udf(_kernel, DoubleType())
+
+
+#: Arrow-vectorized fold kernel (optimization r13, guide §4.2).
+#: Deployed ONLY at the O(candidate-pairs) cosine hotspots, where it
+#: was measured decisively faster than the interpreted HOF fold
+#: (ns_semantic_dedup 1.77 s → 1.09 s at sf0.1); on the many
+#: small/medium per-query frames (assignment argmax, recall audits,
+#: brute top-k) the Arrow boundary overhead LOSES 0.05-0.26 s per
+#: query, so ``dot`` itself stays the in-JVM fold.  An unrolled
+#: 64-term JVM expression was also measured — 2.5-4× slower than the
+#: fold (codegen blowup).  (DoubleType() rather than a DDL string: the
+#: string form needs an active session to parse at module-import
+#: time.)
+_dot_arrow = make_fold_arrow_kernel(lambda a, b: a * b, lambda p, q: p * q)
+
+
 def dot(x: Column, y: Column) -> Column:
     """Sequential-fold double dot product — bit-identical to the
     oracle's list_reduce spelling (both fold left-to-right in double)."""
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_batch(x: Column, y: Column) -> Column:
+    """``dot`` through the Arrow-vectorized batch kernel — bit-identical
+    results (asserted edge-case-by-edge-case in
+    tests/test_optimization_r13.py), faster ONLY where one expression
+    evaluates over candidate-pair volume; see the kernel note above."""
+    return _dot_arrow(x, y)
 
 
 def norm(x: Column) -> Column:
@@ -866,6 +960,33 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     return dot(a, b) / (norm_a * norm_b)
 
 
+def cosine_prenormed_batch(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """``cosine_prenormed`` with the dot through the Arrow batch kernel
+    (bit-identical; see ``dot_batch``) — for the candidate-pair-volume
+    cosine stages only."""
+    return dot_batch(a, b) / (norm_a * norm_b)
+
+
+#: non-deterministic-marked kernel instance (guide §4.4): when the
+#: SAME kernel column is both filtered on and emitted, Catalyst
+#: duplicates the evaluation below the pushed filter and again in the
+#: projection — the marking forbids the copy, yielding ONE
+#: ArrowEvalPython (values are unchanged; the flag only constrains the
+#: optimizer).  Use where the kernel output is a RESULT column, not
+#: just a filter input.
+_dot_arrow_once = _dot_arrow.asNondeterministic()
+
+
+def cosine_prenormed_batch_once(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """``cosine_prenormed_batch`` through the single-eval kernel
+    instance — for pairwise stages that also EMIT the cosine."""
+    return _dot_arrow_once(a, b) / (norm_a * norm_b)
+
+
 def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_id < 300 window for the
     all-pairs oracle; the LSH-bucketed ANN in similarity.py scales)."""
@@ -883,8 +1004,11 @@ def ns_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
+            # all-pairs volume → Arrow batch kernel; the cosine is both
+            # emitted AND filtered on, so the single-eval instance
+            # stops Catalyst duplicating it (r13, §4.2 + §4.4)
             F.round(
-                cosine_prenormed(
+                cosine_prenormed_batch_once(
                     F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
                 ),
                 6,
@@ -998,8 +1122,10 @@ def semantic_dedup_frame(e: DataFrame) -> DataFrame:
             (F.col("a.c_id") == F.col("b.c_id")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
+            # candidate-pair volume → Arrow batch kernel (r13, §4.2):
+            # bit-identical cosine, measured 1.77 s → 1.09 s
             F.round(
-                cosine_prenormed(
+                cosine_prenormed_batch(
                     F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
                 ),
                 6,
@@ -1051,36 +1177,51 @@ def ns_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = deg.select(F.col("src").alias("doc_id"), "deg")
-    n_nodes = nodes.count()  # driver-side scalar: one number, plan-time
+    # (src, dst, deg) materialized ONCE (optimization r13, guide §1.2):
+    # the old spelling re-joined deg inside every iteration — 5 joins
+    # of an iteration-invariant frame
+    edges_deg = materialize_once(edges.join(deg, "src"))
+    n_nodes = deg.count()  # driver-side scalar: one number, plan-time
     if n_nodes == 0:
         # empty near-dup graph (no LSH candidate pair anywhere): no
         # node has a rank — 0 rows, matching the oracle, instead of a
         # plan-time ZeroDivisionError (found by the round-7b
         # differential expansion on a single-empty-document corpus)
-        return nodes.select("doc_id", F.lit(0).cast("long").alias("pr"))
-    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n_nodes
-    p = nodes.select("doc_id", F.lit(PR_SCALE // n_nodes).cast("long").alias("pr"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(p, edges.src == p.doc_id)
-            .join(deg, "src")
-            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+        return deg.select(
+            F.col("src").alias("doc_id"), F.lit(0).cast("long").alias("pr")
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n_nodes
+    p = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(PR_SCALE // n_nodes).cast("long").alias("pr"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(p, edges_deg.src == p.doc_id).select(
+            F.col("dst"), F.expr("pr div deg").alias("c")
+        )
+        # the union made edges SYMMETRIC, so every node (degree ≥ 1 by
+        # construction) receives ≥ 1 contribution: the inflow frame IS
+        # the node set and the old left-join back to nodes (plus its
+        # coalesce) was a per-iteration no-op — dropped (r13; equality
+        # probe-verified).  The chain also stays fully LAZY: each p is
+        # referenced exactly once by the next iteration, so one job
+        # executes all 5 iterations end-to-end — the per-iteration
+        # eager localCheckpoint paid 5 job round-trips to cut lineage
+        # that a 5-deep plan doesn't need (measured 1.22 s → 0.70 s).
+        # At 100 TB periodic checkpointing for fault-tolerance is the
+        # production add-back, outside the oracle contract.
         p = (
-            nodes.join(inflow, nodes.doc_id == inflow.dst, "left")
-            .select(
-                "doc_id",
+            contrib.groupBy("dst")
+            .agg(
                 (
                     F.lit(base)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("pr"),
+                    + F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
+                )
+                .cast("long")
+                .alias("pr")
             )
+            .select(F.col("dst").alias("doc_id"), "pr")
         )
-        p = materialize_once(p)  # cut the lineage: 5 chained joins otherwise
     return p.orderBy("doc_id")
 
 

@@ -676,7 +676,14 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").cast("long").alias("n_orders")
     )
-    supp = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    # supp feeds BOTH broadcast sides (s1, s2); without materialization
+    # the vocabulary aggregate over the corpus runs twice (two
+    # Exchange+HashAggregate subtrees in the executed plan — r13
+    # measured).  The aggregate output is vocabulary-sized (~|parts|),
+    # so the checkpoint is tiny.
+    supp = materialize_once(
+        items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    )
     a, b = items.alias("a"), items.alias("b")
     pair_counts = (
         a.join(

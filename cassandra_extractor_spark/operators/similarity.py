@@ -20,6 +20,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from cassandra_extractor_spark.operators.dedup import (
     cosine_prenormed,
+    make_fold_arrow_kernel,
     materialize_once,
     norm,
     session_memo,
@@ -581,6 +582,15 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+#: Arrow-vectorized ``_l2sq`` (optimization r13, guide §4.2) —
+#: bit-identical fold (see dedup.make_fold_arrow_kernel); used ONLY at
+#: the corpus-encode stages (~corpus × subs × codewords folds); the
+#: query-side tables are tiny and stay in-JVM.
+_l2sq_batch = make_fold_arrow_kernel(
+    lambda a, b: (a - b) * (a - b), lambda p, q: (p - q) * (p - q)
+)
+
+
 def pq_topk(
     e: DataFrame,
     k: int = TOP_K,
@@ -625,7 +635,8 @@ def pq_topk(
         .select(
             "vec_id",
             "s",
-            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+            # corpus-encode volume → Arrow batch kernel (r13, §4.2)
+            F.struct(_l2sq_batch(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
         )
         .groupBy("vec_id", "s")
         .agg(F.min("dc").alias("best"))
@@ -706,7 +717,8 @@ def _ivfpq_codes(res_sub: DataFrame, cb: DataFrame) -> DataFrame:
             "n_id",
             "c_id",
             "s",
-            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+            # corpus-encode volume → Arrow batch kernel (r13, §4.2)
+            F.struct(_l2sq_batch(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
         )
         .groupBy("n_id", "c_id", "s")
         .agg(F.min("dc").alias("best"))
