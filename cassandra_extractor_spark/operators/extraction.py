@@ -176,15 +176,20 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = shared_token_stream(spark, sf_dir)
     rep = ns_repetition_filter(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
     clf = ns_quality_classifier(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
+    # n_tokens rides along from the quality pass — identical expression
+    # (size(tokens(text)) cast long in ns_text_quality), so re-deriving
+    # it here re-tokenized the corpus a second time for nothing
+    # (optimization r13, guide §1.2); the documents scan below prunes
+    # to (doc_id, source)
     surv = (
-        quality.select("doc_id")
+        quality.select("doc_id", "n_tokens")
         .join(dropped, "doc_id", "left_anti")
         .join(rep, "doc_id")
         .join(clf, "doc_id")
     )
     d = (
         load_table(spark, "documents", sf_dir)
-        .select("doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        .select("doc_id", "source")
         .join(surv, "doc_id")
     )
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
