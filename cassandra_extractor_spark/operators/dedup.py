@@ -420,8 +420,8 @@ def materialize_once(df: DataFrame) -> DataFrame:
 
 
 #: cap for the per-session shared-chain cache: one sf_dir uses 12 slots
-#: (dedup: shingles, kgrams, bands, pairs×2 bucket policies, clusters,
-#: token stream; ANN: normed embeddings, cells, codebook, codes, brute
+#: (dedup: tok_leads, shingles, kgrams, bands, pairs×2 bucket
+#: policies, clusters; ANN: normed embeddings, cells, codebook, codes, brute
 #: ground truth); 32 lets two standard sf dirs coexist while one-shot
 #: differential tmp dirs churn through the tail (same rationale as
 #: catalog._TABLE_CACHE_CAP)
@@ -496,6 +496,35 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
             drop_session_bm25_store(spark, entry)
 
 
+def shared_tok_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized corpus-wide token-lead frame (doc_id, tok, t1, t2):
+    ONE posexplode + per-doc lead window serving BOTH the shingle frame
+    (``concat_ws(tok, t1, t2)``) and the token stream (``nxt = t1``).
+
+    Before r13 ``shared_shingles`` and ``shared_token_stream`` each ran
+    the identical scan→tokenize→posexplode→window pipeline — two
+    corpus-token-volume window shuffles per session where one suffices
+    (optimization r13, guide §2.1: remove the shuffle outright).  The
+    derived frames are expression-identical to the old spellings, so
+    every consumer hash is unchanged."""
+    def build() -> DataFrame:
+        d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        toks = d.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        return materialize_once(
+            toks.select(
+                "doc_id",
+                "tok",
+                F.lead("tok", 1).over(w).alias("t1"),
+                F.lead("tok", 2).over(w).alias("t2"),
+            )
+        )
+
+    return session_memo(spark, ("tok_leads", sf_dir), build)
+
+
 def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized corpus-wide DISTINCT 3-shingle frame (doc_id, sh),
     built once per (session, sf_dir) — the root of the shared chain.
@@ -505,12 +534,18 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is one corpus scan+explode+dedup shuffle instead of
     one per consumer; the bounded audit-window queries (doc_id < 200)
     keep their own explosion so their filter pushes to the parquet scan
-    and they stay cheap standalone."""
+    and they stay cheap standalone.  Since r13 the explode+window stage
+    reads the shared ``shared_tok_leads`` blocks — shingle rows are
+    ``concat_ws(" ", tok, t1, t2)`` where ``t2`` is non-null, exactly
+    ``exploded_shingles``'s output."""
     return session_memo(
         spark,
         ("shingles", sf_dir),
         lambda: materialize_once(
-            exploded_shingles(load_table(spark, "documents", sf_dir)).distinct()
+            shared_tok_leads(spark, sf_dir)
+            .where(F.col("t2").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh"))
+            .distinct()
         ),
     )
 

