@@ -236,24 +236,27 @@ def ns_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh): word n-gram shingles via posexplode + window lead.
-
-    Every step is whole-stage-codegen'd (generator → window → project);
-    the array-lambda `_shingles` spelling runs interpreted and is an
-    order of magnitude slower.  Output is NOT distinct — callers that
-    need set semantics (simhash votes) dedupe; MIN-based consumers
-    (minhash) don't have to, since MIN is duplicate-insensitive.
+    """(doc_id, sh): word n-gram shingles via array slices inside the
+    explode — MAP-LOCAL, no window, no shuffle (optimization r13,
+    guide §2.1: the previous posexplode+lead-window spelling paid a
+    corpus-token-volume shuffle for ordering the window already had in
+    the array).  ``sequence``/``slice``/``concat_ws`` are all
+    whole-stage-codegen'd; the array-lambda `_shingles` spelling runs
+    interpreted and is an order of magnitude slower.  Output is NOT
+    distinct — callers that need set semantics (simhash votes) dedupe;
+    MIN-based consumers (minhash) don't have to, since MIN is
+    duplicate-insensitive.
     """
-    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
-        "doc_id",
-        "tok",
-        *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)],
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tok")
     )
-    return leads.where(F.col(f"t{n-1}").isNotNull()).select(
+    # sequence(0, negative) counts DOWN in Spark — gate short docs
+    positions = F.when(
+        F.col("n_tok") >= n, F.sequence(F.lit(0), F.col("n_tok") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return t.select("doc_id", "toks", F.explode(positions).alias("pos")).select(
         "doc_id",
-        F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("sh"),
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, n)).alias("sh"),
     )
 
 
@@ -498,27 +501,33 @@ def invalidate_dedup_chain(spark: SparkSession, sf_dir: str | None = None) -> No
 
 def shared_tok_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized corpus-wide token-lead frame (doc_id, tok, t1, t2):
-    ONE posexplode + per-doc lead window serving BOTH the shingle frame
-    (``concat_ws(tok, t1, t2)``) and the token stream (``nxt = t1``).
+    ONE posexplode with array-indexed successors serving BOTH the
+    shingle frame (``concat_ws(tok, t1, t2)``) and the token stream
+    (``nxt = t1``).
 
     Before r13 ``shared_shingles`` and ``shared_token_stream`` each ran
-    the identical scan→tokenize→posexplode→window pipeline — two
-    corpus-token-volume window shuffles per session where one suffices
-    (optimization r13, guide §2.1: remove the shuffle outright).  The
-    derived frames are expression-identical to the old spellings, so
-    every consumer hash is unchanged."""
+    an identical scan→tokenize→posexplode→lead-window pipeline — two
+    corpus-token-volume window shuffles per session where ZERO suffice
+    (optimization r13, guide §2.1: the successor tokens come from the
+    array by index, map-local).  The derived frames are
+    value-identical to the old spellings, so every consumer hash is
+    unchanged."""
     def build() -> DataFrame:
         d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-        toks = d.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-        )
-        w = W.partitionBy("doc_id").orderBy("pos")
+        ex = d.select(
+            "doc_id",
+            tokens(F.col("text")).alias("toks"),
+        ).select("doc_id", "toks", F.posexplode(F.col("toks")).alias("pos", "tok"))
+        # successor tokens by ARRAY INDEX (F.get: null out of bounds,
+        # ANSI-safe) — map-local, identical to lead(tok, k) over the
+        # per-doc position window but without the corpus-token-volume
+        # window shuffle (guide §2.1)
         return materialize_once(
-            toks.select(
+            ex.select(
                 "doc_id",
                 "tok",
-                F.lead("tok", 1).over(w).alias("t1"),
-                F.lead("tok", 2).over(w).alias("t2"),
+                F.get(F.col("toks"), F.col("pos") + 1).alias("t1"),
+                F.get(F.col("toks"), F.col("pos") + 2).alias("t2"),
             )
         )
 

@@ -116,8 +116,10 @@ def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     n_docs = d.count()  # driver-side scalar: one number, plan-time
-    terms = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    # session-shared token stream: no per-query corpus re-tokenize
+    # (optimization r13, guide §1.2)
+    terms = shared_token_stream(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
@@ -155,22 +157,22 @@ def ns_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_extractor_spark.sources.catalog import load_table
 
-    d = load_table(spark, "documents", sf_dir)
-    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w"))
-    w_next = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.select("doc_id", "w", F.lead("w", 1).over(w_next).alias("w2"))
-        .where(F.col("w2").isNotNull())
+    # session-shared token stream: one row per token, nxt = successor
+    # (optimization r13, guide §1.2 — no per-query corpus re-tokenize,
+    # no per-query lead window)
+    stream = shared_token_stream(spark, sf_dir)
+    bi = stream.where(F.col("nxt").isNotNull()).select(
+        "doc_id", F.col("tok").alias("w"), F.col("nxt").alias("w2")
     )
-    # corpus totals from ONE cheap aggregate over per-doc token counts
-    # (n_bi = Σ max(len-1, 0)) — not two extra full tokenize passes
-    totals = d.select(F.size(tokens(F.col("text"))).alias("c")).agg(
-        F.sum("c").alias("n_uni"),
-        F.sum(F.greatest(F.col("c") - 1, F.lit(0))).alias("n_bi"),
+    # corpus totals from ONE cheap aggregate over the stream (row count
+    # = Σ len; nxt-non-null count = Σ max(len-1, 0))
+    totals = stream.agg(
+        F.count("*").alias("n_uni"),
+        F.sum(F.col("nxt").isNotNull().cast("long")).alias("n_bi"),
     ).first()
     n_uni, n_bi = int(totals["n_uni"]), int(totals["n_bi"])
     bigrams = bi.groupBy("w", "w2").agg(F.count("*").alias("c_xy")).where(F.col("c_xy") >= 5)
-    uni = toks.groupBy("w").agg(F.count("*").alias("c_x"))
+    uni = stream.groupBy(F.col("tok").alias("w")).agg(F.count("*").alias("c_x"))
     u1 = uni.select(F.col("w").alias("w"), F.col("c_x").alias("cx"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_x").alias("cy"))
     return (
@@ -242,9 +244,9 @@ def ns_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: exact top-50 terms by frequency.
     explode → map-side-combined count → TakeOrderedAndProject (the
     top-k never materializes a full sort at scale)."""
-    d = load_table(spark, "documents", sf_dir)
     return (
-        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        shared_token_stream(spark, sf_dir)
+        .select(F.col("tok").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "term")
@@ -661,8 +663,9 @@ def ns_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) and the resulting V-row vocabulary rides back as a
     broadcast join.  Deterministic tie-break: (count desc, token asc).
     """
-    d = load_table(spark, "documents", sf_dir)
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # session-shared token stream feeds BOTH consumers of the exploded
+    # corpus (vocab count + per-doc OOV join) — optimization r13 §1.2
+    toks = shared_token_stream(spark, sf_dir).select("doc_id", "tok")
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -771,12 +774,13 @@ def ns_lm_fluency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_extractor_spark.sources.catalog import load_table
 
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w"))
-    w_next = W.partitionBy("doc_id").orderBy("pos")
+    # session-shared token stream (nxt = successor token): no
+    # per-query corpus re-tokenize, no per-query lead window
+    # (optimization r13, guide §1.2)
     bi = (
-        toks.select("doc_id", "w", F.lead("w", 1).over(w_next).alias("w2"))
-        .where(F.col("w2").isNotNull())
+        shared_token_stream(spark, sf_dir)
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w"), F.col("nxt").alias("w2"))
     )
     from cassandra_extractor_spark.operators.dedup import materialize_once
 
@@ -1061,8 +1065,9 @@ def ns_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles 32 k sketch cells plus the survivor stream.  Result is
     EXACT (oracle: plain GROUP BY/HAVING).
     """
-    d = load_table(spark, "documents", sf_dir)
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # session-shared token stream feeds BOTH passes (sketch build +
+    # survivor probe) — optimization r13 §1.2
+    toks = shared_token_stream(spark, sf_dir).select("tok")
 
     def bucket(i: int) -> Column:
         return F.pmod(F.xxhash64("tok", F.lit(i)), F.lit(CMS_WIDTH))
@@ -1213,9 +1218,12 @@ def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top pairs selected with a full deterministic tie-break
     (count DESC, pair lexicographic) so the reported SET is stable.
     """
-    d = load_table(spark, "documents", sf_dir)
-    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).where(
-        F.col("w").rlike("^[a-z]+$")
+    # session-shared token stream: no per-query corpus re-tokenize
+    # (optimization r13, guide §1.2)
+    words = (
+        shared_token_stream(spark, sf_dir)
+        .select(F.col("tok").alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
     )
     vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
     sym_pairs = vocab.select(
@@ -1338,30 +1346,18 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram key (both sides partitioned alike), so the corpus is read
     twice and shuffled twice — no per-doc loops, no driver state.
     """
-    d = load_table(spark, "documents", sf_dir)
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    # guard BEFORE the sequence: Spark's sequence(1, 0) yields a
-    # DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
-    # single-token doc would index element_at(toks, 2) out of bounds
-    bg = t.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.element_at("toks", F.col("i")).alias("w1"),
-        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    # session-shared token stream: the bigram frame (tok, nxt) and the
+    # unigram counts both read the materialized blocks — no per-query
+    # tokenize, and no per-query bigram checkpoint (the stream ckpt
+    # plays that role for every reference; optimization r13, guide
+    # §1.2)
+    stream = shared_token_stream(spark, sf_dir)
+    bg = stream.where(F.col("nxt").isNotNull()).select(
+        "doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2")
     )
-    # the bigram frame feeds both the model counts AND the scoring
-    # join — materialize once or Catalyst replays the full tokenize +
-    # explode per self-join side (exchanges are not reused across
-    # differently-aliased subplans)
-    from cassandra_extractor_spark.operators.dedup import materialize_once
-
-    bg = materialize_once(bg)
     bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
     uni = (
-        t.select(F.explode("toks").alias("w1"))
+        stream.select(F.col("tok").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").cast("long").alias("c1"))
     )
@@ -1418,10 +1414,11 @@ def ns_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to one row.  The exact count for the error readout is
     the usual COUNT(DISTINCT).
     """
-    d = load_table(spark, "documents", sf_dir)
     from cassandra_extractor_spark.operators.dedup import _md5_hash64
 
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # session-shared token stream: no per-query corpus re-tokenize
+    # (optimization r13, guide §1.2)
+    toks = shared_token_stream(spark, sf_dir).select("tok")
     h = _md5_hash64(F.col("tok"), "hll")
     bucket = F.pmod(h, F.lit(HLL_BUCKETS))
     v = F.expr(f"h div {HLL_BUCKETS}")  # upper 52 bits
@@ -1793,11 +1790,13 @@ def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rational-over-sqrt-free, but built from irrational ln terms —
     round-safe per PARITY #7).
     """
-    d = load_table(spark, "documents", sf_dir)
     from pyspark.sql import Window as W
 
+    # session-shared token stream: no per-query corpus re-tokenize
+    # (optimization r13, guide §1.2)
     vocab = (
-        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        shared_token_stream(spark, sf_dir)
+        .select("tok")
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok"))
@@ -1904,10 +1903,13 @@ def ns_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown string (`ref:datacrawler.py:138-151`); this is the
     engine-side equivalent for corpora without a search backend.
     """
-    d = load_table(spark, "documents", sf_dir)
-    postings = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).where(F.col("tok").isin(*BOOL_QUERY))
+    # session-shared token stream: no per-query corpus re-tokenize
+    # (optimization r13, guide §1.2)
+    postings = (
+        shared_token_stream(spark, sf_dir)
+        .select("doc_id", "tok")
+        .where(F.col("tok").isin(*BOOL_QUERY))
+    )
     per_term = postings.groupBy("doc_id", "tok").agg(
         F.count("*").cast("long").alias("tf")
     )
