@@ -391,7 +391,21 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     # sides so saveAsTable never hits LOCATION_ALREADY_EXISTS
     drop_session_bm25_store(spark, (postings_t, doclens_t))
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    write_posting_store(build_postings(docs), postings_t)
+    # postings from the session-shared token stream (one corpus
+    # tokenize per session; optimization r13, guide §1.2) — the same
+    # (doc_id, tok != '') → count aggregation as ``build_postings``,
+    # proven element-identical.  The streaming micro-batch ingest keeps
+    # ``build_postings`` (its batches are not the session corpus).
+    from cassandra_extractor_spark.operators.text import shared_token_stream
+
+    session_postings = (
+        shared_token_stream(spark, sf_dir)
+        .select("doc_id", "tok")
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    write_posting_store(session_postings, postings_t)
     write_doclen_store(build_doclens(docs), doclens_t)
     cache[key] = (postings_t, doclens_t)
     return cache[key]
