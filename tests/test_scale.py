@@ -789,13 +789,15 @@ def test_corpus_family_single_signing_pass(spark, sf_dir):
     funnel = ns_filter_funnel(spark, sf_dir)  # builds the chain eagerly
     cache = spark.__dict__["_ce_dedup_chain"]
     clusters_obj = cache[("clusters", sf_dir)]
-    stream_obj = cache[("token_stream", sf_dir)]
+    # round 13: the token stream is a projection of the memoized
+    # tok-lead frame — identity of that entry IS stream identity
+    leads_obj = cache[("tok_leads", sf_dir)]
     plan = _executed_plan(funnel)
     assert "posexplode" not in plan, plan
     assert "ExistingRDD" in plan, plan
     ns_training_corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
     assert cache[("clusters", sf_dir)] is clusters_obj
-    assert cache[("token_stream", sf_dir)] is stream_obj
+    assert cache[("tok_leads", sf_dir)] is leads_obj
 
 
 def test_one_shingle_explosion_per_session(spark, sf_dir, monkeypatch):
