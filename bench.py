@@ -101,6 +101,14 @@ def confirm_regressions(
         rerun_min = min([reg["cur_sec"], *samples])
         reg["reruns"] = samples
         reg["rerun_min"] = rerun_min
+        # repair value = MEDIAN of the re-run samples (r13 verdict #2:
+        # min of original+reruns is a biased-low estimator — it
+        # systematically understates exactly the entries that get
+        # repaired).  The flag decision still uses the min (a flag
+        # should only survive if even the BEST re-measurement
+        # reproduces it); the pre-repair value stays in ``cur_sec``.
+        srt = sorted(samples)
+        reg["rerun_median"] = srt[len(srt) // 2]
         reproduced = (
             rerun_min >= 0.3 and rerun_min / reg["base_sec"] > 1.5 * drift
         )
@@ -266,6 +274,30 @@ def main() -> None:
     ensure_session_bm25_store(spark, sf_dir)
     bm25_store_build_sec = round(time.time() - t0, 3)
 
+    # Session-shared quality frames (optimization r14, the r13 verdict's
+    # top item): the tokenize+score quality projection, the classifier
+    # score aggregation and the repetition verdicts are each built ONCE
+    # per session and read by every consumer (funnel, gate agreement,
+    # training corpus, corpus select/stats, calibration, frontier,
+    # budget select, quality×dup, dedup savings, the standalone
+    # queries).  Same charging discipline as the chains above: the
+    # builds run under the clock as their own line item
+    # ("shared_quality_build"); consumers then time their honest
+    # marginal cost.  NOTE: this is the one bench.py change (besides the
+    # repair-to-median fix below) this round — it ADDS a queries entry,
+    # never removes or renames one.
+    from cassandra_extractor_spark.operators.text import (
+        shared_clf_scores,
+        shared_rep_flags,
+        shared_text_quality,
+    )
+
+    t0 = time.time()
+    shared_text_quality(spark, sf_dir)
+    shared_clf_scores(spark, sf_dir)
+    shared_rep_flags(spark, sf_dir)
+    quality_build_sec = round(time.time() - t0, 3)
+
     cached = []
     if profile:
         for t in TABLES:
@@ -286,6 +318,7 @@ def main() -> None:
         "shared_dedup_chain_build": chain_build_sec,
         "shared_ann_build": ann_build_sec,
         "shared_bm25_store_build": bm25_store_build_sec,
+        "shared_quality_build": quality_build_sec,
     }
     # Build-vs-execute split: Python-side plan construction (registry
     # fn + eager schema resolutions, 0.05-0.6 s for the deep ns_*
@@ -462,9 +495,9 @@ def main() -> None:
     # query is re-run up to 2× in-process — warm, GC barrier, same
     # eager-build rule and scan config as the main pass (the extract
     # section restored maxPartitionBytes above).  Retracted flags move
-    # to ambient_spikes and their table entry is repaired to the
-    # reproducible minimum so one spike can't poison the next round's
-    # baseline median either.
+    # to ambient_spikes and their table entry is repaired to the MEDIAN
+    # of the re-runs (r13 verdict #2) so one spike can't poison the
+    # next round's baseline median either.
     def _rerun(name: str) -> list[float] | None:
         fn = QUERIES.get(name)
         if fn is None:  # shared_* build line items: not re-runnable solo
@@ -487,7 +520,7 @@ def main() -> None:
 
     regressions, ambient_spikes = confirm_regressions(regressions, drift, _rerun)
     for reg in ambient_spikes:
-        timings[reg["query"]] = reg["rerun_min"]
+        timings[reg["query"]] = reg["rerun_median"]
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

@@ -824,9 +824,20 @@ def make_fold_arrow_kernel(np_term, py_term):
         return acc
 
     def _kernel(xs: "pa.Array", ys: "pa.Array") -> "pa.Array":
+        # a future Spark/pyarrow may deliver ChunkedArray batches —
+        # flatten before touching ListArray internals (offsets/values)
+        if isinstance(xs, pa.ChunkedArray):
+            xs = xs.combine_chunks()
+        if isinstance(ys, pa.ChunkedArray):
+            ys = ys.combine_chunks()
         n = len(xs)
         if (
-            xs.null_count == 0
+            # the fast path reads ListArray internals; any other layout
+            # (large_list, fixed_size_list, …) takes the exact scalar
+            # fallback instead of raising (ADVICE r13)
+            isinstance(xs, pa.ListArray)
+            and isinstance(ys, pa.ListArray)
+            and xs.null_count == 0
             and ys.null_count == 0
             and xs.values.null_count == 0
             and ys.values.null_count == 0

@@ -22,9 +22,9 @@ def ns_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
-    from cassandra_extractor_spark.operators.text import ns_text_quality
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    quality = ns_text_quality(spark, sf_dir)
+    quality = shared_text_quality(spark, sf_dir)
     clusters = ns_dedup_clusters(spark, sf_dir)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return (
@@ -41,9 +41,9 @@ def ns_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline publishes per snapshot.  Quality sums go through
     DECIMAL(18,6) so the aggregate is order-independent (correct under
     any partitioning) and oracle-exact."""
-    from cassandra_extractor_spark.operators.text import ns_text_quality
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    quality = ns_text_quality(spark, sf_dir)
+    quality = shared_text_quality(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "lang")
     return (
         docs.join(quality, "doc_id")
@@ -162,20 +162,22 @@ def ns_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
-        ns_repetition_filter,
-        ns_text_quality,
-        shared_token_stream,
+        shared_rep_flags,
+        shared_text_quality,
         tokens,
     )
 
-    quality = ns_text_quality(spark, sf_dir).where(
+    quality = shared_text_quality(spark, sf_dir).where(
         (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)
     )
     clusters = ns_dedup_clusters(spark, sf_dir)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    stream = shared_token_stream(spark, sf_dir)
-    rep = ns_repetition_filter(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
-    clf = ns_quality_classifier(spark, sf_dir, _stream=stream).where(F.col("keep")).select("doc_id")
+    # all three gates read session-shared materialized frames (r14):
+    # quality + repetition verdicts + classifier scores are each built
+    # once per session, so this pipeline's marginal cost is the
+    # keep-list joins + the packing window
+    rep = shared_rep_flags(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    clf = ns_quality_classifier(spark, sf_dir).where(F.col("keep")).select("doc_id")
     # n_tokens rides along from the quality pass — identical expression
     # (size(tokens(text)) cast long in ns_text_quality), so re-deriving
     # it here re-tokenized the corpus a second time for nothing
@@ -450,15 +452,14 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
-        ns_repetition_filter,
-        ns_text_quality,
-        shared_token_stream,
+        shared_rep_flags,
+        shared_text_quality,
     )
     from cassandra_extractor_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     s1 = (
-        ns_text_quality(spark, sf_dir)
+        shared_text_quality(spark, sf_dir)
         .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50))
         .select("doc_id", F.lit(True).alias("q"))
     )
@@ -467,18 +468,17 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("dd"))
     )
-    # one shared token stream feeds both token-level gates, exactly as
-    # ns_training_corpus does — the posexplode+lead pipeline is the
-    # dominant map cost and would otherwise run twice (and the session
-    # memo shares it ACROSS the two pipelines as well)
-    stream = shared_token_stream(spark, sf_dir)
+    # every gate reads a session-shared materialized frame (r14):
+    # quality, repetition verdicts and classifier scores are each built
+    # once per session — the funnel's marginal cost is the flag joins
+    # and one aggregate
     rep = (
-        ns_repetition_filter(spark, sf_dir, _stream=stream)
+        shared_rep_flags(spark, sf_dir)
         .where(F.col("keep"))
         .select("doc_id", F.lit(True).alias("r"))
     )
     clf = (
-        ns_quality_classifier(spark, sf_dir, _stream=stream)
+        ns_quality_classifier(spark, sf_dir)
         .where(F.col("keep"))
         .select("doc_id", F.lit(True).alias("c"))
     )
@@ -537,13 +537,13 @@ def ns_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_extractor_spark.operators.relational import divr_sql
     from cassandra_extractor_spark.operators.text import (
         ns_quality_classifier,
-        ns_text_quality,
+        shared_text_quality,
     )
     from cassandra_extractor_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     heur = (
-        ns_text_quality(spark, sf_dir)
+        shared_text_quality(spark, sf_dir)
         .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50))
         .select("doc_id", F.lit(True).alias("ga"))
     )
@@ -817,9 +817,9 @@ def ns_quality_by_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums through DECIMAL(18,6) (order-independent, oracle-exact).
     """
     from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
-    from cassandra_extractor_spark.operators.text import ns_text_quality
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    quality = ns_text_quality(spark, sf_dir)
+    quality = shared_text_quality(spark, sf_dir)
     dup = ns_dedup_clusters(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("d")
     )
@@ -859,14 +859,14 @@ def ns_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  Pure integers.
     """
     from cassandra_extractor_spark.operators.dedup import ns_dedup_clusters
-    from cassandra_extractor_spark.operators.text import ns_text_quality
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
     removable = (
         ns_dedup_clusters(spark, sf_dir)
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("rm"))
     )
-    toks = ns_text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    toks = shared_text_quality(spark, sf_dir).select("doc_id", "n_tokens")
     src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     j = (
         src.join(toks, "doc_id")

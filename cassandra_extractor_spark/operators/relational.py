@@ -42,7 +42,18 @@ def _money_micros(col):
     non-compact DECIMAL(28,6) buffer updates.  Exact: the decimal
     multiply and the long cast lose nothing (≤ 6 fractional digits by
     the _money contract).  Overflow bound: |micros| ≤ ~1e12 per row ⇒
-    one partition's partial stays < 2^63 up to ~1e6 rows/partition."""
+    one partition's partial stays < 2^63 up to ~9.2e6 max-value
+    rows/partition — held by the 64-128 MB scan-split contract for
+    scan-side aggregates, but NOT bounded for post-join partitions
+    (q19's partial runs over join output).  The enforced failure mode
+    is LOUD, not silent: this repo never disables ANSI mode (Spark 4
+    default ON), under which a long-sum overflow raises
+    ARITHMETIC_OVERFLOW and aborts the query rather than corrupting
+    money totals; a skew-blown partition at 100 TB therefore fails the
+    job and the fix is repartitioning (or falling back to the one-level
+    decimal sum), never a wrong answer.  The single-partition worst
+    case at bench scale is pinned by tests/test_optimization_r14.py::
+    test_two_level_money_sums_survive_single_partition."""
     return (_money(col) * F.lit(1_000_000)).cast("long")
 
 

@@ -285,10 +285,12 @@ def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword ratio, length saturation, punctuation
-    penalty → weighted score.  Pure double arithmetic in a fixed
-    expression order so the oracle reproduces it bit-for-bit."""
+def _text_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unordered quality projection over the corpus, carrying one
+    extra column (``n_distinct``) that the repetition filter shares —
+    the tokenize+score pass every quality consumer needs.  Built once
+    per session via ``shared_text_quality``; ``ns_text_quality`` adds
+    the presentation sort and drops the extra column."""
     d = load_table(spark, "documents", sf_dir)
     text = F.col("text")
     toksd = distinct_tokens(text)
@@ -311,13 +313,49 @@ def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * len_sat
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
     )
+    return d.select(
+        "doc_id",
+        F.size(tokens(text)).cast("long").alias("n_tokens"),
+        F.size(toksd).cast("long").alias("n_distinct"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def shared_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared materialized quality frame (doc_id, n_tokens,
+    n_distinct, stop_ratio, quality) — the tokenize+score projection
+    ran once per CONSUMER before r14 (ns_text_quality itself, the
+    corpus-select/training-corpus gates, the funnel, gate agreement,
+    calibration, frontier/budget selection, quality×dup forensics,
+    dedup savings, the repetition filter's per-doc counts: ~11
+    evaluations per session), although every one of them needs the
+    identical per-doc values.  Same sharing discipline as
+    ``shared_token_stream`` (optimization r14, guide §1.2/§2.4): built
+    once per (session, corpus), charged by the bench as its own line
+    item (``shared_quality_build``), every consumer reads the
+    materialized blocks."""
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        ("text_quality", sf_dir),
+        lambda: materialize_once(_text_quality_frame(spark, sf_dir)),
+    )
+
+
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, length saturation, punctuation
+    penalty → weighted score.  Pure double arithmetic in a fixed
+    expression order so the oracle reproduces it bit-for-bit.  Reads
+    the session-shared materialized quality frame (values identical —
+    the shared frame IS this projection)."""
     return (
-        d.select(
-            "doc_id",
-            F.size(tokens(text)).cast("long").alias("n_tokens"),
-            F.round(stop_ratio, 6).alias("stop_ratio"),
-            F.round(score, 6).alias("quality"),
-        )
+        shared_text_quality(spark, sf_dir)
+        .select("doc_id", "n_tokens", "stop_ratio", "quality")
         .orderBy("doc_id")
     )
 
@@ -376,15 +414,25 @@ def ns_repetition_filter(
     the session-shared one (the explicitly-fused-pipeline path; since
     round 9 the default already reads ``shared_token_stream``'s
     materialized blocks, so standalone invocations in a multi-query
-    session explode nothing).
+    session explode nothing; since r14 the default verdict frame is
+    itself session-memoized — ``shared_rep_flags``).
     """
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    base = d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        F.size(distinct_tokens(F.col("text"))).cast("long").alias("n_distinct"),
+    if _stream is None:
+        return shared_rep_flags(spark, sf_dir).orderBy("doc_id")
+    return _rep_flags_frame(spark, sf_dir, _stream).orderBy("doc_id")
+
+
+def _rep_flags_frame(
+    spark: SparkSession, sf_dir: str, stream: DataFrame
+) -> DataFrame:
+    """The unordered repetition-verdict frame.  Per-doc token counts
+    ride the session-shared quality frame (``n_tokens``/``n_distinct``
+    are the identical expressions — optimization r14, guide §1.2: the
+    old spelling re-tokenized the corpus for counts the quality pass
+    already computed); the top-bigram aggregate reads ``stream``."""
+    base = shared_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_distinct"
     )
-    stream = _stream if _stream is not None else shared_token_stream(spark, sf_dir)
     bigrams = stream.where(F.col("nxt").isNotNull()).select(
         "doc_id", F.concat_ws(" ", "tok", "nxt").alias("sh")
     )
@@ -417,7 +465,25 @@ def ns_repetition_filter(
             (F.col("dup_token_frac") <= REP_DUP_TOKEN_MAX)
             & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX),
         )
-        .orderBy("doc_id")
+    )
+
+
+def shared_rep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared materialized repetition verdicts — the filter
+    funnel, the training-corpus pipeline and the standalone query each
+    re-ran the bigram aggregate over the token stream before r14; one
+    doc-sized verdict frame serves all three (guide §1.2)."""
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        ("rep_flags", sf_dir),
+        lambda: materialize_once(
+            _rep_flags_frame(spark, sf_dir, shared_token_stream(spark, sf_dir))
+        ),
     )
 
 
@@ -462,36 +528,20 @@ def ns_quality_classifier(
     # aggregate the (shared) token stream — one row per token, `nxt`
     # ignored; since round 9 the standalone default reads the session-
     # shared materialized stream, so no explode runs here at all in a
-    # multi-query session
-    stream = _stream if _stream is not None else shared_token_stream(spark, sf_dir)
-    tok = stream.select("doc_id", "tok")
-    sums = tok.groupBy("doc_id").agg(
-        F.sum(_token_weight(F.col("tok"))).alias("wsum"),
-        F.count("*").alias("n_tokens"),
-    )
-    num = F.col("wsum") * F.lit(1_000_000)
-    # truncating integer division, engine-portable: (num - num % n) / n
-    # is an exact integer-valued double (quotient ≤ 2^53)
-    score = ((num - num % F.col("n_tokens")) / F.col("n_tokens")).cast("long")
-    logit = F.col("wsum").cast("double") / (
-        F.col("n_tokens").cast("double") * F.lit(float(QW_SCALE))
-    )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    from cassandra_extractor_spark.operators.dedup import materialize_once
+    # multi-query session; since r14 the scored frame itself is
+    # session-memoized (``shared_clf_scores``) — the five classifier
+    # consumers (standalone, calibration, gate agreement, funnel,
+    # training corpus) read one materialized build instead of each
+    # re-running the weight aggregation (guide §1.2)
+    if _stream is None:
+        scored = shared_clf_scores(spark, sf_dir)
+    else:
+        from cassandra_extractor_spark.operators.dedup import materialize_once
 
-    # materialize once: the threshold aggregate and the output join both
-    # read `scored`; without this the explode+groupBy pipeline (the
-    # dominant cost) runs twice — Catalyst does not reuse the exchange
-    # across the two subplans
-    scored = materialize_once(
-        sums.select(
-            "doc_id",
-            "n_tokens",
-            "wsum",
-            score.alias("score"),
-            F.round(prob, 6).alias("prob"),
-        )
-    )
+        # materialize once even on the explicit-stream path: the
+        # threshold aggregate and the output join both read `scored`,
+        # and Catalyst does not reuse the exchange across the subplans
+        scored = materialize_once(_clf_scored_frame(_stream))
     thr = scored.agg(
         F.percentile_approx("score", 0.5, 2147483647).alias("thr")
     )
@@ -506,6 +556,52 @@ def ns_quality_classifier(
             (F.col("score") >= F.col("thr")).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _clf_scored_frame(stream: DataFrame) -> DataFrame:
+    """The unordered classifier score frame (doc_id, n_tokens, wsum,
+    score, prob) from a token stream — the weight aggregation every
+    classifier consumer shares."""
+    tok = stream.select("doc_id", "tok")
+    sums = tok.groupBy("doc_id").agg(
+        F.sum(_token_weight(F.col("tok"))).alias("wsum"),
+        F.count("*").alias("n_tokens"),
+    )
+    num = F.col("wsum") * F.lit(1_000_000)
+    # truncating integer division, engine-portable: (num - num % n) / n
+    # is an exact integer-valued double (quotient ≤ 2^53)
+    score = ((num - num % F.col("n_tokens")) / F.col("n_tokens")).cast("long")
+    logit = F.col("wsum").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(QW_SCALE))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return sums.select(
+        "doc_id",
+        "n_tokens",
+        "wsum",
+        score.alias("score"),
+        F.round(prob, 6).alias("prob"),
+    )
+
+
+def shared_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared materialized classifier scores over the corpus —
+    one weight aggregation per session serves the standalone query,
+    calibration, gate agreement, the funnel and the training-corpus
+    pipeline (optimization r14, guide §1.2; charged by the bench under
+    ``shared_quality_build``)."""
+    from cassandra_extractor_spark.operators.dedup import (
+        materialize_once,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        ("clf_scores", sf_dir),
+        lambda: materialize_once(
+            _clf_scored_frame(shared_token_stream(spark, sf_dir))
+        ),
     )
 
 
@@ -527,8 +623,12 @@ def ns_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 9-value quantile sketch broadcast back, one map-side-combined
     aggregate to ≤10 rows.  No sort window anywhere.
     """
-    clf = ns_quality_classifier(spark, sf_dir).select("doc_id", "score")
-    heur = ns_text_quality(spark, sf_dir).select(
+    # read the shared score frame directly: the classifier's median
+    # threshold/keep column is dead weight here (calibration buckets
+    # the raw scores), and Catalyst cannot eliminate the broadcast
+    # threshold join on its own (optimization r14)
+    clf = shared_clf_scores(spark, sf_dir).select("doc_id", "score")
+    heur = shared_text_quality(spark, sf_dir).select(
         "doc_id",
         ((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 50)).alias("hpass"),
     )
@@ -564,7 +664,7 @@ def ns_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(…, 6) double on both engines and each cutoff literal i/10 is
     the identical nearest-double.
     """
-    return _frontier_from_tq(ns_text_quality(spark, sf_dir)).orderBy("cutoff_ppm")
+    return _frontier_from_tq(shared_text_quality(spark, sf_dir)).orderBy("cutoff_ppm")
 
 
 def _frontier_from_tq(tq: DataFrame) -> DataFrame:
@@ -611,16 +711,14 @@ def ns_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selection a filter instead of a sort, at the cost of
     overshooting the budget by at most one grid step's worth of docs.
 
-    The quality frame is computed ONCE and materialized
-    (``materialize_once``): the frontier aggregate and the final
-    selection filter both read the checkpointed blocks instead of
-    re-running the tokenize+score projection over the corpus twice
-    (optimization r13, guide §1.2; 1.5-2.0 s → 0.9-1.1 s at sf0.1,
+    The quality frame is computed ONCE per session and materialized
+    (``shared_text_quality``, r14 — r13 materialized it per call): the
+    frontier aggregate and the final selection filter both read the
+    session-shared checkpointed blocks instead of re-running the
+    tokenize+score projection over the corpus twice (guide §1.2;
     result bit-identical).
     """
-    from cassandra_extractor_spark.operators.dedup import materialize_once
-
-    tq = materialize_once(ns_text_quality(spark, sf_dir))
+    tq = shared_text_quality(spark, sf_dir)
     frontier = _frontier_from_tq(tq)
     cut = frontier.agg(
         F.coalesce(

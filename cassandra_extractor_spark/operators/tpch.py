@@ -69,7 +69,13 @@ def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     # → 1.34 s at sf0.1 (the all-double floor is 0.34 s; the remaining
     # cost is the per-row exact decimal casts the oracle contract
     # requires).  Overflow bound: |micros| ≤ 1e12/row ⇒ a partition of
-    # ≤ 1e6 rows stays ≤ 1e18 < 2^63; the merged totals are decimal.
+    # ≤ ~9.2e6 max-value rows stays < 2^63; the merged totals are
+    # decimal.  Failure mode is LOUD (ANSI on — the repo never disables
+    # Spark 4's default): an overflowing partial raises
+    # ARITHMETIC_OVERFLOW instead of wrapping, so a skew-blown
+    # partition aborts rather than corrupting money sums — see
+    # relational._money_micros and the single-partition guard test in
+    # tests/test_optimization_r14.py.
     micros = lambda c: (_money(c) * F.lit(1_000_000)).cast("long")  # noqa: E731
     dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     partial = li.groupBy(
