@@ -422,13 +422,14 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: cap for the per-session shared-chain cache: one sf_dir uses 12 slots
-#: (dedup: tok_leads, shingles, kgrams, bands, pairs×2 bucket
-#: policies, clusters; ANN: normed embeddings, cells, codebook, codes, brute
-#: ground truth); 32 lets two standard sf dirs coexist while one-shot
-#: differential tmp dirs churn through the tail (same rationale as
-#: catalog._TABLE_CACHE_CAP)
-_CHAIN_CACHE_CAP = 32
+#: cap for the per-session shared-chain cache: one sf_dir uses ~17
+#: slots (dedup: tok_leads, shingles, kgrams, bands, pair_base,
+#: pairs×2 bucket policies, clusters, token_stream; quality:
+#: text_quality, clf_scores, rep_flags; ANN: normed embeddings, cells,
+#: codebook, codes, brute ground truth); 48 lets two standard sf dirs
+#: coexist while one-shot differential tmp dirs churn through the tail
+#: (same rationale as catalog._TABLE_CACHE_CAP)
+_CHAIN_CACHE_CAP = 48
 
 
 def session_memo(spark: SparkSession, key: tuple, builder) -> DataFrame:
@@ -604,20 +605,77 @@ def shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized RAW candidate co-occurrence stream
+    (d1, d2, bkt_n, hub): ONE bands self-join serves BOTH bucket
+    policies (optimization r14, guide §2.4 — the two ``shared_pairs``
+    builds each ran their own self-join over ``shared_bands``, and the
+    capped policy re-ran the bucket-stats aggregation besides).
+
+    Row semantics: one row per (band-bucket co-occurrence) with
+    ``d1 < d2``; ``bkt_n`` is that bucket's size and ``hub`` marks rows
+    whose ``d1`` is the bucket minimum.  Both policies are projections:
+
+    - uncapped pairs = distinct (d1, d2) over ALL rows (identical to
+      the plain self-join — the annotation changes nothing);
+    - capped pairs  = distinct (d1, d2) over rows with
+      ``bkt_n ≤ cap`` (all-pairs inside small buckets — a pair
+      co-occurring in ANY small bucket passes, exactly the old
+      small-bucket self-join) plus ``hub`` rows (for a big bucket the
+      all-pairs output contains (bkt_min, member) for every member,
+      since bkt_min is the smallest id — exactly the old star set).
+
+    At 100 TB the banding self-join is the heavy shuffle of the chain;
+    this halves it."""
+
+    def build() -> DataFrame:
+        bands = shared_bands(spark, sf_dir)
+        stats = bands.groupBy("band", "sig").agg(
+            F.count("*").alias("bkt_n"), F.min("doc_id").alias("bkt_min")
+        )
+        ann = bands.join(F.broadcast(stats), ["band", "sig"])
+        a, b = ann.alias("a"), bands.alias("b")
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        return materialize_once(
+            a.join(b, cond).select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                F.col("a.bkt_n").alias("bkt_n"),
+                (F.col("a.doc_id") == F.col("a.bkt_min")).alias("hub"),
+            )
+        )
+
+    return session_memo(spark, ("pair_base", sf_dir), build)
+
+
 def shared_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int | None = None
 ) -> DataFrame:
     """Materialized LSH candidate pairs (per bucket policy), built once
-    per (session, sf_dir, max_bucket) over ``shared_bands`` — the edge
-    list feeding verification (editdist), graph analytics (PageRank,
-    triangles, label propagation, leakage), and clustering."""
-    return session_memo(
-        spark,
-        ("pairs", sf_dir, max_bucket),
-        lambda: lsh_candidate_pairs(
-            shared_bands(spark, sf_dir), max_bucket=max_bucket
-        ).localCheckpoint(eager=True),
-    )
+    per (session, sf_dir, max_bucket) — the edge list feeding
+    verification (editdist), graph analytics (PageRank, triangles,
+    label propagation, leakage), and clustering.  Both policies project
+    the shared single-join co-occurrence stream (``_shared_pair_base``,
+    r14); output sets are identical to ``lsh_candidate_pairs`` over
+    ``shared_bands`` (pinned by test)."""
+
+    def build() -> DataFrame:
+        base = _shared_pair_base(spark, sf_dir)
+        if max_bucket is None:
+            sel = base
+        else:
+            sel = base.where(
+                (F.col("bkt_n") <= max_bucket) | F.col("hub")
+            )
+        return (
+            sel.select("d1", "d2").distinct().localCheckpoint(eager=True)
+        )
+
+    return session_memo(spark, ("pairs", sf_dir, max_bucket), build)
 
 
 def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,6 +1005,13 @@ def connected_components(
     labels = sym.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.col("src")).alias("label")
     )
+    # materialize label₀: round 1 references ``labels`` FOUR times
+    # (neighbor-min join, both hop sides, the stepped join) and the
+    # executed plan shows zero ReusedExchange across them — without
+    # this the init aggregation over the symmetric edge list runs 4×
+    # (verified: 8 duplicate HashAggregate nodes at r14; rounds ≥2 are
+    # unaffected, their labels frame is the checkpointed ``stepped``).
+    labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (

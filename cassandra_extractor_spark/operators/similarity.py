@@ -336,6 +336,27 @@ def _cell_rank(
         "c_id",
         cosine_prenormed(F.col(emb), F.col("c_emb"), F.col(nrm), F.col("c_nrm")).alias("csim"),
     )
+    if keep == 1:
+        # argmax via struct-min aggregate (optimization r14, guide
+        # §2.3 "aggregate before you shuffle" — the same map-side
+        # collapse ns_kcenter_step uses): the row_number window
+        # shuffled the FULL N×|centroids| scored product on id; the
+        # partial aggregate reduces it to one row per id before the
+        # exchange.  Ordering identical to the window's
+        # (csim DESC, c_id ASC): min over (−csim, c_id) — −csim is an
+        # exact sign flip, and Spark normalizes −0.0 = 0.0 in
+        # comparisons, so ties still break to the smallest c_id.
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("csim")).alias("neg"), F.col("c_id").alias("c_id")
+                    )
+                ).alias("best")
+            )
+            .select(id_col, F.col("best.c_id").alias("c_id"))
+        )
     w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("c_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -635,8 +656,15 @@ def pq_topk(
         .select(
             "vec_id",
             "s",
-            # corpus-encode volume → Arrow batch kernel (r13, §4.2)
-            F.struct(_l2sq_batch(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+            # r14 ABAB (4 alternations, quiet box): the r13 Arrow batch
+            # kernel LOSES here — codes stage 1.41-1.62 s (Arrow) vs
+            # 1.27-1.44 s (JVM fold); PQ sub-vectors are tiny, so the
+            # Python-boundary batch overhead exceeds the fold work
+            # (guide §4.1: control what crosses).  The kernel stays
+            # deployed at the full-dimension pair-volume sites
+            # (semantic_dedup / neardup_embedding) where it measured
+            # 1.6-1.8× faster.
+            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
         )
         .groupBy("vec_id", "s")
         .agg(F.min("dc").alias("best"))
@@ -717,8 +745,9 @@ def _ivfpq_codes(res_sub: DataFrame, cb: DataFrame) -> DataFrame:
             "n_id",
             "c_id",
             "s",
-            # corpus-encode volume → Arrow batch kernel (r13, §4.2)
-            F.struct(_l2sq_batch(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
+            # JVM fold, not the Arrow kernel — r14 ABAB showed the
+            # batch kernel losing on tiny PQ sub-vectors (see pq_topk)
+            F.struct(_l2sq(F.col("sub"), F.col("cvec")).alias("d2"), F.col("code").alias("code")).alias("dc"),
         )
         .groupBy("n_id", "c_id", "s")
         .agg(F.min("dc").alias("best"))

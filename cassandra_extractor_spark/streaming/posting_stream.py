@@ -362,7 +362,6 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     import hashlib
 
     from cassandra_extractor_spark.operators.dedup import _norm_dir
-    from cassandra_extractor_spark.sources.catalog import load_table
 
     cache: dict = spark.__dict__.setdefault("_ce_posting_store", {})
     key = _norm_dir(sf_dir)
@@ -390,13 +389,15 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
     # without this session's catalog knowing the table — drop both
     # sides so saveAsTable never hits LOCATION_ALREADY_EXISTS
     drop_session_bm25_store(spark, (postings_t, doclens_t))
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     # postings from the session-shared token stream (one corpus
     # tokenize per session; optimization r13, guide §1.2) — the same
     # (doc_id, tok != '') → count aggregation as ``build_postings``,
     # proven element-identical.  The streaming micro-batch ingest keeps
     # ``build_postings`` (its batches are not the session corpus).
-    from cassandra_extractor_spark.operators.text import shared_token_stream
+    from cassandra_extractor_spark.operators.text import (
+        shared_text_quality,
+        shared_token_stream,
+    )
 
     session_postings = (
         shared_token_stream(spark, sf_dir)
@@ -406,7 +407,16 @@ def ensure_session_bm25_store(spark: SparkSession, sf_dir: str) -> tuple[str, st
         .agg(F.count("*").cast("long").alias("tf"))
     )
     write_posting_store(session_postings, postings_t)
-    write_doclen_store(build_doclens(docs), doclens_t)
+    # doclens ride the session-shared quality frame (optimization r14,
+    # guide §1.2): ``n_tokens`` there IS ``size(tokens(text))`` — the
+    # identical expression ``build_doclens`` computes — so the store
+    # build drops its last private corpus tokenize.  The explicit
+    # ``write_posting_store`` path and the streaming ingest keep
+    # ``build_doclens`` (their inputs are not the session corpus).
+    session_doclens = shared_text_quality(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").alias("dl")
+    )
+    write_doclen_store(session_doclens, doclens_t)
     cache[key] = (postings_t, doclens_t)
     return cache[key]
 

@@ -20,6 +20,11 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
+# Long-running suite (r13 verdict #2: the full suite outgrew the
+# driver pytest window) — deselected by default via pytest.ini
+# addopts; the full gate runs it explicitly with `-m ""`.
+pytestmark = pytest.mark.slow
+
 _ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 sys.path.insert(0, _ROOT)
 

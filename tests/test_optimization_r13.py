@@ -119,13 +119,39 @@ def test_two_level_money_plan_shape(spark, sf_dir, qname):
     df = QUERIES[qname](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SPARK_PARTITION_ID" in plan.upper(), plan[:2000]
-    # a one-level spelling reads "partial_sum(cast(<expr> as
-    # decimal(18,6)))" — the decimal cast as the WHOLE sum argument
-    # (triple close-paren); the two-level spelling only ever has
-    # "... as decimal(18,6)) * 1000000) as bigint" inside a long cast
-    assert " as decimal(18,6)))" not in plan, (
-        "per-row decimal partial sum reappeared"
+    # structural check (ADVICE r13: no paren-count string matching):
+    # pull each partial_sum's FULL argument via balanced-paren
+    # extraction and classify it.  The two-level spelling's row-level
+    # partials are long sums (the micros cast); a reappearing one-level
+    # spelling shows up as a partial_sum whose argument is a
+    # decimal(18,6) cast with no bigint cast around it.  If the plan
+    # printer ever renames partial_sum the extraction comes back empty
+    # and the first assert fails loudly instead of silently guarding
+    # nothing.
+    args, i = [], 0
+    while True:
+        j = plan.find("partial_sum(", i)
+        if j < 0:
+            break
+        k = j + len("partial_sum(")
+        depth, m = 1, k
+        while depth and m < len(plan):
+            if plan[m] == "(":
+                depth += 1
+            elif plan[m] == ")":
+                depth -= 1
+            m += 1
+        args.append(plan[k : m - 1])
+        i = m
+    assert args, "no partial_sum nodes found — plan printer changed?"
+    assert any("bigint" in a for a in args), (
+        "long micro-unit partials missing:\n" + "\n".join(args)
     )
+    for a in args:
+        if "decimal(18,6)" in a:
+            assert "bigint" in a, (
+                "per-row decimal partial sum reappeared: " + a
+            )
 
 
 @pytest.mark.parametrize("qname", ["ns_cms_estimate", "ns_boilerplate"])

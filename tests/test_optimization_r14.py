@@ -118,6 +118,116 @@ def test_quality_classifier_matches_explicit_stream_path(spark, sf_dir):
     assert _rows(got) == _rows(ref)
 
 
+def test_shared_pairs_match_direct_self_joins(spark, sf_dir):
+    """The single-join pair base (r14) must reproduce BOTH bucket
+    policies of ``lsh_candidate_pairs`` over the same bands exactly —
+    including a cap small enough to actually trigger the star topology
+    on this corpus."""
+    from cassandra_extractor_spark.operators.dedup import (
+        invalidate_dedup_chain,
+        lsh_candidate_pairs,
+        shared_bands,
+        shared_pairs,
+    )
+
+    invalidate_dedup_chain(spark)
+    bands = shared_bands(spark, sf_dir)
+    for cap in (None, 64, 2):
+        got = sorted(
+            (r["d1"], r["d2"])
+            for r in shared_pairs(spark, sf_dir, max_bucket=cap).collect()
+        )
+        ref = sorted(
+            (r["d1"], r["d2"])
+            for r in lsh_candidate_pairs(bands, max_bucket=cap).collect()
+        )
+        assert got == ref, f"cap={cap}: {len(got)} vs {len(ref)} pairs"
+        assert len(got) == len(set(got))  # distinct survived the refactor
+
+
+def test_cell_rank_argmax_matches_window_spelling(spark, sf_dir):
+    """The keep=1 struct-min argmax (r14) must assign every corpus
+    vector to the SAME cell as the row_number-window spelling it
+    replaced — including the tie-break to the smallest centroid id —
+    and its plan must carry the map-side partial aggregate instead of
+    a window over the N×K scored product."""
+    from pyspark.sql import Window as W
+
+    from cassandra_extractor_spark.operators.similarity import (
+        N_IVF_CENTROIDS,
+        N_QUERIES,
+        _cell_rank,
+        _centroids,
+        _split_corpus_queries,
+        cosine_prenormed,
+        shared_embeddings,
+    )
+
+    e = shared_embeddings(spark, sf_dir)
+    cent = _centroids(e, N_QUERIES, N_IVF_CENTROIDS)
+    corpus, _ = _split_corpus_queries(e, N_QUERIES)
+    got_df = _cell_rank(corpus, cent, "n_id", "n_emb", "n_nrm", 1)
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        F.col("n_id"),
+        "c_id",
+        cosine_prenormed(
+            F.col("n_emb"), F.col("c_emb"), F.col("n_nrm"), F.col("c_nrm")
+        ).alias("csim"),
+    )
+    w = W.partitionBy("n_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    ref_df = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= 1)
+        .select("n_id", "c_id")
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    ref = sorted(tuple(r) for r in ref_df.collect())
+    assert got == ref
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+
+
+def test_q116_spearman_single_corpus_exchange(spark, sf_dir):
+    """Pins q116's floor claim (r13 verdict #9) so the query exits the
+    examined-and-left list permanently: the (flag, price) marginal is
+    THE one corpus-volume shuffle and it is referenced exactly once
+    downstream — the executed plan must read lineitem exactly THREE
+    times (qty-rank marginal, bucket-total marginal, price marginal),
+    each scan pruned to the three needed columns.  A double-referenced
+    marginal (the pre-r9 shape Catalyst cannot dedupe) would show up
+    as a fourth scan."""
+    from cassandra_extractor_spark.operators.relational import q116_spearman
+
+    df = q116_spearman(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 3, plan[:3000]
+    for ln in scans:
+        assert "l_shipdate" not in ln and "l_orderkey" not in ln, ln
+    # and the plan needs no materialization barrier: no checkpoint scan
+    assert "ExistingRDD" not in plan, plan[:3000]
+
+
+def test_neardup_embedding_single_arrow_eval(spark, sf_dir):
+    """ADVICE r13: ``_dot_arrow_once`` relies on asNondeterministic()
+    purely as an optimizer barrier against duplicate evaluation under
+    the pushed filter.  Pin the intended shape — exactly ONE
+    ArrowEvalPython node, zero row-at-a-time BatchEvalPython — so an
+    optimizer change or a misuse of the kernel in a join/grouping
+    context surfaces here immediately."""
+    from cassandra_extractor_spark.operators.dedup import ns_neardup_embedding
+
+    df = ns_neardup_embedding(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "BatchEvalPython" not in plan, plan[:3000]
+
+
 def test_two_level_money_sums_survive_single_partition(spark, sf_dir):
     """Overflow guard for the long-micros partial-sum pattern (r13
     verdict #6 / ADVICE): the adversarial partitioning — EVERY lineitem

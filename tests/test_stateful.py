@@ -4,7 +4,14 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import Row
+
+# Long-running suite (r13 verdict #2: the full suite outgrew the
+# driver pytest window) — deselected by default via pytest.ini
+# addopts; the full gate runs it explicitly with `-m ""`.
+pytestmark = pytest.mark.slow
+
 
 from cassandra_extractor_spark.streaming.stateful import sessionize, sessionize_stream
 
