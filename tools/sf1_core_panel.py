@@ -42,7 +42,9 @@ def gen_embeddings(spark, out_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
     e = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    dim = len(e.select("emb").first()["emb"])
+    # RAW schema (vec_id, embedding, label) — the catalog renames
+    # embedding→emb at load time, so the tier must keep the raw names
+    dim = len(e.select("embedding").first()["embedding"])
     copies = spark.range(factor).select(F.col("id").cast("long").alias("copy"))
     out = e.crossJoin(copies).select(
         (F.col("vec_id") + F.col("copy") * F.lit(10_000_000)).alias("vec_id"),
@@ -50,8 +52,9 @@ def gen_embeddings(spark, out_dir: str, factor: int) -> None:
         # distribution-preserving, decorrelates cosines across copies
         F.expr(
             f"transform(sequence(0, {dim - 1}), "
-            f"i -> emb[int((i + copy) % {dim})])"
-        ).alias("emb"),
+            f"i -> embedding[int((i + copy) % {dim})])"
+        ).alias("embedding"),
+        "label",
     )
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
