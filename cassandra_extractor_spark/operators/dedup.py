@@ -1373,16 +1373,15 @@ def ns_substring_dedup(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> D
 
     Output: (doc_id, n_tok, dup_tok, dup_frac) for every document.
     """
-    from cassandra_extractor_spark.operators.text import tokens
-    from cassandra_extractor_spark.sources.catalog import load_table
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
-    docs = d.select(
+    # doc spine (doc_id, n_tok) from the session quality frame — its
+    # n_tokens IS size(tokens(text)) (null for null text ⇒ coalesce 0
+    # mirrors the old otherwise(0)); the private corpus tokenize this
+    # query ran just to count tokens is gone (optimization r14)
+    docs = shared_text_quality(spark, sf_dir).select(
         "doc_id",
-        "toks",
-        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0).alias("n_tok"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tok"),
     )
     # session-shared k-gram frame: counts + join-back here AND the
     # duplicated-span leaderboard all read the same materialized blocks

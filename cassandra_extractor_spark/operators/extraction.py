@@ -341,10 +341,18 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts → one fixed-order double expression, rounded at 6
     (the ``ns_ngram_pmi`` precedent for cross-engine ln parity).
     """
-    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    # per-doc token counts from the session quality frame (identical
+    # size(tokens(text)) expression) joined to the pruned (doc_id,
+    # lang) scan — the corpus text is never read here (optimization
+    # r14, guide §1.2/§6: the old spelling tokenized the corpus to
+    # count tokens this frame already carries)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang").join(
+        shared_text_quality(spark, sf_dir).select(
+            "doc_id", F.col("n_tokens").alias("n_tok")
+        ),
+        "doc_id",
     )
     counts = (
         d.groupBy("lang")

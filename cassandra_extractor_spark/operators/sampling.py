@@ -94,10 +94,15 @@ def ns_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage.  Two passes over the corpus, zero corpus-sized shuffles, no
     driver collect.
     """
-    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    # (doc_id, source, n_tokens) from the pruned attr scan joined to
+    # the session quality frame (identical size(tokens(text))
+    # expression) — this frame is consumed TWICE (totals + gate), so
+    # the old private spelling tokenized the corpus twice per call
+    # (optimization r14, guide §1.2)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source").join(
+        shared_text_quality(spark, sf_dir).select("doc_id", "n_tokens"), "doc_id"
     )
     per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
     weights = per_src.select(
@@ -190,10 +195,12 @@ def ns_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a few rows; the rate table broadcast-joins back; the gate is a
     codegen'd filter.  Two corpus passes, zero corpus-sized shuffles.
     """
-    from cassandra_extractor_spark.operators.text import tokens
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    # (doc_id, lang, n_tokens) via the session quality frame — same
+    # two-consumer rationale as ns_mixture_sample (optimization r14)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang").join(
+        shared_text_quality(spark, sf_dir).select("doc_id", "n_tokens"), "doc_id"
     )
     per_lang = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("lang_tokens")
@@ -577,12 +584,14 @@ def ns_waterfill_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from cassandra_extractor_spark.operators.text import tokens
-
     from cassandra_extractor_spark.operators.dedup import materialize_once
+    from cassandra_extractor_spark.operators.text import shared_text_quality
 
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    # per-doc token counts from the session quality frame (identical
+    # size(tokens(text)) expression) — the corpus text is never read
+    # here (optimization r14)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang").join(
+        shared_text_quality(spark, sf_dir).select("doc_id", "n_tokens"), "doc_id"
     )
     # n_domains rows, referenced by three branches (totals, the ranked
     # boundary search, the output) — materialize so the corpus token

@@ -1052,25 +1052,25 @@ def ns_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition, high ≈ ln(n_distinct) = diverse vocabulary), used
     alongside the Gopher repetition rules.
 
-    One explode → per-(doc, token) count (map-side combined, keyed by
-    the doc the explode is already partitioned on) → per-doc fold of
-    ``-(c/n)·ln(c/n)`` through DECIMAL(38,18) (order-independent, so
-    the hash is partition-stable).  No joins except the final left
-    join back to the doc spine; nothing leaves codegen.
+    Per-(doc, token) counts (map-side combined) over the session token
+    stream → per-doc fold of ``-(c/n)·ln(c/n)`` through DECIMAL(38,18)
+    (order-independent, so the hash is partition-stable).  Since
+    optimization r14 both corpus passes read session-shared blocks:
+    the stream rows ARE ``explode(tokens(text))`` (one row per token
+    position) and the doc spine's ``n_tok`` is the quality frame's
+    ``n_tokens`` (the identical ``size(tokens(text))`` expression,
+    null for null text ⇒ coalesce 0 mirrors the old
+    ``otherwise(0)``) — zero private corpus tokenizes where the old
+    spelling ran two.  No joins except the final left join back to
+    the doc spine; nothing leaves codegen.
     """
-    from cassandra_extractor_spark.sources.catalog import load_table
-
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
-    docs = d.select(
+    docs = shared_text_quality(spark, sf_dir).select(
         "doc_id",
-        F.when(F.col("toks").isNotNull(), F.size("toks")).otherwise(0)
-        .cast("long")
-        .alias("n_tok"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tok"),
     )
     counts = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
+        shared_token_stream(spark, sf_dir)
+        .select("doc_id", "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
@@ -1594,51 +1594,34 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams in doc| — an exact rational, rounded in integer 1e-4 units
     (``divr_sql``; round(double) diverges at .5 boundaries).
 
-    Scale shape: one explode pass builds (doc, gram) pairs, a
-    map-side-combined MIN per gram finds first owners, and the join
-    back hashes on the gram key — no ordering dependency, no scan per
-    doc.  Docs with < NOVELTY_N tokens have no grams and report NULL
-    novelty via the left join.
+    Scale shape (optimization r14): the distinct (doc, 3-gram) frame IS
+    the shared dedup-chain shingle frame (``shared_shingles``: same
+    ``tokens()``, same ``concat_ws(" ", …)`` over 3 consecutive tokens,
+    same DISTINCT — value-identical by construction), so novelty reads
+    the session blocks instead of re-running its own corpus
+    tokenize+explode+dedup.  The first-owner MIN and the per-doc gram
+    count are two independent aggregations over that frame, and the
+    per-doc NOVEL count is a doc-keyed count over the first-owner
+    output — the former gram-volume join-back (grams ⋈ first on gram)
+    is gone: n_novel(doc) ≡ |{gram : min-owner(gram) = doc}|, a
+    doc-sized aggregate of the first-owner frame.  Docs with
+    < NOVELTY_N tokens have no grams and report NULL novelty via the
+    left join.
     """
+    from cassandra_extractor_spark.operators.dedup import shared_shingles
     from cassandra_extractor_spark.operators.relational import divr_sql
 
     d = load_table(spark, "documents", sf_dir)
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    grams = (
-        t.where(F.size("toks") >= NOVELTY_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - (NOVELTY_N - 1))
-            ).alias("i"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                *[F.element_at("toks", F.col("i") + k) for k in range(NOVELTY_N)],
-            ).alias("gram"),
-        )
-        .distinct()
-    )
-    # both the first-owner reduction and the join-back consume grams —
-    # materialize once (same rationale as ns_bigram_lm)
-    from cassandra_extractor_spark.operators.dedup import materialize_once
-
-    grams = materialize_once(grams)
+    grams = shared_shingles(spark, sf_dir).select("doc_id", F.col("sh").alias("gram"))
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
-        )
+    n_by_doc = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    novel_by_doc = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    per_doc = n_by_doc.join(novel_by_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     )
     return (
         d.select("doc_id")

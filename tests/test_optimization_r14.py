@@ -317,3 +317,91 @@ def test_quality_frames_built_once_per_session(spark, sf_dir):
     assert cache[("text_quality", sf_dir)] is tq_obj
     assert cache[("clf_scores", sf_dir)] is clf_obj
     assert cache[("rep_flags", sf_dir)] is rep_obj
+
+
+def test_ngram_novelty_matches_join_back_spelling(spark, sf_dir):
+    """ns_ngram_novelty (batch 3: grams from the session shingle frame,
+    first-owner join-back replaced by a doc-keyed count over the
+    first-owner aggregate) must equal the pre-r14 from-scratch spelling
+    — private tokenize+explode+distinct, MIN per gram, gram-volume join
+    back — row for row."""
+    from cassandra_extractor_spark.operators.relational import divr_sql
+    from cassandra_extractor_spark.operators.text import NOVELTY_N, ns_ngram_novelty
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = (
+        t.where(F.size("toks") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (NOVELTY_N - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[F.element_at("toks", F.col("i") + k) for k in range(NOVELTY_N)],
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    ref = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(divr_sql("n_novel * 10000", "n_grams")).cast("double")
+                / F.lit(10_000.0),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+    assert _rows(ns_ngram_novelty(spark, sf_dir)) == _rows(ref)
+
+
+def test_token_count_consumers_never_read_text(spark, sf_dir):
+    """The batch-3 conversions (per-doc token counts from the session
+    quality frame / token stream / shingle frame instead of a private
+    corpus tokenize) must keep the text column OUT of every documents
+    ReadSchema in the executed plan — the structural 100 TB win is that
+    these queries never read corpus text at all."""
+    from cassandra_extractor_spark.operators.dedup import ns_substring_dedup
+    from cassandra_extractor_spark.operators.extraction import ns_corpus_drift
+    from cassandra_extractor_spark.operators.sampling import (
+        ns_mixture_sample,
+        ns_temperature_sample,
+        ns_waterfill_cap,
+    )
+    from cassandra_extractor_spark.operators.text import ns_entropy, ns_ngram_novelty
+
+    for fn in (
+        ns_entropy,
+        ns_ngram_novelty,
+        ns_substring_dedup,
+        ns_corpus_drift,
+        ns_waterfill_cap,
+        ns_mixture_sample,
+        ns_temperature_sample,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "ReadSchema" in line and "documents" in line:
+                assert "text" not in line, (fn.__name__, line)
