@@ -56,7 +56,10 @@ def gen_embeddings(spark, out_dir: str, factor: int) -> None:
         ).alias("embedding"),
         "label",
     )
-    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # 64 files for scan parallelism (see sf1_probe.gen_documents)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
 
 
 def ensure_panel_tier(spark, regen: bool = False) -> str:
@@ -94,7 +97,13 @@ def run_arm(cpus: int) -> dict[str, float]:
             for f in files
             if f.endswith(".parquet")
         )
-    sp = max(8, min(cpus, (total * 4) // (64 * 1024 * 1024)))
+    # NOT bench.py's min(cpus, data-derived) rule: at 100 TB partition
+    # count is thousands >> cores, so reduce stages are never
+    # core-capped — the panel must reproduce that posture or the 8-vs-32
+    # ratio measures the shuffle-partition constant (both arms capped at
+    # 8 reduce tasks in the first panel run), not the plan.  AQE's
+    # advisory size still coalesces the small exchanges.
+    sp = max(2 * cpus, (total * 4) // (64 * 1024 * 1024))
     spark.conf.set("spark.sql.shuffle.partitions", str(int(sp)))
     advisory = max(512 * 1024, total // (cpus * 2))
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory))

@@ -81,7 +81,13 @@ def gen_documents(spark: SparkSession, out_dir: str, factor: int) -> None:
         )
         .select("doc_id", "text", "lang", "source", F.length("text").alias("n_chars"))
     )
-    shuffled.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # 64 files: the source tier compresses into 1-2 files whose single
+    # row group makes every scan stage ONE task regardless of cores —
+    # at real scale file count provides scan parallelism naturally, so
+    # the tier must too or the core panel measures the layout, not the plan
+    shuffled.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
 
 
 def gen_lineitem(spark: SparkSession, out_dir: str, factor: int) -> None:
@@ -108,7 +114,8 @@ def gen_lineitem(spark: SparkSession, out_dir: str, factor: int) -> None:
             "l_shipdate",
         )
     )
-    out.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    # 64 files for scan parallelism (see gen_documents)
+    out.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def ensure_tier(spark: SparkSession, tag: str, factor: int, regen: bool) -> str:
